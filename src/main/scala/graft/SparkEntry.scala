@@ -1,13 +1,61 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.queries.Relational
+import graft.streaming.EventStreams
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's certified operator surface: the relational
+  * inventory (SURVEY §2.B), the LLM-pipeline operators (§2.C), and the
+  * streaming replays (B31–B34). Each entry with an `oracleSql` twin is
+  * hash-checked against DuckDB on identical parquet inputs; entries without
+  * one (engine-hash-dependent LSH variants, approx aggregates, the stub
+  * decoder) get rows-only checks plus ScalaTest invariants.
+  */
 object SparkEntry {
+
+  /** Session settings every entry point needs:
+    *  - nanosAsLong: the events fixture stores nanosecond timestamps, which
+    *    Spark otherwise refuses to read (event time is then canonicalized by
+    *    [[Tables.eventsUs]]).
+    *  - AQE on: runtime shuffle coalescing + skew handling — the 100 TB
+    *    posture, exercised at test scale too.
+    */
+  val sessionConfigs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+  )
+
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    sessionConfigs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    sessionConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
+    Relational.queries("q11_star_join")(spark, "/root/testdata/sf0.001")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++
+      Dedup.queries ++
+      Similarity.queries ++
+      TextAnalysis.queries ++
+      Multimodal.queries ++
+      EventStreams.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++
+      Dedup.oracles ++
+      Similarity.oracles ++
+      TextAnalysis.oracles ++
+      Multimodal.oracles ++
+      EventStreams.oracles
 }

@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `ArrayType(FloatType)` embedding columns, built
+  * entirely from codegen'd higher-order functions (`zip_with`/`aggregate`) —
+  * no UDFs, so the expressions inline into whole-stage codegen and survive
+  * column pruning/filter pushdown around them.
+  *
+  * Elements are cast to double *before* any arithmetic so results are
+  * engine-portable (float×float differs from double×double in the last ULP),
+  * and folds run in element order, making results deterministic.
+  */
+object VectorFunctions {
+
+  /** Elementwise cast to double. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product via zip_with + ordered fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two float-array columns (computed in double). */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = toDouble(a)
+    val bd = toDouble(b)
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Squared L2 distance (for LSH bucketing / IVF assignment). */
+  def sqDist(a: Column, b: Column): Column = {
+    val d = zip_with(toDouble(a), toDouble(b), (x, y) => x - y)
+    aggregate(d, lit(0.0), (acc, x) => acc + x * x)
+  }
+}

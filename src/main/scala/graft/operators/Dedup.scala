@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for training-data pipelines, designed shuffle-first
+  * for 100 TB:
+  *
+  *  - '''exact''': one hash-partitioned aggregation on the content key — the
+  *    only shuffle is by `text` hash, with map-side partial aggregation.
+  *  - '''MinHash + LSH''': signatures are computed scan-side with codegen'd
+  *    higher-order functions (no UDF), then candidates come from a self-join
+  *    on (band, band-hash) buckets — the classic band trick keeps the join
+  *    key space dense and bounded instead of an O(n²) cross join; verification
+  *    (exact Jaccard) touches only candidate pairs.
+  *  - '''SimHash''': 64-bit signature from per-token hashed bit votes;
+  *    near-dup pairs share at least one of 4 16-bit chunks (Hamming ≤ 3 over
+  *    64 bits ⇒ pigeonhole guarantees a shared chunk), again a bucket join.
+  *  - '''n-gram Jaccard''': exact character-shingle similarity for a bounded
+  *    candidate set (here keyed small; at scale fed by the LSH candidates).
+  *  - '''embedding cosine''': near-dup by cosine ≥ τ over a bounded/blocked
+  *    pair set; at scale the blocking comes from [[Similarity]] LSH buckets.
+  *
+  * All signature math uses explicit modular arithmetic on 31-bit hashes so
+  * results are deterministic and independent of partitioning.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------------ exact
+
+  /** Exact dedup on a content column: representative = min key per content.
+    * Scale: single shuffle by content hash; AQE handles skewed hot texts.
+    */
+  def exact(df: DataFrame, contentCol: String, keyCol: String): DataFrame =
+    df.groupBy(contentCol)
+      .agg(min(col(keyCol)).as(keyCol), count(lit(1)).as("dup_count"))
+
+  // ---------------------------------------------------------------- minhash
+
+  private val MersennePrime = 2147483647L // 2^31 - 1
+  private val NumHashes = 64
+  private val Bands = 16
+  private val RowsPerBand = 4
+
+  /** Deterministic (a, b) coefficients for the universal hash family
+    * h_i(x) = (a_i * x + b_i) mod p. Fixed seed ⇒ reproducible signatures.
+    */
+  private val coeffs: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Distinct character k-shingles of column `textCol` (codegen'd, no UDF).
+    * `sequence(1, greatest(len-k+1, 1))` guards the descending-sequence trap
+    * for texts shorter than k (callers should also filter those out).
+    */
+  def shingles(textCol: String, k: Int): Column =
+    array_distinct(expr(s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), i -> substring($textCol, i, $k))"))
+
+  private def shinglesExpr(k: Int): Column = shingles("text", k)
+
+  /** Adds `sig` (array of 64 minhash values) from a `sh` shingle-array column.
+    * Base hash: xxhash64 folded into [0, 2^31); permuted per hash function.
+    */
+  private def withSignature(df: DataFrame): DataFrame = {
+    val baseHashes = expr(s"transform(sh, s -> pmod(xxhash64(s), ${MersennePrime}))")
+    val sig = array(coeffs.map { case (a, b) =>
+      array_min(expr(s"transform(hs, h -> pmod($a * h + $b, $MersennePrime))"))
+    }: _*)
+    df.withColumn("hs", baseHashes).withColumn("sig", sig).drop("hs")
+  }
+
+  /** Candidate near-duplicate pairs via banded LSH + exact Jaccard verify.
+    *
+    * @param jaccardThreshold verification threshold on exact shingle Jaccard
+    */
+  def minhashPairs(docs: DataFrame, keyCol: String, k: Int = 5,
+                   jaccardThreshold: Double = 0.8): DataFrame = {
+    val withSig = withSignature(docs.withColumn("sh", shinglesExpr(k)))
+      .select(col(keyCol), col("sh"), col("sig"))
+    // Explode into (band index, hash of the band's signature slice).
+    val bands = withSig.select(
+      col(keyCol), col("sh"),
+      posexplode(expr(
+        s"transform(sequence(0, ${Bands - 1}), b -> xxhash64(concat_ws(',', slice(sig, b * $RowsPerBand + 1, $RowsPerBand))))"))
+        .as(Seq("band", "bh")))
+    val a = bands.select(col(keyCol).as("a"), col("sh").as("sha"), col("band"), col("bh"))
+    val b = bands.select(col(keyCol).as("b"), col("sh").as("shb"), col("band"), col("bh"))
+    val candidates = a.join(b, Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "sha", "shb")
+      .dropDuplicates("a", "b")
+    candidates
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+        size(array_union(col("sha"), col("shb"))).cast("double"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** Adds a 64-bit `simhash` column from whitespace tokens of `text`:
+    * per-bit vote sum over xxhash64(token), bit set iff vote > 0.
+    */
+  def withSimhash(df: DataFrame, textCol: String): DataFrame = {
+    // ' +' (not \s+) keeps the pattern free of backslash-escape ambiguity
+    // across Scala interpolation and SQL literal parsing.
+    val sig = expr(
+      s"""aggregate(
+        sequence(0, 63),
+        CAST(0 AS BIGINT),
+        (acc, j) -> acc + if(
+          aggregate(transform(split(trim($textCol), ' +'), t -> if((shiftright(xxhash64(t), j) & 1) = 1, 1, -1)),
+                    0, (s, v) -> s + v) > 0,
+          shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""")
+    df.withColumn("simhash", sig)
+  }
+
+  /** SimHash near-dup pairs: bucket by 16-bit chunks, verify Hamming ≤ maxDist. */
+  def simhashPairs(docs: DataFrame, keyCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val sigs = withSimhash(docs, textCol).select(col(keyCol), col("simhash"))
+    val chunks = sigs.select(col(keyCol), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)"))
+        .as(Seq("chunk", "cv")))
+    val a = chunks.select(col(keyCol).as("a"), col("simhash").as("siga"), col("chunk"), col("cv"))
+    val b = chunks.select(col(keyCol).as("b"), col("simhash").as("sigb"), col("chunk"), col("cv"))
+    a.join(b, Seq("chunk", "cv"))
+      .filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .withColumn("hamming", bit_count(col("siga").bitwiseXOR(col("sigb"))))
+      .filter(col("hamming") <= maxDist)
+      .select("a", "b", "hamming")
+  }
+
+  // ---------------------------------------------------- n-gram Jaccard
+
+  /** Exact character-n-gram Jaccard over all pairs of a *bounded* doc subset.
+    * At scale the pair source is LSH candidates, never a full cross join.
+    */
+  def ngramJaccardPairs(docs: DataFrame, keyCol: String, n: Int): DataFrame = {
+    val g = docs
+      .filter(length(col("text")) >= n)
+      .select(col(keyCol), shinglesExpr(n).as("g"))
+    val a = g.select(col(keyCol).as("a"), col("g").as("ga"))
+    val b = g.select(col(keyCol).as("b"), col("g").as("gb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+         size(array_union(col("ga"), col("gb"))).cast("double")).as("jaccard"))
+  }
+
+  // ------------------------------------------------ embedding cosine near-dup
+
+  /** Near-duplicate pairs by embedding cosine over a bounded/blocked id set. */
+  def embeddingCosinePairs(emb: DataFrame, keyCol: String, vecCol: String): DataFrame = {
+    val a = emb.select(col(keyCol).as("a"), col(vecCol).as("va"))
+    val b = emb.select(col(keyCol).as("b"), col(vecCol).as("vb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("sim"))
+  }
+
+  // ------------------------------------------------------- declared queries
+
+  val queries: Map[String, Q] = Map(
+    "q40_dedup_exact" -> ((s, dir) =>
+      exact(Tables(s, dir).documents, "text", "doc_id")
+        .select("doc_id", "dup_count").orderBy("doc_id")),
+    "q41_dedup_minhash" -> ((s, dir) =>
+      minhashPairs(Tables(s, dir).documents, "doc_id", k = 5, jaccardThreshold = 0.5)
+        .orderBy("a", "b")),
+    "q42_dedup_simhash" -> ((s, dir) =>
+      simhashPairs(Tables(s, dir).documents, "doc_id", "text", maxDist = 3)
+        .orderBy("a", "b")),
+    "q43_dedup_ngram_jaccard" -> ((s, dir) =>
+      ngramJaccardPairs(Tables(s, dir).documents.filter(col("doc_id") <= 40), "doc_id", 3)
+        .filter(col("jaccard") >= 0.1)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("a", "b")),
+    "q44_dedup_embedding_cosine" -> ((s, dir) =>
+      embeddingCosinePairs(Tables(s, dir).embeddings.filter(col("vec_id") <= 20), "vec_id", "embedding")
+        .orderBy("a", "b")),
+  )
+
+  /** Oracles where the semantics are SQL-expressible in DuckDB; the hash-based
+    * LSH variants (q41, q42) are engine-hash-dependent → rows-only checks,
+    * with invariants covered by ScalaTest specs instead.
+    */
+  val oracles: Map[String, String] = Map(
+    "q40_dedup_exact" ->
+      "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM documents GROUP BY text ORDER BY doc_id",
+    "q43_dedup_ngram_jaccard" ->
+      """SELECT a.doc_id AS a, b.doc_id AS b, ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)), 4) AS jaccard
+         FROM (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1), i -> substring(text, i, 3))) AS g FROM documents WHERE doc_id <= 40 AND length(text) >= 3) a
+         JOIN (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1), i -> substring(text, i, 3))) AS g FROM documents WHERE doc_id <= 40 AND length(text) >= 3) b
+         ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)) >= 0.1
+         ORDER BY a, b""",
+    "q44_dedup_embedding_cosine" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b, ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE a.vec_id <= 20 AND b.vec_id <= 20
+         ORDER BY a, b""",
+  )
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Multimodal-column plumbing (SURVEY §2.C): media payloads travel as opaque
+  * `BinaryType` columns next to typed metadata, and decode / feature-extract
+  * steps run as partition-local typed transformations.
+  *
+  * The container has no image/audio codecs, so [[StubDecoder.decode]] is a
+  * clearly-marked deterministic FAKE — it derives "decoded" properties from
+  * the payload bytes alone. Everything around it is the real engine surface:
+  * the schema contract, the binary column handling, the `Dataset.mapPartitions`
+  * batch shape (one decoder instantiation per partition, not per row — the
+  * same shape a JNI/codec binding needs), and partition-parallel execution
+  * with no shuffle.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Typed record for a decoded media asset. */
+  final case class DecodedAsset(
+      doc_id: Long,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      checksum: Long)
+
+  /** STUB: stands in for a real image/video decoder. Deterministic in the
+    * payload bytes; replace with a codec binding in production.
+    */
+  object StubDecoder {
+    def decode(docId: Long, payload: Array[Byte]): DecodedAsset = {
+      var checksum = 0L
+      var i = 0
+      while (i < payload.length) {
+        checksum = (checksum * 31 + (payload(i) & 0xff)) % 1000000007L
+        i += 1
+      }
+      DecodedAsset(
+        doc_id = docId,
+        n_bytes = payload.length.toLong,
+        width = 64 + (payload.length % 577),
+        height = 64 + ((payload.length * 31) % 417),
+        n_frames = 1 + (checksum % 7).toInt,
+        checksum = checksum)
+    }
+  }
+
+  /** Attaches an opaque binary `payload` column (here: utf-8 text bytes —
+    * the fixture carries no real media) plus byte-level metadata.
+    */
+  def withBinaryPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", col("text").cast("binary"))
+      .withColumn("n_bytes", octet_length(col("text")).cast(LongType))
+
+  /** Partition-local decode: one decoder per partition, streamed rows. */
+  def decodeAssets(spark: SparkSession, docs: DataFrame): Dataset[DecodedAsset] = {
+    import spark.implicits._
+    withBinaryPayload(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // Real codecs are expensive to construct: do it once per partition.
+        rows.map { case (id, bytes) => StubDecoder.decode(id, bytes) }
+      }
+  }
+
+  // ------------------------------------------------------- declared queries
+
+  val queries: Map[String, Q] = Map(
+    // Byte-level metadata over the binary column — SQL-expressible ⇒ oracled.
+    "q51_multimodal_meta" -> ((s, dir) =>
+      withBinaryPayload(Tables(s, dir).documents)
+        .select(col("doc_id"), col("n_bytes"),
+          (lit(64) + col("n_bytes") % 577).cast(LongType).as("fake_width"),
+          (lit(64) + (col("n_bytes") * 31) % 417).cast(LongType).as("fake_height"))
+        .orderBy("doc_id")),
+    // Full decode path through mapPartitions — stub semantics ⇒ rows-only.
+    "q54_multimodal_decode" -> ((s, dir) =>
+      decodeAssets(s, Tables(s, dir).documents).toDF().orderBy("doc_id")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q51_multimodal_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+                CAST(64 + strlen(text) % 577 AS BIGINT) AS fake_width,
+                CAST(64 + (strlen(text) * 31) % 417 AS BIGINT) AS fake_height
+         FROM documents ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two tiers, per SURVEY §2.C:
+  *
+  *  - '''Brute force''' (the correctness baseline): broadcast the (small)
+  *    query set against the corpus — one scan of the corpus, no corpus
+  *    shuffle, per-partition local work, then a global top-k. Ranking uses
+  *    the 6-decimal-rounded similarity with the neighbor id as tiebreak so
+  *    results are reproducible across engines and partitionings.
+  *  - '''LSH-bucketed''' (the scale path): sign-random-projection buckets —
+  *    each vector hashes to a bucket id from the signs of `nPlanes` fixed
+  *    random hyperplane projections; candidate neighbors come from an
+  *    equi-join on the bucket id (a plain shuffle/broadcast hash join), so
+  *    the 100 TB cost is one join on a dense int key instead of a cross
+  *    join. Recall is tuned by `nPlanes` (fewer planes ⇒ bigger buckets).
+  *
+  * Hyperplanes are generated from a fixed seed (java.util.Random is
+  * specified deterministically), so bucket assignment is reproducible.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact top-k neighbors for each query vector (brute force baseline). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, keyCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(keyCol).as("q_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(keyCol).as("n_id"), col(vecCol).as("nv"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(VectorFunctions.cosine(col("qv"), col("nv")), 6).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), col("sim"))
+  }
+
+  /** Fixed random hyperplanes: nPlanes × dim, seed-deterministic. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Adds `bucket`: the sign-pattern integer of the vector's projections. */
+  def withLshBucket(df: DataFrame, vecCol: String, planes: Array[Array[Double]]): DataFrame = {
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val lit_p = array(p.map(lit(_)).toIndexedSeq: _*)
+      when(aggregate(zip_with(col(vecCol), lit_p, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x) > 0, 1 << i).otherwise(0)
+    }.reduce(_ + _)
+    df.withColumn("bucket", bucket)
+  }
+
+  /** ANN top-k via LSH buckets: candidates share the query's bucket. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, keyCol: String,
+              vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
+    val dim = 64 // fixture embedding dimensionality (FIXTURES.md §B)
+    val planes = hyperplanes(nPlanes, dim)
+    val q = withLshBucket(queries, vecCol, planes)
+      .select(col(keyCol).as("q_id"), col(vecCol).as("qv"), col("bucket"))
+    val c = withLshBucket(corpus, vecCol, planes)
+      .select(col(keyCol).as("n_id"), col(vecCol).as("nv"), col("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(VectorFunctions.cosine(col("qv"), col("nv")), 6).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), col("sim"))
+  }
+
+  // ------------------------------------------------------- declared queries
+
+  val queries: Map[String, Q] = Map(
+    "q45_similarity_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      bruteForceTopK(emb.filter(col("vec_id") <= 5), emb, "vec_id", "embedding", k = 3)
+        .orderBy("q_id", "rnk")
+    }),
+    // Engine-seeded bucketing → rows-only check; recall asserted in specs.
+    "q46_similarity_lsh" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      lshTopK(emb.filter(col("vec_id") <= 5), emb, "vec_id", "embedding", k = 3)
+        .orderBy("q_id", "rnk")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q45_similarity_topk" ->
+      """SELECT q_id, rnk, n_id, sim FROM (
+           SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                  ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim,
+                  ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rnk
+           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id <= 5) t
+         WHERE rnk <= 3 ORDER BY q_id, rnk""",
+  )
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Text-analysis operators for training-data pipelines (SURVEY §2.C):
+  * language id (marker-n-gram heuristic), quality scoring, token counting,
+  * and document fingerprinting. All are pure column expressions — they
+  * inline into whole-stage codegen, prune to just the `text` column at the
+  * scan, and need zero shuffles (embarrassingly parallel per document).
+  *
+  * Regex note: patterns deliberately avoid backslash classes (`\s`, `\w`)
+  * — bracket classes like `[ ]` and `[a-zA-Z]` mean the same thing in Java
+  * regex (Spark) and RE2 (DuckDB oracle) with no escape-layer ambiguity.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0L)
+      .otherwise(size(split(trim(text), " +")).cast(LongType))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-alphanumeric-non-space symbols — the standard pre-tokenizer shape.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).cast(LongType)
+
+  /** Language-id heuristic: count stopword-marker hits per language and take
+    * the argmax (ties broken by fixed language order; 'und' if no hits).
+    */
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "(the|and|of|with) ",
+    "de" -> "(der|die|das|und) ",
+    "fr" -> "(le|la|les|et) ",
+    "es" -> "(el|los|las|y) ",
+    "nl" -> "(de|het|een|en) ",
+  )
+
+  def markerHits(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast(LongType)
+
+  /** Predicted language + the winning score (deterministic argmax). */
+  def langId(text: Column): (Column, Column) = {
+    val hits = langMarkers.map { case (l, p) => (l, markerHits(text, p)) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val lang = hits.foldRight(lit("und"): Column) { case ((l, h), acc) =>
+      when(h === best && best > 0, l).otherwise(acc)
+    }
+    // foldRight gives priority to the FIRST language in fixed order on ties.
+    (lang, best)
+  }
+
+  /** Quality features + a composite score in [0, 1]. All arithmetic is
+    * exact-integer ratios → double, so the score is engine-portable.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast(LongType)
+    val nWords = wsTokenCount(t)
+    val alpha = length(regexp_replace(t, "[^a-zA-Z]", "")).cast(LongType)
+    val punct = length(regexp_replace(t, "[^.,;:!?]", "")).cast(LongType)
+    val alphaRatio = alpha.cast("double") / greatest(nChars, lit(1L)).cast("double")
+    val punctRatio = punct.cast("double") / greatest(nChars, lit(1L)).cast("double")
+    val awl = (nChars - (nWords - 1)).cast("double") / greatest(nWords, lit(1L)).cast("double")
+    val lenScore = least(nWords.cast("double") / 50.0, lit(1.0))
+    df.withColumn("n_chars_calc", nChars)
+      .withColumn("n_words", nWords)
+      .withColumn("alpha_ratio", round(alphaRatio, 4))
+      .withColumn("punct_ratio", round(punctRatio, 4))
+      .withColumn("avg_word_len", round(awl, 4))
+      .withColumn("quality_score", round(lenScore * alphaRatio, 4))
+  }
+
+  /** Polynomial rolling-hash fingerprint (base 31, mod 1e9+7) over the
+    * text's code points — deterministic, engine-portable content id.
+    * (At 100 TB this would be a codegen'd Expression; the fold keeps the
+    * per-row cost linear and shuffle-free either way.)
+    */
+  def fingerprint(textCol: String): Column =
+    expr(s"aggregate(transform(split($textCol, ''), c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)")
+
+  // ------------------------------------------------------- declared queries
+
+  val queries: Map[String, Q] = Map(
+    "q47_text_langid" -> ((s, dir) => {
+      val (lang, best) = langId(col("text"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), lang.as("pred_lang"), best.as("marker_hits"))
+        .orderBy("doc_id")
+    }),
+    "q48_text_quality" -> ((s, dir) =>
+      qualityFeatures(Tables(s, dir).documents, "text")
+        .select("doc_id", "n_chars_calc", "n_words", "alpha_ratio",
+          "punct_ratio", "avg_word_len", "quality_score")
+        .orderBy("doc_id")),
+    "q49_text_tokens" -> ((s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          wsTokenCount(col("text")).as("ws_tokens"),
+          bpeishTokenCount(col("text")).as("bpeish_tokens"))
+        .orderBy("doc_id")),
+    "q50_text_fingerprint" -> ((s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), fingerprint("text").as("fp"))
+        .orderBy("doc_id")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q47_text_langid" -> {
+      val hitExprs = langMarkers.map { case (l, p) =>
+        s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS h_$l"
+      }.mkString(", ")
+      val bestExpr = "greatest(" + langMarkers.map { case (l, _) => s"h_$l" }.mkString(", ") + ")"
+      val langCase = langMarkers.map { case (l, _) =>
+        s"WHEN h_$l = best AND best > 0 THEN '$l'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""SELECT doc_id, $langCase AS pred_lang, best AS marker_hits
+          FROM (SELECT doc_id, $bestExpr AS best, h_en, h_de, h_fr, h_es, h_nl
+                FROM (SELECT doc_id, $hitExprs FROM documents) x) y
+          ORDER BY doc_id"""
+    },
+    "q48_text_quality" ->
+      """SELECT doc_id, n_chars_calc, n_words,
+                ROUND(CAST(alpha AS DOUBLE) / greatest(n_chars_calc, 1), 4) AS alpha_ratio,
+                ROUND(CAST(punct AS DOUBLE) / greatest(n_chars_calc, 1), 4) AS punct_ratio,
+                ROUND(CAST(n_chars_calc - (n_words - 1) AS DOUBLE) / greatest(n_words, 1), 4) AS avg_word_len,
+                ROUND(least(CAST(n_words AS DOUBLE) / 50.0, 1.0) * (CAST(alpha AS DOUBLE) / greatest(n_chars_calc, 1)), 4) AS quality_score
+         FROM (SELECT doc_id,
+                      CAST(length(text) AS BIGINT) AS n_chars_calc,
+                      CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) END AS n_words,
+                      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha,
+                      CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct
+               FROM documents) f
+         ORDER BY doc_id""",
+    "q49_text_tokens" ->
+      """SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) END AS ws_tokens,
+                CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpeish_tokens
+         FROM documents ORDER BY doc_id""",
+    "q50_text_fingerprint" ->
+      """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,489 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.Tables
+import graft.functions.{Exact, NameRules, WeightedAverage}
+
+/** The relational operator surface (SURVEY §2.B, B1–B30 + B35–B37), declared
+  * with the DataFrame API so Catalyst owns physical strategy selection:
+  * broadcast vs sort-merge joins, partial aggregation, `TakeOrderedAndProject`
+  * for top-k, subquery decorrelation, and whole-stage codegen throughout.
+  *
+  * Every query ends in a deterministic total ORDER BY, and every floating
+  * aggregate uses [[graft.functions.Exact]] so the result is reproducible at
+  * any parallelism — the property the DuckDB-oracle hash check relies on.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, Q] = Map(
+    "q01_scan_count" -> q01ScanCount,
+    "q02_scan_json" -> q02ScanJson,
+    "q03_project" -> q03Project,
+    "q04_filter" -> q04Filter,
+    "q05_join_inner" -> q05JoinInner,
+    "q06_join_broadcast" -> q06JoinBroadcast,
+    "q07_join_outer" -> q07JoinOuter,
+    "q08_join_semi" -> q08JoinSemi,
+    "q09_join_anti" -> q09JoinAnti,
+    "q10_join_range" -> q10JoinRange,
+    "q11_star_join" -> q11StarJoin,
+    "q12_asof_latest" -> q12AsofLatest,
+    "q13_agg_hash" -> q13AggHash,
+    "q14_agg_distinct" -> q14AggDistinct,
+    "q15_approx_distinct" -> q15ApproxDistinct,
+    "q16_rollup" -> q16Rollup,
+    "q17_window_rank" -> q17WindowRank,
+    "q18_window_lag" -> q18WindowLag,
+    "q19_window_frame" -> q19WindowFrame,
+    "q20_sort" -> q20Sort,
+    "q21_topk" -> q21TopK,
+    "q22_intersect" -> q22Intersect,
+    "q23_except" -> q23Except,
+    "q24_string_fns" -> q24StringFns,
+    "q25_date_fns" -> q25DateFns,
+    "q26_math_fns" -> q26MathFns,
+    "q27_case_when" -> q27CaseWhen,
+    "q28_array_size" -> q28ArraySize,
+    "q29_json_get" -> q29JsonGet,
+    "q30_subquery_scalar" -> q30SubqueryScalar,
+    "q31_udf_clean_name" -> q31UdfCleanName,
+    "q32_udaf_weighted_avg" -> q32UdafWeightedAvg,
+    "q33_posexplode" -> q33Posexplode,
+    "q34_join_theta" -> q34JoinTheta,
+    "q35_union_all" -> q35UnionAll,
+    "q36_cube" -> q36Cube,
+    "q38_in_subquery" -> q38InSubquery,
+    "q39_correlated_subquery" -> q39CorrelatedSubquery,
+    "q52_session_batch" -> q52SessionBatch,
+  )
+
+  // B1: parquet scan + count (no shuffle beyond the final single-row agg).
+  private def q01ScanCount: Q = (s, dir) =>
+    Tables(s, dir).lineitem.agg(count(lit(1)).as("n"))
+
+  // B2: ingest parity — round-trip a projection through ndjson with a
+  // *declared* schema (schema-once-parse-many, reference utils.py:119-132).
+  private def q02ScanJson: Q = (s, dir) => {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_q02_ndjson"
+    Tables(s, dir).lineitem
+      .filter(col("l_orderkey") <= 10)
+      .select("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").json(out)
+    s.read.schema("l_orderkey BIGINT, l_linenumber INT").json(out)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // B4: projection with scalar arithmetic.
+  private def q03Project: Q = (s, dir) =>
+    Tables(s, dir).orders
+      .select(col("o_orderkey"), (col("o_totalprice") * 0.9).as("discounted"))
+      .orderBy("o_orderkey")
+
+  // B5: conjunctive predicates — BETWEEN / IN / LIKE / timestamp compare —
+  // all pushed to the parquet scan (PushedFilters in .explain).
+  private def q04Filter: Q = (s, dir) => {
+    val li = Tables(s, dir).lineitem
+    li.filter(
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_returnflag").isin("A", "R") &&
+        col("l_linestatus").like("F%") &&
+        col("l_shipdate") >= lit("1998-06-01").cast(li.schema("l_shipdate").dataType))
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture —
+      // sort every output column so the order is total and engine-portable.
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+  }
+
+  // B6: inner equi-join; fact-to-fact ⇒ Catalyst picks shuffle/sort-merge,
+  // AQE may downgrade to broadcast at runtime when one side is small.
+  private def q05JoinInner: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.customer.join(t.orders, col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  // B7: explicit broadcast of the small dimension — no shuffle of customer.
+  private def q06JoinBroadcast: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.customer.join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("cnt"))
+      .orderBy("n_name")
+  }
+
+  // B8: left outer join.
+  private def q07JoinOuter: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), coalesce(col("o_orderkey"), lit(-1L)).as("ok"))
+      .orderBy("c_custkey", "ok")
+  }
+
+  // B9: left semi join (EXISTS).
+  private def q08JoinSemi: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey").orderBy("c_custkey")
+  }
+
+  // B10: left anti join (NOT EXISTS).
+  private def q09JoinAnti: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey").orderBy("c_custkey")
+  }
+
+  // B11: equi-key + range residual (hash join with non-equi filter).
+  private def q10JoinRange: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.part.join(t.lineitem,
+        col("l_partkey") === col("p_partkey") &&
+        col("l_extendedprice") > col("p_retailprice"))
+      .select("p_partkey", "l_orderkey", "l_linenumber")
+      .orderBy("p_partkey", "l_orderkey", "l_linenumber")
+  }
+
+  // B12: multi-way star join (the CBS fact/dimension shape) + top-k.
+  private def q11StarJoin: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(sum(Exact.revenueTerm(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("rev"))
+      .orderBy(col("rev").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  // B13: latest-snapshot / as-of semantics (reference gcpl.py:93-96) as a
+  // ranking window over event time.
+  private def q12AsofLatest: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    Tables(s, dir).eventsUs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  // B14: TPC-H Q1-shaped hash aggregate with exact decimal sums.
+  private def q13AggHash: Q = (s, dir) =>
+    Tables(s, dir).lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Exact.dsum(col("l_quantity")).as("sq"),
+        Exact.dsum(col("l_extendedprice")).as("se"),
+        Exact.davg(col("l_discount")).as("ad"),
+        count(lit(1)).as("c"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // B15: exact distinct aggregation (expand + two-phase hash agg).
+  private def q14AggDistinct: Q = (s, dir) =>
+    Tables(s, dir).orders.agg(countDistinct(col("o_custkey")).as("u"))
+
+  // B16: HLL++ approximate distinct — no oracle (asserted within 5% in specs).
+  private def q15ApproxDistinct: Q = (s, dir) =>
+    Tables(s, dir).orders.agg(approx_count_distinct("o_custkey").as("u_approx"))
+
+  // B17: ROLLUP grouping sets; NULLS FIRST declared on both engines.
+  private def q16Rollup: Q = (s, dir) =>
+    Tables(s, dir).lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(Exact.dsum(col("l_quantity")).as("sq"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  // B18: ranking window.
+  private def q17WindowRank: Q = (s, dir) => {
+    val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc)
+    Tables(s, dir).customer
+      .select(col("c_custkey"), col("c_acctbal"), rank().over(w).as("r"))
+      .orderBy("c_custkey")
+  }
+
+  // B19: analytic lag over event time.
+  private def q18WindowLag: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables(s, dir).eventsUs
+      .select(col("event_id"), (col("value") - lag("value", 1).over(w)).as("delta"))
+      .orderBy("event_id")
+  }
+
+  // B20: explicit frame spec — 3-row moving average, decimal-exact.
+  private def q19WindowFrame: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(-2, Window.currentRow)
+    Tables(s, dir).eventsUs
+      .select(col("event_id"), Exact.davgOver(col("value"), w).as("ma"))
+      .orderBy("event_id")
+  }
+
+  // B21: multi-key sort with mixed direction.
+  private def q20Sort: Q = (s, dir) =>
+    Tables(s, dir).part
+      .select("p_partkey", "p_size", "p_brand")
+      .orderBy(col("p_size").desc, col("p_brand"), col("p_partkey"))
+
+  // B22: top-k — Catalyst plans TakeOrderedAndProject (no full sort).
+  private def q21TopK: Q = (s, dir) =>
+    Tables(s, dir).orders
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(5)
+
+  // B23: INTERSECT / EXCEPT set semantics.
+  private def q22Intersect: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.customer.select(col("c_nationkey").as("k"))
+      .intersect(t.supplier.select(col("s_nationkey").as("k")))
+      .orderBy("k")
+  }
+
+  private def q23Except: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.customer.select(col("c_nationkey").as("k"))
+      .except(t.supplier.select(col("s_nationkey").as("k")))
+      .orderBy("k")
+  }
+
+  // B24: scalar string functions (reference A11–A13 parity family).
+  private def q24StringFns: Q = (s, dir) =>
+    Tables(s, dir).documents
+      .select(
+        col("doc_id"),
+        length(col("text")).cast(LongType).as("n"),
+        upper(substring(col("source"), 1, 3)).as("s3"),
+        regexp_replace(col("lang"), "[aeiou]", "_").as("lx"))
+      .orderBy("doc_id")
+
+  // B25: date/time functions over timestamp columns.
+  private def q25DateFns: Q = (s, dir) =>
+    Tables(s, dir).orders
+      .groupBy(
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("y", "m")
+
+  // B26: math functions; per-row IEEE arithmetic is engine-portable.
+  private def q26MathFns: Q = (s, dir) =>
+    Tables(s, dir).lineitem
+      .filter(col("l_orderkey") <= 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 2).as("chg"),
+        floor(col("l_quantity")).cast(LongType).as("fl"),
+        ceil(col("l_discount") * 100).cast(LongType).as("ce"),
+        round(sqrt(col("l_extendedprice")), 6).as("sq"))
+      // non-unique (orderkey, linenumber): extend the sort to a total order
+      .orderBy("l_orderkey", "l_linenumber", "chg", "fl", "ce", "sq")
+
+  // B27: conditional expressions.
+  private def q27CaseWhen: Q = (s, dir) =>
+    Tables(s, dir).orders
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("bucket"))
+      .orderBy("o_orderkey")
+
+  // B28: array cardinality over the embeddings column.
+  private def q28ArraySize: Q = (s, dir) =>
+    Tables(s, dir).embeddings
+      .select(col("vec_id"), size(col("embedding")).cast(IntegerType).as("d"))
+      .orderBy("vec_id")
+
+  // B29: JSON path extraction from the events props column.
+  private def q29JsonGet: Q = (s, dir) =>
+    Tables(s, dir).eventsUs
+      .select(col("event_id"), get_json_object(col("props"), "$.k").as("k_val"))
+      .orderBy("event_id")
+
+  // B30: scalar subquery (decorrelated by Catalyst into a join).
+  private def q30SubqueryScalar: Q = (s, dir) => {
+    val c = Tables(s, dir).customer
+    val threshold = c.agg(Exact.davg(col("c_acctbal")).as("t"))
+    c.join(broadcast(threshold))
+      .filter(col("c_acctbal") > col("t"))
+      .select("c_custkey")
+      .orderBy("c_custkey")
+  }
+
+  // B35: registered-UDF surface, applied to a deterministically dirtied name.
+  private def q31UdfCleanName: Q = (s, dir) => {
+    NameRules.registerUdfs(s)
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        call_udf("clean_name", concat(lit("9"), col("source"), lit(" name!"))).as("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  // B36: typed Aggregator UDAF with exact integer buffer.
+  private def q32UdafWeightedAvg: Q = (s, dir) => {
+    WeightedAverage.register(s)
+    Tables(s, dir).eventsUs
+      .withColumn("w", (col("event_id") % 10 + 1).cast(LongType))
+      .groupBy("event_type")
+      .agg(call_udf("weighted_avg", col("value"), col("w")).as("wavg"))
+      .orderBy("event_type")
+  }
+
+  // B37: generator / posexplode over array column.
+  private def q33Posexplode: Q = (s, dir) =>
+    Tables(s, dir).embeddings
+      .filter(col("vec_id") <= 3)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .orderBy("vec_id", "pos")
+
+  // B11 (pure theta): no equi key at all ⇒ broadcast nested loop join.
+  private def q34JoinTheta: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.supplier.filter(col("s_suppkey") <= 2)
+      .join(t.customer, col("c_acctbal") > col("s_acctbal"))
+      .select("s_suppkey", "c_custkey")
+      .orderBy("s_suppkey", "c_custkey")
+  }
+
+  // B23: UNION ALL + re-aggregation.
+  private def q35UnionAll: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.customer.select(col("c_nationkey").as("k"))
+      .unionAll(t.supplier.select(col("s_nationkey").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .orderBy("k")
+  }
+
+  // B17: CUBE grouping sets.
+  private def q36Cube: Q = (s, dir) =>
+    Tables(s, dir).lineitem
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("c"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  // B30: IN-subquery (plans as left semi join).
+  private def q38InSubquery: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val keys = t.nation.filter(col("n_regionkey") === 1).select(col("n_nationkey"))
+    t.customer.join(broadcast(keys), col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select("c_custkey").orderBy("c_custkey")
+  }
+
+  // B30: correlated scalar subquery — per-customer average order value;
+  // expressed as an aggregate + self-join (exactly what decorrelation emits).
+  private def q39CorrelatedSubquery: Q = (s, dir) => {
+    val o = Tables(s, dir).orders
+    val perCust = o.groupBy(col("o_custkey").as("k"))
+      .agg(Exact.davg(col("o_totalprice")).as("avg_price"))
+    o.join(perCust, col("o_custkey") === col("k"))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select("o_orderkey").orderBy("o_orderkey")
+  }
+
+  // B33 batch analog: gap-based sessionization via lag + running sum —
+  // the batch identity the streaming session_window spec is verified against.
+  private def q52SessionBatch: Q = (s, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val gapUs = 30L * 60 * 1000 * 1000
+    Tables(s, dir).eventsUs
+      .withColumn("prev_us", lag("ts_us", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum(col("new_sess")).as("n_sessions"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------- oracles
+
+  /** DuckDB-dialect equivalents, aligned on column names and types.
+    * Dialect notes: DuckDB needs the 'g' flag on regexp_replace, uses
+    * `epoch_us` for event time (matching `ts_us`), `len()` for cardinality,
+    * and `NULLS FIRST` spelled out (its default differs from Spark's).
+    */
+  val oracles: Map[String, String] = Map(
+    "q01_scan_count" ->
+      "SELECT COUNT(*) AS n FROM lineitem",
+    "q02_scan_json" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey <= 10 ORDER BY l_orderkey, l_linenumber",
+    "q03_project" ->
+      "SELECT o_orderkey, o_totalprice * 0.9 AS discounted FROM orders ORDER BY o_orderkey",
+    "q04_filter" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_returnflag IN ('A','R') AND l_linestatus LIKE 'F%' AND l_shipdate >= TIMESTAMP '1998-06-01 00:00:00' ORDER BY l_orderkey, l_linenumber, l_quantity",
+    "q05_join_inner" ->
+      "SELECT c.c_custkey, o.o_orderkey FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey ORDER BY o.o_orderkey",
+    "q06_join_broadcast" ->
+      "SELECT n.n_name, COUNT(*) AS cnt FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name ORDER BY n.n_name",
+    "q07_join_outer" ->
+      "SELECT c.c_custkey, COALESCE(o.o_orderkey, -1) AS ok FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey ORDER BY c.c_custkey, ok",
+    "q08_join_semi" ->
+      "SELECT c_custkey FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey",
+    "q09_join_anti" ->
+      "SELECT c_custkey FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey",
+    "q10_join_range" ->
+      "SELECT p.p_partkey, l.l_orderkey, l.l_linenumber FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey AND l.l_extendedprice > p.p_retailprice ORDER BY p.p_partkey, l.l_orderkey, l.l_linenumber",
+    "q11_star_join" ->
+      "SELECT o.o_orderkey, CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS rev FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey JOIN lineitem l ON l.l_orderkey = o.o_orderkey WHERE c.c_mktsegment = 'BUILDING' GROUP BY o.o_orderkey ORDER BY rev DESC, o.o_orderkey LIMIT 10",
+    "q12_asof_latest" ->
+      "SELECT user_id, event_type, value FROM (SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events e) t WHERE rn = 1 ORDER BY user_id",
+    "q13_agg_hash" ->
+      "SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS se, CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS ad, COUNT(*) AS c FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "q14_agg_distinct" ->
+      "SELECT COUNT(DISTINCT o_custkey) AS u FROM orders",
+    "q16_rollup" ->
+      "SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    "q17_window_rank" ->
+      "SELECT c_custkey, c_acctbal, RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS r FROM customer ORDER BY c_custkey",
+    "q18_window_lag" ->
+      "SELECT event_id, value - LAG(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS delta FROM events ORDER BY event_id",
+    "q19_window_frame" ->
+      "SELECT event_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) ORDER BY event_id",
+    "q20_sort" ->
+      "SELECT p_partkey, p_size, p_brand FROM part ORDER BY p_size DESC, p_brand, p_partkey",
+    "q21_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5",
+    "q22_intersect" ->
+      "SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey AS k FROM supplier ORDER BY k",
+    "q23_except" ->
+      "SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey AS k FROM supplier ORDER BY k",
+    "q24_string_fns" ->
+      "SELECT doc_id, LENGTH(text) AS n, UPPER(SUBSTRING(source, 1, 3)) AS s3, REGEXP_REPLACE(lang, '[aeiou]', '_', 'g') AS lx FROM documents ORDER BY doc_id",
+    "q25_date_fns" ->
+      "SELECT CAST(YEAR(o_orderdate) AS INT) AS y, CAST(MONTH(o_orderdate) AS INT) AS m, COUNT(*) AS c FROM orders GROUP BY 1, 2 ORDER BY y, m",
+    "q26_math_fns" ->
+      "SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS chg, CAST(FLOOR(l_quantity) AS BIGINT) AS fl, CAST(CEIL(l_discount * 100) AS BIGINT) AS ce, ROUND(SQRT(l_extendedprice), 6) AS sq FROM lineitem WHERE l_orderkey <= 100 ORDER BY l_orderkey, l_linenumber, chg, fl, ce, sq",
+    "q27_case_when" ->
+      "SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket FROM orders ORDER BY o_orderkey",
+    "q28_array_size" ->
+      "SELECT vec_id, CAST(LEN(embedding) AS INT) AS d FROM embeddings ORDER BY vec_id",
+    "q29_json_get" ->
+      "SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events ORDER BY event_id",
+    "q30_subquery_scalar" ->
+      "SELECT c_custkey FROM customer WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer) ORDER BY c_custkey",
+    "q31_udf_clean_name" ->
+      "SELECT doc_id, REGEXP_REPLACE(REGEXP_REPLACE(TRIM('9' || source || ' name!'), '^[^a-zA-Z_]+', ''), '[^0-9a-zA-Z_]', '_', 'g') AS cleaned FROM documents ORDER BY doc_id",
+    "q32_udaf_weighted_avg" ->
+      "SELECT event_type, (SUM(CAST(ROUND(value * 100) AS BIGINT) * (event_id % 10 + 1)) / 100.0) / SUM(event_id % 10 + 1) AS wavg FROM events GROUP BY event_type ORDER BY event_type",
+    "q33_posexplode" ->
+      "SELECT vec_id, CAST(i AS INT) AS pos, embedding[i + 1] AS val FROM embeddings, UNNEST(range(len(embedding))) AS t(i) WHERE vec_id <= 3 ORDER BY vec_id, pos",
+    "q34_join_theta" ->
+      "SELECT s.s_suppkey, c.c_custkey FROM supplier s JOIN customer c ON c.c_acctbal > s.s_acctbal WHERE s.s_suppkey <= 2 ORDER BY s.s_suppkey, c.c_custkey",
+    "q35_union_all" ->
+      "SELECT k, COUNT(*) AS c FROM (SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey AS k FROM supplier) u GROUP BY k ORDER BY k",
+    "q36_cube" ->
+      "SELECT l_returnflag, l_linestatus, COUNT(*) AS c FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    "q38_in_subquery" ->
+      "SELECT c_custkey FROM customer WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1) ORDER BY c_custkey",
+    "q39_correlated_subquery" ->
+      "SELECT o_orderkey FROM orders o WHERE o_totalprice > (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) ORDER BY o_orderkey",
+    "q52_session_batch" ->
+      "SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions FROM (SELECT user_id, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM (SELECT user_id, epoch_us(ts) AS ts_us, LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us FROM events) g) h GROUP BY user_id ORDER BY user_id",
+  )
+}

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Structured Streaming surface over the `events` table (SURVEY B31–B34).
+  *
+  * Streams are file-source replays of the fixture parquet: `readStream` →
+  * event-time transforms → memory sink, driven to completion with
+  * `Trigger.AvailableNow`. The same transformations run against a real
+  * unbounded source unchanged; watermarks bound state at scale.
+  *
+  * Mode notes: bounded replays use `complete` output for windowed aggregates
+  * — in `append` mode, windows at the tail of a bounded stream sit above the
+  * final watermark and would never be emitted. Watermark + append + late-data
+  * *drop* semantics are exercised in the ScalaTest specs with crafted inputs,
+  * where the expected emissions are controlled.
+  *
+  * Event time: the fixture's nanosecond timestamps arrive as long nanos
+  * (see [[graft.Tables.eventsUs]]); `ts_utc` is the derived micros timestamp
+  * used for watermarks/windows, and bucket ids are emitted as epoch-based
+  * integers so results are engine- and timezone-portable.
+  */
+object EventStreams {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val runId = new AtomicLong(0)
+
+  /** Streaming view of events with `ts_us` (BIGINT µs) + `ts_utc` timestamp. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // The file stream source wants a directory of files (the unbounded-ingest
+    // layout); the fixture is a single file, so stage it into a per-sf temp
+    // directory once and replay from there.
+    val stageDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_events_stage_${Integer.toHexString(dir.hashCode)}")
+    val target = stageDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(target)) {
+      java.nio.file.Files.createDirectories(stageDir)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
+    }
+    val raw = spark.readStream.schema(schema).parquet(stageDir.toString)
+    val tsUs = schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case _        => unix_micros(col("ts").cast(TimestampType))
+    }
+    raw.withColumn("ts_us", tsUs)
+      .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+      .drop("ts")
+  }
+
+  /** Runs a (bounded) streaming DataFrame to completion into a memory sink
+    * and returns the materialized result.
+    */
+  def runToMemory(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}_${System.nanoTime()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** B31: tumbling 1-hour window counts by event type. */
+  def tumblingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("bucket_us"), col("event_type"), col("cnt"))
+    runToMemory(spark, agg, "complete")
+      .orderBy("bucket_us", "event_type")
+  }
+
+  /** B33: session windows (30-minute gap) per user → sessions per user. */
+  def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .groupBy(session_window(col("ts_utc"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+    runToMemory(spark, agg, "complete")
+      .groupBy("user_id").agg(count(lit(1)).cast(LongType).as("n_sessions"))
+      .orderBy("user_id")
+  }
+
+  /** B34: stateful streaming dedup — replay every event twice, dedup on
+    * event_id in the stream, then count survivors per type batch-side.
+    */
+  def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
+    val twice = readEvents(spark, dir).unionAll(readEvents(spark, dir))
+    val deduped = twice.dropDuplicates("event_id")
+      .select("event_id", "event_type")
+    runToMemory(spark, deduped, "append")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  // ------------------------------------------------------- declared queries
+
+  val queries: Map[String, Q] = Map(
+    "q60_stream_tumbling" -> ((s, dir) => tumblingCounts(s, dir)),
+    "q61_stream_dedup" -> ((s, dir) => dedupCounts(s, dir)),
+    "q62_stream_session" -> ((s, dir) => sessionCounts(s, dir)),
+  )
+
+  /** All three streaming results are deterministic aggregates of the bounded
+    * replay, so batch-SQL oracles cross-check the streaming semantics —
+    * including session windows against the gap-based batch identity.
+    */
+  val oracles: Map[String, String] = Map(
+    "q60_stream_tumbling" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us, event_type, COUNT(*) AS cnt
+         FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""",
+    "q61_stream_dedup" ->
+      "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+    "q62_stream_session" ->
+      """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions FROM (
+           SELECT user_id, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+           FROM (SELECT user_id, epoch_us(ts) AS ts_us,
+                        LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+                 FROM events) g) h
+         GROUP BY user_id ORDER BY user_id""",
+  )
+}

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Dev harness: replicate the driver's DuckDB-oracle correctness check
+locally. Usage: check_oracles.py <sfdir> <verify_out_dir>.
+
+For each query with an oracle: run the SQL in DuckDB over the sf parquet
+tables, load the Spark result parquet, align columns by sorted name, compare
+row-by-row with exact equality (floats: bitwise via repr, plus a 1e-9 relative
+fallback report so near-misses are diagnosable).
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+import pyarrow.dataset as ds
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(v):
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return repr(v)
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            want = con.sql(sql)
+            want_names = sorted(want.columns)
+            want_rows = [tuple(r[want.columns.index(c)] for c in want_names)
+                         for r in want.fetchall()]
+        except Exception as e:
+            print(f"ORACLE-ERR {name}: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        try:
+            got_t = ds.dataset(f"{outdir}/{name}").to_table()
+            got_names = sorted(got_t.column_names)
+            cols = {c: got_t.column(c).to_pylist() for c in got_t.column_names}
+            got_rows = list(zip(*[cols[c] for c in got_names])) if got_t.num_rows else []
+        except Exception as e:
+            print(f"READ-ERR   {name}: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        if want_names != got_names:
+            print(f"SCHEMA     {name}: oracle={want_names} spark={got_names}")
+            n_fail += 1
+            continue
+        if len(want_rows) != len(got_rows):
+            print(f"ROWCOUNT   {name}: oracle={len(want_rows)} spark={len(got_rows)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (w, g) in enumerate(zip(want_rows, got_rows)):
+            cw = tuple(canon(x) for x in w)
+            cg = tuple(canon(x) for x in g)
+            if cw != cg:
+                bad = (i, w, g)
+                break
+        if bad:
+            i, w, g = bad
+            print(f"VALUE      {name}: row {i}\n  oracle: {w}\n  spark : {g}")
+            n_fail += 1
+        else:
+            print(f"PASS       {name} ({len(got_rows)} rows)")
+            n_pass += 1
+    no_oracle = sorted(set(
+        p.split('/')[-1] for p in __import__('glob').glob(f"{outdir}/q*")) - set(oracles))
+    print(f"\n{n_pass} pass, {n_fail} fail; rows-only (no oracle): {no_oracle}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
