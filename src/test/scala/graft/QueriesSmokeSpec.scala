@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+import graft.queries.Relational
+
+class QueriesSmokeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared oracle has a query, and names are unique across modules") {
+    val q = SparkEntry.queries
+    val o = SparkEntry.oracleSql
+    assert((o.keySet -- q.keySet).isEmpty, s"oracles without queries: ${o.keySet -- q.keySet}")
+    val allKeys = Seq(
+      Relational.queries.keys, operators.Dedup.queries.keys,
+      operators.Similarity.queries.keys, operators.TextAnalysis.queries.keys,
+      Multimodal.queries.keys, streaming.EventStreams.queries.keys).flatten.toSeq
+    assert(allKeys.size == allKeys.distinct.size, "duplicate query names across modules")
+  }
+
+  test("B16: approx_count_distinct is within 5% of exact") {
+    val approx = SparkEntry.queries("q15_approx_distinct")(spark, TestSpark.Sf0001)
+      .collect().head.getLong(0).toDouble
+    val exact = SparkEntry.queries("q14_agg_distinct")(spark, TestSpark.Sf0001)
+      .collect().head.getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
+  test("multimodal stub decode is deterministic and consistent with payload bytes") {
+    val t = Tables(spark, TestSpark.Sf0001)
+    val a = Multimodal.decodeAssets(spark, t.documents.limit(50)).collect().sortBy(_.doc_id)
+    val b = Multimodal.decodeAssets(spark, t.documents.limit(50)).collect().sortBy(_.doc_id)
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(d => d.width >= 64 && d.width < 64 + 577))
+    assert(a.forall(d => d.n_frames >= 1 && d.n_frames <= 7))
+    // checksum matches the text fingerprint formula for pure-ASCII payloads
+    val fp = t.documents.limit(50)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        operators.TextAnalysis.fingerprint("text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.forall(d => fp(d.doc_id) == d.checksum))
+  }
+
+  test("text analysis: langId picks the max-marker language deterministically") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "the cat and the dog of the house with style "),
+      (2L, "der hund und die katze und das haus "),
+      (3L, "zzz qqq xxx "),
+    ).toDF("doc_id", "text")
+    val (lang, _) = operators.TextAnalysis.langId(col("text"))
+    val out = df.select(col("doc_id"), lang.as("l")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "und")
+  }
+}

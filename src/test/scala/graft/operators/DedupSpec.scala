@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    Seq(
+      (0L, base),
+      (1L, base), // exact duplicate of 0
+      (2L, base.replace("quick", "quack")), // near duplicate of 0
+      (3L, "completely different content about spark catalyst optimizer rules and physical plans"),
+      (4L, "yet another unrelated document mentioning parquet files and shuffle partitions only"),
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts and keeps the min key") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.length == 4)
+    val first = out.head
+    assert(first.getAs[Long]("doc_id") == 0L && first.getAs[Long]("dup_count") == 2L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", k = 5, jaccardThreshold = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"exact dup pair missing: $pairs")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)), s"near dup pair missing: $pairs")
+    assert(!pairs.contains((3L, 4L)), s"unrelated pair matched: $pairs")
+  }
+
+  test("minhash jaccard of the exact-dup pair is 1.0") {
+    val j = Dedup.minhashPairs(docs, "doc_id", k = 5, jaccardThreshold = 0.5)
+      .filter(col("a") === 0 && col("b") === 1)
+      .select("jaccard").collect().head.getDouble(0)
+    assert(j == 1.0)
+  }
+
+  test("simhash pairs: identical docs at distance 0, unrelated docs not paired") {
+    val out = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => ((r.getAs[Long]("a"), r.getAs[Long]("b")), r.getAs[Int]("hamming"))).toMap
+    assert(out.get((0L, 1L)).contains(0))
+    assert(!out.contains((3L, 4L)))
+  }
+
+  test("ngram jaccard: identical → 1.0, near-dup high, bounded in [0,1]") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((0L, 1L)) == 1.0)
+    assert(out((0L, 2L)) > 0.8)
+    assert(out.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("embedding cosine pairs flag duplicate vectors") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.5f)),
+      (1L, Array(1.0f, 0.0f, 0.5f)),
+      (2L, Array(-1.0f, 0.2f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((0L, 1L)) == 1.0)
+    assert(out((0L, 2L)) < 0.0)
+  }
+}

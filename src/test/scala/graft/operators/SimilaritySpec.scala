@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  test("brute-force top-k ranks an identical vector first") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.9f, 0.1f, 0.0f)),
+      (12L, Array(0.0f, 1.0f, 0.0f)),
+      (13L, Array(-1.0f, 0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 3)
+      .orderBy("rnk").collect()
+    assert(out.map(_.getAs[Long]("n_id")).toSeq == Seq(11L, 12L, 13L))
+    assert(out.head.getAs[Double]("sim") > 0.99)
+  }
+
+  test("LSH buckets put identical vectors together; topk structure is sane") {
+    val t = graft.Tables(spark, graft.TestSpark.Sf0001)
+    val emb = t.embeddings
+    val planes = Similarity.hyperplanes(8, 64)
+    val b = Similarity.withLshBucket(emb, "embedding", planes)
+    // deterministic bucketing: same vector → same bucket on recompute
+    val b2 = Similarity.withLshBucket(emb, "embedding", planes)
+    val joined = b.select(col("vec_id"), col("bucket").as("b1"))
+      .join(b2.select(col("vec_id"), col("bucket").as("b2")), "vec_id")
+      .filter(col("b1") =!= col("b2")).count()
+    assert(joined == 0)
+    val out = Similarity.lshTopK(emb.filter(col("vec_id") <= 5), emb, "vec_id", "embedding", k = 3)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("n_id")))
+    assert(out.forall(r => r.getAs[Int]("rnk") >= 1 && r.getAs[Int]("rnk") <= 3))
+  }
+
+  test("LSH top-1 agrees with brute force for a duplicated vector") {
+    val s = spark
+    import s.implicits._
+    // plant an exact duplicate: its bucket must match, so LSH must find it
+    val corpus = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(64)(d => math.sin(i * 64 + d).toFloat)))
+    val dup = Seq((999L, corpus(7)._2))
+    val corpusDf = (corpus ++ dup).toDF("vec_id", "embedding")
+    val queryDf = Seq((7L, corpus(7)._2)).toDF("vec_id", "embedding")
+    val top1 = Similarity.lshTopK(queryDf, corpusDf, "vec_id", "embedding", k = 1)
+      .collect().head
+    assert(top1.getAs[Long]("n_id") == 999L)
+    assert(top1.getAs[Double]("sim") == 1.0)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("B31: streaming tumbling counts equal the batch equivalent") {
+    val t = Tables(spark, TestSpark.Sf0001)
+    val streamed = EventStreams.tumblingCounts(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val batch = t.eventsUs
+      .groupBy((expr("ts_us div 3600000000") * 3600000000L).as("bucket_us"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket_us", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed == batch)
+  }
+
+  test("B33: streaming session counts equal the batch gap-island identity") {
+    val streamed = EventStreams.sessionCounts(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // batch identity: new session when gap >= 30min (session window is
+    // [start, last+gap), so an event exactly at the boundary starts a new one)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+    val batch = Tables(spark, TestSpark.Sf0001).eventsUs
+      .withColumn("prev", lag("ts_us", 1).over(w))
+      .withColumn("ns", when(col("prev").isNull || col("ts_us") - col("prev") >= 1800000000L, 1L).otherwise(0L))
+      .groupBy("user_id").agg(sum("ns").as("n"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed == batch)
+  }
+
+  test("B32: late events beyond the watermark are dropped in append mode") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val agg = mem.toDF().toDF("ts_utc", "k")
+      .withWatermark("ts_utc", "10 minutes")
+      .groupBy(window(col("ts_utc"), "1 hour"), col("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w"), col("k"), col("cnt"))
+    val name = s"graft_late_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name).outputMode("append").start()
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // batch 1: two on-time events in hour 10
+    mem.addData((ts(10, 5), "a"), (ts(10, 10), "a"))
+    q.processAllAvailable()
+    // batch 2: advance event time to 13:00 → watermark 12:50, hour-10 window closes
+    mem.addData((ts(13, 0), "a"))
+    q.processAllAvailable()
+    // batch 3: a LATE event for hour 10 (way below watermark) must be dropped
+    mem.addData((ts(10, 20), "a"))
+    q.processAllAvailable()
+    // batch 4: push watermark past hour 13 so its window also emits
+    mem.addData((ts(15, 0), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val out = s.table(name).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(2))).toMap
+    assert(out(ts(10, 0)) == 2L, s"hour-10 window must count only on-time events: $out")
+  }
+
+  test("B34: streaming dedup keeps one copy per event_id") {
+    val n = EventStreams.dedupCounts(spark, TestSpark.Sf0001)
+      .agg(sum("n")).collect().head.getLong(0)
+    val distinct = Tables(spark, TestSpark.Sf0001).eventsUs.count()
+    assert(n == distinct)
+  }
+
+  test("B34 variant: dropDuplicatesWithinWatermark dedups within the horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val deduped = mem.toDF().toDF("ts_utc", "id")
+      .withWatermark("ts_utc", "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+    val name = s"graft_ddw_${System.nanoTime()}"
+    val q = deduped.writeStream.format("memory").queryName(name).outputMode("append").start()
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    mem.addData((ts(9, 0), 1L), (ts(9, 1), 1L), (ts(9, 2), 2L)) // dup id=1 in-batch
+    q.processAllAvailable()
+    mem.addData((ts(9, 30), 1L)) // dup id=1 within watermark → dropped
+    q.processAllAvailable()
+    q.stop()
+    val ids = s.table(name).select("id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(1L, 2L), s"expected exactly one copy per id: $ids")
+  }
+}
