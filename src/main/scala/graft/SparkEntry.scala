@@ -26,7 +26,10 @@ object SparkEntry {
     */
   val sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.adaptive.enabled" -> "true",
+    // AQE on by default (runtime coalescing + skew splitting is the at-scale
+    // posture); SPARK_GRAFT_AQE=false lets the bench isolate its per-stage
+    // scheduling cost on tiny inputs.
+    "spark.sql.adaptive.enabled" -> sys.env.getOrElse("SPARK_GRAFT_AQE", "true"),
     "spark.sql.session.timeZone" -> "UTC",
   )
 

@@ -45,15 +45,19 @@ object Dedup {
 
   private val MersennePrime = 2147483647L // 2^31 - 1
   private val NumHashes = 64
-  private val Bands = 16
-  private val RowsPerBand = 4
+  // 8 bands × 8 rows: candidate threshold ≈ (1/b)^(1/r) ≈ 0.77 — sharp
+  // S-curve for a 0.8 verify threshold. 4-row bands make nearly EVERY pair
+  // a candidate on corpora with a shared vocabulary (moderate baseline
+  // Jaccard), which degenerates to an O(n²) verify.
+  private val Bands = 8
+  private val RowsPerBand = 8
 
   /** Deterministic (a, b) coefficients for the universal hash family
     * h_i(x) = (a_i * x + b_i) mod p. Fixed seed ⇒ reproducible signatures.
     */
-  private val coeffs: Seq[(Long, Long)] = {
+  private val coeffs: Array[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(NumHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+    Array.fill(NumHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
   }
 
   /** Distinct character k-shingles of column `textCol` (codegen'd, no UDF).
@@ -65,63 +69,115 @@ object Dedup {
 
   private def shinglesExpr(k: Int): Column = shingles("text", k)
 
-  /** Adds `sig` (array of 64 minhash values) from a `sh` shingle-array column.
-    * Base hash: xxhash64 folded into [0, 2^31); permuted per hash function.
+  /** Distinct k-shingles, compiled: the signature path hashes every shingle
+    * 64×, so the scan-side hot loop is a plain JVM function instead of an
+    * interpreted higher-order-function chain. (A codegen'd Expression is the
+    * next step if this ever shows up in profiles.)
     */
-  private def withSignature(df: DataFrame): DataFrame = {
-    val baseHashes = expr(s"transform(sh, s -> pmod(xxhash64(s), ${MersennePrime}))")
-    val sig = array(coeffs.map { case (a, b) =>
-      array_min(expr(s"transform(hs, h -> pmod($a * h + $b, $MersennePrime))"))
-    }: _*)
-    df.withColumn("hs", baseHashes).withColumn("sig", sig).drop("hs")
+  private def shingleUdf(k: Int) = udf { (text: String) =>
+    if (text == null) Array.empty[String]
+    else {
+      val n = math.max(text.length - k + 1, 1)
+      val seen = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i < n) { seen.add(text.substring(i, math.min(i + k, text.length))); i += 1 }
+      seen.toArray
+    }
+  }
+
+  /** Per-doc band hashes in one tight pass: 64 minhash values (universal
+    * hashing over a deterministic 31-bit base hash of each shingle), folded
+    * into `Bands` band-hash longs. Murmur3 is specified platform-independent,
+    * so signatures are reproducible anywhere.
+    */
+  private val bandHashesUdf = udf { (shingles: Seq[String]) =>
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    shingles.foreach { s =>
+      val h = (scala.util.hashing.MurmurHash3.stringHash(s) & 0x7fffffffL)
+      var j = 0
+      while (j < NumHashes) {
+        val (a, b) = coeffs(j)
+        val v = (a * h + b) % MersennePrime
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+    }
+    Array.tabulate(Bands) { bnd =>
+      var h = 1125899906842597L
+      var r = 0
+      while (r < RowsPerBand) { h = h * 31 + sig(bnd * RowsPerBand + r); r += 1 }
+      h
+    }
+  }
+
+  /** Exact Jaccard of two shingle sets (verification is candidate-only, so a
+    * compiled set intersection beats interpreted array_intersect here).
+    */
+  private val jaccardUdf = udf { (a: Seq[String], b: Seq[String]) =>
+    if (a.isEmpty && b.isEmpty) 1.0
+    else {
+      val sa = a.toSet
+      var inter = 0
+      b.foreach(s => if (sa.contains(s)) inter += 1)
+      inter.toDouble / (sa.size + b.toSet.size - inter)
+    }
   }
 
   /** Candidate near-duplicate pairs via banded LSH + exact Jaccard verify.
+    *
+    * Scale shape: the band table is just `(key, band, hash)` — candidate
+    * generation is an equi-join on dense keys with nothing wide shuffled;
+    * shingle sets are re-fetched only for surviving candidate pairs.
     *
     * @param jaccardThreshold verification threshold on exact shingle Jaccard
     */
   def minhashPairs(docs: DataFrame, keyCol: String, k: Int = 5,
                    jaccardThreshold: Double = 0.8): DataFrame = {
-    val withSig = withSignature(docs.withColumn("sh", shinglesExpr(k)))
-      .select(col(keyCol), col("sh"), col("sig"))
-    // Explode into (band index, hash of the band's signature slice).
-    val bands = withSig.select(
-      col(keyCol), col("sh"),
-      posexplode(expr(
-        s"transform(sequence(0, ${Bands - 1}), b -> xxhash64(concat_ws(',', slice(sig, b * $RowsPerBand + 1, $RowsPerBand))))"))
-        .as(Seq("band", "bh")))
-    val a = bands.select(col(keyCol).as("a"), col("sh").as("sha"), col("band"), col("bh"))
-    val b = bands.select(col(keyCol).as("b"), col("sh").as("shb"), col("band"), col("bh"))
+    val sh = docs.select(col(keyCol), shingleUdf(k)(col("text")).as("sh"))
+    val bands = sh.select(col(keyCol),
+      posexplode(bandHashesUdf(col("sh"))).as(Seq("band", "bh")))
+    val a = bands.select(col(keyCol).as("a"), col("band"), col("bh"))
+    val b = bands.select(col(keyCol).as("b"), col("band"), col("bh"))
     val candidates = a.join(b, Seq("band", "bh"))
       .filter(col("a") < col("b"))
-      .select("a", "b", "sha", "shb")
+      .select("a", "b")
       .dropDuplicates("a", "b")
     candidates
-      .withColumn("jaccard",
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-        size(array_union(col("sha"), col("shb"))).cast("double"))
+      .join(sh.select(col(keyCol).as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col(keyCol).as("b"), col("sh").as("shb")), "b")
+      .withColumn("jaccard", jaccardUdf(col("sha"), col("shb")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   // ---------------------------------------------------------------- simhash
 
-  /** Adds a 64-bit `simhash` column from whitespace tokens of `text`:
-    * per-bit vote sum over xxhash64(token), bit set iff vote > 0.
+  /** 64-bit SimHash of a token sequence: per-bit vote sum over a 64-bit
+    * token hash (two murmur3 passes), bit set iff vote > 0. Compiled hot
+    * loop for the same reason as the MinHash signature.
     */
-  def withSimhash(df: DataFrame, textCol: String): DataFrame = {
+  private val simhashUdf = udf { (tokens: Seq[String]) =>
+    val votes = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = (scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c).toLong << 32) |
+        (scala.util.hashing.MurmurHash3.stringHash(t, 0x5bd1e995).toLong & 0xffffffffL)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  /** Adds a 64-bit `simhash` column from whitespace tokens of `text`. */
+  def withSimhash(df: DataFrame, textCol: String): DataFrame =
     // ' +' (not \s+) keeps the pattern free of backslash-escape ambiguity
     // across Scala interpolation and SQL literal parsing.
-    val sig = expr(
-      s"""aggregate(
-        sequence(0, 63),
-        CAST(0 AS BIGINT),
-        (acc, j) -> acc + if(
-          aggregate(transform(split(trim($textCol), ' +'), t -> if((shiftright(xxhash64(t), j) & 1) = 1, 1, -1)),
-                    0, (s, v) -> s + v) > 0,
-          shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""")
-    df.withColumn("simhash", sig)
-  }
+    df.withColumn("simhash", simhashUdf(split(trim(col(textCol)), " +")))
 
   /** SimHash near-dup pairs: bucket by 16-bit chunks, verify Hamming ≤ maxDist. */
   def simhashPairs(docs: DataFrame, keyCol: String, textCol: String,

@@ -151,14 +151,21 @@ object Relational {
   }
 
   // B12: multi-way star join (the CBS fact/dimension shape) + top-k.
+  // Shape matters at scale: the customer⋈orders side only *filters* order
+  // keys, so pre-aggregate the fact table by its join key first — the join
+  // then sees one row per order instead of every lineitem, and the agg's
+  // hash partitioning on l_orderkey is reused by the join (no extra
+  // shuffle of the big side). Never broadcast the fact side.
   private def q11StarJoin: Q = (s, dir) => {
     val t = Tables(s, dir)
-    t.customer.filter(col("c_mktsegment") === "BUILDING")
+    val buildingOrders = t.customer.filter(col("c_mktsegment") === "BUILDING")
       .join(t.orders, col("c_custkey") === col("o_custkey"))
-      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderkey")
+      .select("o_orderkey")
+    val revPerOrder = t.lineitem
+      .groupBy(col("l_orderkey").as("o_orderkey"))
       .agg(sum(Exact.revenueTerm(col("l_extendedprice"), col("l_discount")))
         .cast("double").as("rev"))
+    revPerOrder.join(buildingOrders, "o_orderkey")
       .orderBy(col("rev").desc, col("o_orderkey"))
       .limit(10)
   }
