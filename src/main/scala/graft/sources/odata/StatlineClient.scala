@@ -1,0 +1,34 @@
+package graft.sources.odata
+
+/** The wire boundary of the ingest connector. Implementations must be
+  * Serializable: page fetches execute on executors (the Spark analog of the
+  * reference's dask-bag fan-out, statline.py:469-473).
+  *
+  * `None` models an absent resource (HTTP 404 / error status) — the
+  * reference maps those to "not v4" (statline.py:15-48) or "empty page"
+  * (utils.py:229-264).
+  */
+trait StatlineClient extends Serializable {
+  def get(url: String): Option[String]
+}
+
+/** Offline replay client: exact url → payload. Drives the connector in
+  * tests/CI with zero network, mirroring how the reference's golden-fixture
+  * tests replay recorded responses.
+  */
+final case class ReplayClient(pages: Map[String, String]) extends StatlineClient {
+  override def get(url: String): Option[String] = pages.get(url)
+}
+
+/** java.net.http-based client for live use (driver + executors). Kept tiny:
+  * the engine's correctness never depends on it — everything is testable
+  * through [[ReplayClient]].
+  */
+final class HttpClient extends StatlineClient {
+  @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+  override def get(url: String): Option[String] = {
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() == 200) Some(resp.body()) else None
+  }
+}
