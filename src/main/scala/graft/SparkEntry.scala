@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.queries.Relational
 import graft.streaming.EventStreams
 
@@ -45,6 +45,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++
+      AsOfJoin.queries ++
       Dedup.queries ++
       Similarity.queries ++
       TextAnalysis.queries ++
@@ -56,6 +57,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++
+      AsOfJoin.oracles ++
       Dedup.oracles ++
       Similarity.oracles ++
       TextAnalysis.oracles ++

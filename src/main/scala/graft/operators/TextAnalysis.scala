@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -84,9 +85,31 @@ object TextAnalysis {
   def fingerprint(textCol: String): Column =
     expr(s"aggregate(transform(split($textCol, ''), c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)")
 
+  /** TF-IDF over whitespace tokens: one explode, two hash aggregations, one
+    * join on the token dictionary — all shuffle-by-token/doc, no driver-side
+    * vocabulary. `ln` may differ in the last ULP across libm implementations,
+    * so ranking happens on the 6-decimal-rounded score (deterministic).
+    */
+  def tfidfTopTerm(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(keyCol),
+      explode(split(trim(col(textCol)), " +")).as("token"))
+    val tf = tok.groupBy(keyCol, "token").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("token").agg(countDistinct(keyCol).as("df"))
+    val n = docs.count() // bounded: a single scalar, not a collect of rows
+    val scored = tf.join(df, "token")
+      .withColumn("score",
+        round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
+    val w = Window.partitionBy(keyCol).orderBy(col("score").desc, col("token"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(keyCol), col("token").as("top_token"), col("score"))
+  }
+
   // ------------------------------------------------------- declared queries
 
   val queries: Map[String, Q] = Map(
+    "q53_text_tfidf" -> ((s, dir) =>
+      tfidfTopTerm(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")),
     "q47_text_langid" -> ((s, dir) => {
       val (lang, best) = langId(col("text"))
       Tables(s, dir).documents
@@ -111,6 +134,16 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q53_text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token FROM documents),
+              tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+              df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+              n AS (SELECT COUNT(*) AS n FROM documents),
+              scored AS (SELECT tf.doc_id, tf.token, ROUND(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS score
+                         FROM tf JOIN df USING (token) CROSS JOIN n)
+         SELECT doc_id, token AS top_token, score
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn FROM scored) x
+         WHERE rn = 1 ORDER BY doc_id""",
     "q47_text_langid" -> {
       val hitExprs = langMarkers.map { case (l, p) =>
         s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS h_$l"
