@@ -1,0 +1,117 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSession
+
+/** Native Catalyst expression: cosine similarity of two float-array columns,
+  * computed in double.
+  *
+  * This is the (b) tier of the custom-operator ladder — a codegen'd
+  * `Expression` instead of a UDF: no row boxing, no Scala-function call per
+  * row, it inlines into whole-stage codegen, and the tight primitive loop
+  * reads `ArrayData` floats directly. Semantics are bit-identical to
+  * [[graft.functions.VectorFunctions.cosine]] (same fold order, double math),
+  * so the DuckDB oracles for q44/q45 pin its correctness.
+  *
+  * Null handling: null on null input (BinaryExpression default). Arrays of
+  * unequal length compare over the common prefix (same as `zip_with`).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // (ExpectsInputTypes is sql-private in Spark 4; inputs must already be
+  // array<float> — the analyzer surfaces a clear error below otherwise.)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case NullType => true // null literal → null result
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<float> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv
+      nx += xv * xv
+      ny += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xv = (double) $a.getFloat($i);
+          double $yv = (double) $b.getFloat($i);
+          $dot += $xv * $yv;
+          $nx += $xv * $xv;
+          $ny += $yv * $yv;
+        }
+        ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  val name = "graft_cosine"
+
+  private val info = new ExpressionInfo(classOf[CosineSimilarity].getName, name)
+
+  private val builder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, s"$name expects 2 arguments")
+    CosineSimilarity(children.head, children(1))
+  }
+
+  /** Direct session registration (idempotent) — for sessions created without
+    * `spark.sql.extensions`.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(name), info, builder)
+}
+
+/** `spark.sql.extensions=graft.expressions.GraftExtensions` installs the
+  * engine's native functions into every session of a deployment.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((FunctionIdentifier(CosineSimilarity.name),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, CosineSimilarity.name),
+      { children: Seq[Expression] => CosineSimilarity(children.head, children(1)) }))
+}

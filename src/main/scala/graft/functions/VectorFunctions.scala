@@ -31,6 +31,15 @@ object VectorFunctions {
     dot(ad, bd) / (norm(ad) * norm(bd))
   }
 
+  /** The codegen'd native variant ([[graft.expressions.CosineSimilarity]]):
+    * bit-identical result, no per-element boxing — use on hot paths.
+    * Registers the function in the owning session on first use.
+    */
+  def cosineNative(spark: org.apache.spark.sql.SparkSession)(a: Column, b: Column): Column = {
+    graft.expressions.CosineSimilarity.register(spark)
+    call_function(graft.expressions.CosineSimilarity.name, a, b)
+  }
+
   /** Squared L2 distance (for LSH bucketing / IVF assignment). */
   def sqDist(a: Column, b: Column): Column = {
     val d = zip_with(toDouble(a), toDouble(b), (x, y) => x - y)

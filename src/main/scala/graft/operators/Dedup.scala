@@ -218,11 +218,12 @@ object Dedup {
 
   /** Near-duplicate pairs by embedding cosine over a bounded/blocked id set. */
   def embeddingCosinePairs(emb: DataFrame, keyCol: String, vecCol: String): DataFrame = {
+    val cos = VectorFunctions.cosineNative(emb.sparkSession) _
     val a = emb.select(col(keyCol).as("a"), col(vecCol).as("va"))
     val b = emb.select(col(keyCol).as("b"), col(vecCol).as("vb"))
     a.join(b, col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("sim"))
+        round(cos(col("va"), col("vb")), 6).as("sim"))
   }
 
   // ------------------------------------------------------- declared queries

@@ -34,9 +34,10 @@ object Similarity {
                      vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(keyCol).as("q_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(keyCol).as("n_id"), col(vecCol).as("nv"))
+    val cos = VectorFunctions.cosineNative(corpus.sparkSession) _
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(VectorFunctions.cosine(col("qv"), col("nv")), 6).as("sim"))
+        round(cos(col("qv"), col("nv")), 6).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -68,10 +69,11 @@ object Similarity {
       .select(col(keyCol).as("q_id"), col(vecCol).as("qv"), col("bucket"))
     val c = withLshBucket(corpus, vecCol, planes)
       .select(col(keyCol).as("n_id"), col(vecCol).as("nv"), col("bucket"))
+    val cos = VectorFunctions.cosineNative(corpus.sparkSession) _
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(VectorFunctions.cosine(col("qv"), col("nv")), 6).as("sim"))
+        round(cos(col("qv"), col("nv")), 6).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
