@@ -40,6 +40,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.forall(r => r.getAs[Int]("rnk") >= 1 && r.getAs[Int]("rnk") <= 3))
   }
 
+  test("IVF: exact duplicates land in the same cell and are always found") {
+    val s = spark
+    import s.implicits._
+    val corpus = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(64)(d => math.cos(i * 31 + d * 7).toFloat)))
+    val dup = Seq((500L, corpus(20)._2))
+    val corpusDf = (corpus ++ dup).toDF("vec_id", "embedding")
+    val queryDf = Seq((20L, corpus(20)._2)).toDF("vec_id", "embedding")
+    val top1 = Similarity.ivfTopK(queryDf, corpusDf, "vec_id", "embedding", k = 1)
+      .collect().head
+    assert(top1.getAs[Long]("n_id") == 500L)
+    assert(top1.getAs[Double]("sim") == 1.0)
+  }
+
   test("LSH top-1 agrees with brute force for a duplicated vector") {
     val s = spark
     import s.implicits._
