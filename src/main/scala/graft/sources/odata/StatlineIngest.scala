@@ -128,6 +128,21 @@ final class StatlineIngest(spark: SparkSession, client: StatlineClient,
     }
   }
 
+  /** Canonical v4 EAV types (SURVEY §1.4): Id BIGINT, Value nullable DOUBLE,
+    * textual attributes STRING; dimension columns stay as inferred (strings).
+    */
+  private def canonicalizeObservations(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    val canonical = Map(
+      "Id" -> LongType, "Value" -> DoubleType, "Measure" -> StringType,
+      "ValueAttribute" -> StringType, "StringValue" -> StringType)
+    df.select(df.columns.toIndexedSeq.map { c =>
+      canonical.get(c)
+        .map(t => org.apache.spark.sql.functions.col(c).cast(t).as(c))
+        .getOrElse(org.apache.spark.sql.functions.col(c))
+    }: _*)
+  }
+
   /** Column descriptions for the v3 main table (statline.py:350-377):
     * DataProperties → {Key → cleaned/truncated Description}.
     */
@@ -188,8 +203,13 @@ final class StatlineIngest(spark: SparkSession, client: StatlineClient,
           (n, st)
         } else (None, None)
       fetchTable(url, nRecords, odataVersion, schema).map { df =>
+        // v4 Observations: the reference never solved typing for the long
+        // format (statline.py:441-443 TODO + the stale-schema quirk). Fix:
+        // canonicalize the EAV base columns after inference so `Value` is
+        // always a nullable double regardless of what any one page held.
+        val typed = if (key == "Observations") canonicalizeObservations(df) else df
         val out = s"$snapshotDir/$tableName.parquet"
-        df.write.mode(SaveMode.Overwrite).parquet(out)
+        typed.write.mode(SaveMode.Overwrite).parquet(out)
         out
       }
     }

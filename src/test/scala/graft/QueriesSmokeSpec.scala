@@ -23,6 +23,17 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(allKeys.size == allKeys.distinct.size, "duplicate query names across modules")
   }
 
+  test("B3: parquet sink round-trips a query result exactly") {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_b3_roundtrip"
+    val df = SparkEntry.queries("q13_agg_hash")(spark, TestSpark.Sf0001)
+    df.write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    // parquet reads are nullable across the board; compare names + types
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   test("B16: approx_count_distinct is within 5% of exact") {
     val approx = SparkEntry.queries("q15_approx_distinct")(spark, TestSpark.Sf0001)
       .collect().head.getLong(0).toDouble

@@ -69,8 +69,10 @@ class StatlineIngestSpec extends AnyFunSuite {
           {"name":"MeasureCodes","url":"MeasureCodes"}]}""",
     s"$v4Base/Properties" ->
       """{"Identifier":"88888TST","Description":"v4 test","Modified":"2024-02-02T00:00:00","ObservationCount":2}""",
+    // Value deliberately integer-only in the json: inference would type it
+    // long; canonicalization must force the EAV double.
     s"$v4Base/Observations" ->
-      page("""{"Id":0,"Measure":"M1","Value":1.5,"StringValue":null}""",
+      page("""{"Id":0,"Measure":"M1","Value":2,"StringValue":null}""",
            """{"Id":1,"Measure":"M2","Value":null,"StringValue":"x"}"""),
     s"$v4Base/MeasureCodes" ->
       page("""{"Identifier":"M1","Title":"Measure one"}""",
@@ -135,6 +137,9 @@ class StatlineIngestSpec extends AnyFunSuite {
       s"cbs.v4.${v4Id}_MeasureCodes.parquet"))
     val obs = spark.read.parquet(s"${res.snapshotDir}/cbs.v4.${v4Id}_Observations.parquet")
     assert(obs.count() == 2)
+    // canonical EAV typing despite integer-only page values
+    assert(obs.schema("Value").dataType == DoubleType)
+    assert(obs.schema("Id").dataType == LongType)
     // no ColDescriptions sidecar for v4 (main.py:356-357)
     assert(!Files.exists(Paths.get(res.snapshotDir, s"cbs.v4.${v4Id}_ColDescriptions.json")))
     assert(Files.exists(Paths.get(res.snapshotDir, s"cbs.v4.${v4Id}_Metadata.json")))
