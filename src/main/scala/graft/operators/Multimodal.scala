@@ -70,6 +70,54 @@ object Multimodal {
       }
   }
 
+  /** STUB feature extraction: payload → dense float vector (here a seeded
+    * hash projection; in production an encoder model). The output schema and
+    * batch shape are the real contract — the vectors feed [[Similarity]]
+    * unchanged.
+    */
+  def extractFeatures(spark: SparkSession, docs: DataFrame, dim: Int = 16): DataFrame = {
+    import spark.implicits._
+    withBinaryPayload(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val v = new Array[Float](dim)
+          var h = 1469598103934665603L
+          var i = 0
+          while (i < bytes.length) {
+            h = (h ^ (bytes(i) & 0xff)) * 1099511628211L
+            v((i % dim)) += ((h % 1000L) / 1000.0f)
+            i += 1
+          }
+          (id, v)
+        }
+      }.toDF("doc_id", "embedding")
+  }
+
+  /** STUB resize: recompute target dims preserving aspect ratio (metadata
+    * math is real; pixel work would live in the per-partition decoder).
+    */
+  def resizeMeta(assets: Dataset[DecodedAsset], maxSide: Int): DataFrame = {
+    val d = assets.toDF()
+    val scaleNum = lit(maxSide)
+    val longest = greatest(col("width"), col("height"))
+    d.withColumn("out_width",
+        when(longest <= maxSide, col("width"))
+          .otherwise((col("width") * scaleNum / longest).cast("int")))
+      .withColumn("out_height",
+        when(longest <= maxSide, col("height"))
+          .otherwise((col("height") * scaleNum / longest).cast("int")))
+  }
+
+  /** STUB frame sampling: pick every `stride`-th frame index per asset —
+    * a generator (posexplode shape) over the decoded frame count.
+    */
+  def sampleFrames(assets: Dataset[DecodedAsset], stride: Int): DataFrame =
+    assets.toDF()
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
   // ------------------------------------------------------- declared queries
 
   val queries: Map[String, Q] = Map(

@@ -165,7 +165,7 @@ object Relational {
       .groupBy(col("l_orderkey").as("o_orderkey"))
       .agg(sum(Exact.revenueTerm(col("l_extendedprice"), col("l_discount")))
         .cast("double").as("rev"))
-    revPerOrder.join(buildingOrders, "o_orderkey")
+    revPerOrder.join(broadcast(buildingOrders), "o_orderkey")
       .orderBy(col("rev").desc, col("o_orderkey"))
       .limit(10)
   }

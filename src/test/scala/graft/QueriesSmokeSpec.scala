@@ -57,6 +57,25 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(a.forall(d => fp(d.doc_id) == d.checksum))
   }
 
+  test("multimodal stubs: features feed similarity; resize/frame-sample math holds") {
+    val t = Tables(spark, TestSpark.Sf0001)
+    val docs = t.documents.limit(30)
+    val feats = Multimodal.extractFeatures(spark, docs, dim = 16)
+    assert(feats.count() == 30)
+    // extracted vectors plug straight into the ANN operator
+    val topk = operators.Similarity.bruteForceTopK(
+      feats.filter(org.apache.spark.sql.functions.col("doc_id") <= 2), feats,
+      "doc_id", "embedding", k = 2)
+    assert(topk.count() == 6)
+    val assets = Multimodal.decodeAssets(spark, docs)
+    val resized = Multimodal.resizeMeta(assets, maxSide = 128).collect()
+    resized.foreach { r =>
+      assert(math.max(r.getAs[Int]("out_width"), r.getAs[Int]("out_height")) <= 128)
+    }
+    val frames = Multimodal.sampleFrames(assets, stride = 2)
+    assert(frames.count() >= 30) // every asset has >= 1 frame
+  }
+
   test("text analysis: langId picks the max-marker language deterministically") {
     val s = spark
     import s.implicits._
