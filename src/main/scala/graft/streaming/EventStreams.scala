@@ -97,6 +97,43 @@ object EventStreams {
       .orderBy("user_id")
   }
 
+  /** B31: sliding 1-hour windows every 30 minutes — each event lands in two
+    * overlapping buckets.
+    */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .groupBy(window(col("ts_utc"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("bucket_us"), col("event_type"), col("cnt"))
+    runToMemory(spark, agg, "complete")
+      .orderBy("bucket_us", "event_type")
+  }
+
+  /** Custom keyed state (the `mapGroupsWithState` surface): a per-user
+    * running event counter held in explicit GroupState. The bounded replay
+    * is one microbatch, so each user emits exactly one update; the batch-side
+    * max() collapse keeps the result well-defined under any batching.
+    */
+  def statefulUserCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val updates = readEvents(spark, dir)
+      .select(col("user_id"), col("event_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (user, n)
+      }
+      .toDF("user_id", "n")
+    runToMemory(spark, updates, "update")
+      .groupBy("user_id").agg(max("n").as("n"))
+      .orderBy("user_id")
+  }
+
   /** B34: stateful streaming dedup — replay every event twice, dedup on
     * event_id in the stream, then count survivors per type batch-side.
     */
@@ -115,6 +152,8 @@ object EventStreams {
     "q60_stream_tumbling" -> ((s, dir) => tumblingCounts(s, dir)),
     "q61_stream_dedup" -> ((s, dir) => dedupCounts(s, dir)),
     "q62_stream_session" -> ((s, dir) => sessionCounts(s, dir)),
+    "q63_stream_sliding" -> ((s, dir) => slidingCounts(s, dir)),
+    "q64_stream_stateful_count" -> ((s, dir) => statefulUserCounts(s, dir)),
   )
 
   /** All three streaming results are deterministic aggregates of the bounded
@@ -127,6 +166,15 @@ object EventStreams {
          FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""",
     "q61_stream_dedup" ->
       "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+    // sliding 1h/30min: every event belongs to exactly two window starts
+    "q63_stream_sliding" ->
+      """SELECT bucket_us, event_type, COUNT(*) AS cnt FROM (
+           SELECT event_type, unnest([(epoch_us(ts) // 1800000000) * 1800000000,
+                                      (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000]) AS bucket_us
+           FROM events) b
+         GROUP BY 1, 2 ORDER BY bucket_us, event_type""",
+    "q64_stream_stateful_count" ->
+      "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id ORDER BY user_id",
     "q62_stream_session" ->
       """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions FROM (
            SELECT user_id, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess

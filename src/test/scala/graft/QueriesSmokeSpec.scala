@@ -76,6 +76,20 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(frames.count() >= 30) // every asset has >= 1 frame
   }
 
+  test("salted join returns exactly the plain join's rows") {
+    val t = Tables(spark, TestSpark.Sf0001)
+    import org.apache.spark.sql.functions._
+    val big = t.eventsUs.select("event_id", "user_id")
+    val small = t.eventsUs.groupBy(col("user_id").as("u"))
+      .agg(count(lit(1)).as("user_total"))
+    val plain = big.join(small, col("user_id") === col("u"))
+      .select("event_id", "user_total")
+    val salted = operators.SkewJoin.saltedInnerJoin(big, small, "user_id", "u", nSalts = 7)
+      .select("event_id", "user_total")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("text analysis: langId picks the max-marker language deterministically") {
     val s = spark
     import s.implicits._
