@@ -1,0 +1,88 @@
+package graft.sources.odata
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class StatlineTableProviderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val id = "66666TST"
+  private val base = s"https://opendata.cbs.nl/ODataFeed/odata/$id"
+
+  /** 25000 records ⇒ three pages; page 3 is empty (count overshoot). */
+  private def writeFixture(): String = {
+    val dir = Files.createTempDirectory("graft_dsv2")
+    val csdl =
+      s"""<?xml version="1.0" encoding="utf-8"?>
+         |<edmx:Edmx xmlns:edmx="http://schemas.microsoft.com/ado/2007/06/edmx" Version="1.0">
+         |<edmx:DataServices><Schema xmlns="http://schemas.microsoft.com/ado/2009/11/edm" Namespace="Cbs">
+         |<EntityType Name="TData">
+         |<Property Name="ID" Type="Edm.Int32"/>
+         |<Property Name="Waarde" Type="Edm.Double"/>
+         |</EntityType></Schema></edmx:DataServices></edmx:Edmx>""".stripMargin
+    val payloads = Map(
+      s"https://opendata.cbs.nl/ODataCatalog/Tables?$$format=json&$$filter=Identifier eq '$id'" ->
+        s"""{"value":[{"Identifier":"$id","Modified":"2024-01-01","RecordCount":25000,"ColumnCount":2}]}""",
+      s"$base?$$format=json" ->
+        s"""{"value":[{"name":"TypedDataSet","url":"$base/TypedDataSet"},{"name":"Perioden","url":"$base/Perioden"}]}""",
+      s"$base/$$metadata" -> csdl,
+      s"$base/TypedDataSet?$$format=json" ->
+        """{"value":[{"ID":1,"Waarde":1.5},{"ID":2,"Waarde":null}]}""",
+      s"$base/TypedDataSet?$$format=json&$$skip=10000" ->
+        """{"value":[{"ID":3,"Waarde":3.25}]}""",
+      s"$base/TypedDataSet?$$format=json&$$skip=20000" -> """{"value":[]}""",
+      s"$base/Perioden?$$format=json" ->
+        """{"value":[{"Key":"2018JJ00","Title":"2018","Volgnr":7}]}""",
+    )
+    var i = 0
+    val index = payloads.map { case (url, content) =>
+      val fn = s"p$i.json"; i += 1
+      Files.writeString(dir.resolve(fn), content)
+      s""""${url.replace("\\", "\\\\").replace("\"", "\\\"")}": "$fn""""
+    }.mkString("{", ",", "}")
+    Files.writeString(dir.resolve("index.json"), index)
+    dir.resolve("index.json").toString
+  }
+
+  test("DSv2: declared schema, one partition per page, empty page tolerated") {
+    val idx = writeFixture()
+    val df = spark.read.format("graft.sources.odata.StatlineTableProvider")
+      .option("id", id).option("table", "TypedDataSet").option("replayIndex", idx)
+      .load()
+    assert(df.schema == StructType(Seq(
+      StructField("ID", IntegerType), StructField("Waarde", DoubleType))))
+    // 3 pages ⇒ 3 input partitions (A4 as planInputPartitions)
+    assert(df.rdd.getNumPartitions == 3)
+    val rows = df.orderBy("ID").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(rows(1).isNullAt(1))
+  }
+
+  test("DSv2: column pruning reaches the connector's read schema") {
+    val idx = writeFixture()
+    val df = spark.read.format("graft.sources.odata.StatlineTableProvider")
+      .option("id", id).option("table", "TypedDataSet").option("replayIndex", idx)
+      .load()
+      .select("ID")
+    val scan = df.queryExecution.executedPlan.toString
+    // the BatchScan's output carries only the pruned column
+    assert(scan.contains("BatchScan statline[ID#") && !scan.contains("Waarde"),
+      s"pruning missing:\n$scan")
+    assert(df.count() == 3)
+  }
+
+  test("DSv2: dimension table schema is first-page inferred") {
+    val idx = writeFixture()
+    val df = spark.read.format("graft.sources.odata.StatlineTableProvider")
+      .option("id", id).option("table", "Perioden").option("replayIndex", idx)
+      .load()
+    assert(df.schema == StructType(Seq(
+      StructField("Key", StringType), StructField("Title", StringType),
+      StructField("Volgnr", LongType))))
+    assert(df.count() == 1)
+  }
+}
