@@ -62,6 +62,7 @@ object Relational {
     "q38_in_subquery" -> q38InSubquery,
     "q39_correlated_subquery" -> q39CorrelatedSubquery,
     "q52_session_batch" -> q52SessionBatch,
+    "q65_pivot" -> q65Pivot,
   )
 
   // B1: parquet scan + count (no shuffle beyond the final single-row agg).
@@ -408,6 +409,17 @@ object Relational {
       .orderBy("user_id")
   }
 
+  // Pivot: event counts per user by type. The value list is declared (not
+  // discovered) so the shape is plan-time static — the scalable form; a
+  // discovered pivot needs a driver-side distinct first.
+  private def q65Pivot: Q = (s, dir) =>
+    Tables(s, dir).eventsUs
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
   // ---------------------------------------------------------------- oracles
 
   /** DuckDB-dialect equivalents, aligned on column names and types.
@@ -490,6 +502,14 @@ object Relational {
       "SELECT c_custkey FROM customer WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1) ORDER BY c_custkey",
     "q39_correlated_subquery" ->
       "SELECT o_orderkey FROM orders o WHERE o_totalprice > (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) ORDER BY o_orderkey",
+    "q65_pivot" ->
+      """SELECT user_id,
+                CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+                CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+                CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+                CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+                CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "q52_session_batch" ->
       "SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions FROM (SELECT user_id, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM (SELECT user_id, epoch_us(ts) AS ts_us, LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us FROM events) g) h GROUP BY user_id ORDER BY user_id",
   )
