@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+import graft.functions.Exact
+
+/** Dev tool: scale-up experiment. Builds a 10× lineitem (offset order keys,
+  * multi-file parquet) under /tmp and times headline aggregations — the
+  * counterpoint to the sf0.1 bench, where per-query scheduling floor
+  * dominates. Prints second-run timings.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkEntry.configure(
+      SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val out = "/tmp/graft_scale10/lineitem"
+    if (!new java.io.File(out).exists()) {
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      val ten = (0 until 10).map(i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L)))
+        .reduce(_ unionAll _)
+      ten.repartition(32).write.mode("overwrite").parquet(out)
+    }
+    val li = spark.read.parquet(out)
+    def time(name: String)(f: => Long): Unit = {
+      f; val t0 = System.nanoTime(); val n = f
+      println(f"SCALE10 $name%-30s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+    }
+    time("count") { li.count() }
+    time("q1_agg_6m") {
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(Exact.dsum(col("l_quantity")).as("sq"),
+          Exact.dsum(col("l_extendedprice")).as("se"),
+          count(lit(1)).as("c"))
+        .count()
+    }
+    time("rev_per_order_6m") {
+      li.groupBy("l_orderkey")
+        .agg(sum(Exact.revenueTerm(col("l_extendedprice"), col("l_discount"))).as("rev"))
+        .count()
+    }
+    time("topk_6m") {
+      li.select("l_orderkey", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc).limit(10).count()
+    }
+    spark.stop()
+  }
+}
