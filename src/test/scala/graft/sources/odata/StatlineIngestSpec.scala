@@ -156,6 +156,22 @@ class StatlineIngestSpec extends AnyFunSuite {
     assert(ODataUrls.pageUrls("http://x?$format=json", Some(20000L), "v3").size == 3)
   }
 
+  test("pagination properties: full coverage, no overlap, base first") {
+    val limits = Map("v3" -> 10000L, "v4" -> 100000L)
+    for (version <- Seq("v3", "v4"); n <- Seq(1L, 9999L, 10000L, 10001L, 99999L, 250000L, 1000001L)) {
+      val base = if (version == "v3") "http://x?$format=json" else "http://x"
+      val urls = ODataUrls.pageUrls(base, Some(n), version)
+      val limit = limits(version)
+      // one page per started limit-block, plus the page straddling an exact multiple
+      assert(urls.size == (n / limit) + 1, s"$version n=$n -> ${urls.size}")
+      assert(urls.head == base)
+      val skips = urls.tail.map(_.split("skip=").last.toLong)
+      assert(skips == (1L to n / limit).map(_ * limit), s"$version n=$n skips=$skips")
+      assert(skips.distinct.size == skips.size)
+      assert(skips.forall(_ <= n)) // never skips past the data
+    }
+  }
+
   test("version probe: third-party always v3; v4 iff root answers") {
     val c = ReplayClient(Map(ODataUrls.v4Base("A") -> "{}"))
     assert(ODataUrls.checkV4(c, "A", thirdParty = false) == "v4")
