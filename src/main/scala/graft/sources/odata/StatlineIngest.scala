@@ -44,9 +44,11 @@ final class StatlineIngest(spark: SparkSession, client: StatlineClient,
   final case class IngestResult(skipped: Boolean, snapshotDir: String,
                                 parquetPaths: Seq[String])
 
-  /** Catalog metadata for the dataset (statline.py:112-167). */
-  def metadataCbs(id: String, odataVersion: String, thirdParty: Boolean): Map[String, String] = {
-    val payload = odataVersion match {
+  /** Raw catalog metadata document (statline.py:112-167) — kept as a tree so
+    * the Metadata sidecar preserves nested/null fields byte-faithfully.
+    */
+  def metadataNode(id: String, odataVersion: String, thirdParty: Boolean): com.fasterxml.jackson.databind.JsonNode =
+    odataVersion match {
       case "v3" =>
         val doc = client.get(ODataUrls.v3CatalogUrl(id, thirdParty)).getOrElse(
           throw new NoSuchElementException(s"dataset $id not in catalog"))
@@ -58,14 +60,20 @@ final class StatlineIngest(spark: SparkSession, client: StatlineClient,
         mapper.readTree(client.get(ODataUrls.v4PropertiesUrl(id)).getOrElse(
           throw new NoSuchElementException(s"dataset $id has no v4 Properties")))
     }
+
+  private def flatValues(payload: com.fasterxml.jackson.databind.JsonNode): Map[String, String] = {
     val it = payload.fields()
     val b = Map.newBuilder[String, String]
     while (it.hasNext) {
       val e = it.next()
-      if (e.getValue.isValueNode) b += (e.getKey -> e.getValue.asText())
+      if (e.getValue.isValueNode && !e.getValue.isNull) b += (e.getKey -> e.getValue.asText())
     }
     b.result()
   }
+
+  /** Scalar view of the catalog metadata (skip logic, shapes, descriptions). */
+  def metadataCbs(id: String, odataVersion: String, thirdParty: Boolean): Map[String, String] =
+    flatValues(metadataNode(id, odataVersion, thirdParty))
 
   /** Modified-date change detection (main.py:39-95): skip when the stored
     * latest snapshot has the same `Modified` as the source (unless forced).
@@ -123,7 +131,22 @@ final class StatlineIngest(spark: SparkSession, client: StatlineClient,
       val ds = spark.createDataset(lines)
       Some(schema match {
         case Some(st) => spark.read.schema(st).json(ds)
-        case None     => spark.read.json(ds)
+        case None =>
+          // Spark's json inference alphabetizes fields; the reference keeps
+          // wire order (pyarrow pins the first page's field order). Restore
+          // document order from the first row, inferred-only tail after.
+          val inferred = spark.read.json(ds)
+          val firstOrder = {
+            val it = new ObjectMapper().readTree(lines.first()).fieldNames()
+            val b = Seq.newBuilder[String]
+            while (it.hasNext) b += it.next()
+            b.result()
+          }
+          val have = inferred.columns.toSet
+          val ordered = firstOrder.filter(have) ++ inferred.columns.filterNot(firstOrder.toSet)
+          // backquote: raw field names may contain dots (`odata.type`)
+          inferred.select(ordered.map(n =>
+            org.apache.spark.sql.functions.col(s"`$n`")).toIndexedSeq: _*)
       })
     }
   }
@@ -144,17 +167,19 @@ final class StatlineIngest(spark: SparkSession, client: StatlineClient,
   }
 
   /** Column descriptions for the v3 main table (statline.py:350-377):
-    * DataProperties → {Key → cleaned/truncated Description}.
+    * DataProperties → {Key → cleaned/truncated Description}. The reference
+    * keeps every Key — null descriptions stay null (its bare-except leaves
+    * them untouched), so the sidecar round-trips faithfully.
     */
   def columnDescriptions(dataPropertiesUrl: String): Map[String, String] = {
     client.get(dataPropertiesUrl).map { payload =>
       val v = mapper.readTree(payload).get("value")
-      (0 until v.size()).flatMap { i =>
+      (0 until v.size()).map { i =>
         val item = v.get(i)
         val key = Option(item.get("Key")).map(_.asText()).getOrElse("")
-        Option(item.get("Description")).filter(!_.isNull).map { d =>
-          key -> NameRules.cleanDescription(d.asText())
-        }
+        val desc = Option(item.get("Description")).filter(!_.isNull)
+          .map(d => NameRules.cleanDescription(d.asText())).orNull
+        key -> desc
       }.toMap
     }.getOrElse(Map.empty)
   }
@@ -170,7 +195,8 @@ final class StatlineIngest(spark: SparkSession, client: StatlineClient,
           date: LocalDate = LocalDate.now()): IngestResult = {
     require(Set("local", "store", "catalog")(endpoint), s"bad endpoint $endpoint")
     val odataVersion = ODataUrls.checkV4(client, id, thirdParty)
-    val meta = metadataCbs(id, odataVersion, thirdParty)
+    val metaNode = metadataNode(id, odataVersion, thirdParty)
+    val meta = flatValues(metaNode)
     val snapshotDir = StatlineLayout.datasetPath(root, source, odataVersion, id, date)
     if (shouldSkip(root, id, odataVersion, meta, force))
       return IngestResult(skipped = true, snapshotDir, Seq.empty)
@@ -207,18 +233,23 @@ final class StatlineIngest(spark: SparkSession, client: StatlineClient,
         // format (statline.py:441-443 TODO + the stale-schema quirk). Fix:
         // canonicalize the EAV base columns after inference so `Value` is
         // always a nullable double regardless of what any one page held.
-        val typed = if (key == "Observations") canonicalizeObservations(df) else df
+        // DataProperties: warehouse-compat dot rename (A12, main.py:170-180).
+        val typed = key match {
+          case "Observations"   => canonicalizeObservations(df)
+          case "DataProperties" => NameRules.renameDots(df)
+          case _                => df
+        }
         val out = s"$snapshotDir/$tableName.parquet"
         typed.write.mode(SaveMode.Overwrite).parquet(out)
         out
       }
     }
 
-    // Sidecars (A18): Metadata.json always; ColDescriptions.json v3 only.
+    // Sidecars (A18): Metadata.json always (raw tree — nested fields and
+    // nulls preserved); ColDescriptions.json v3 only.
     Files.writeString(
       Paths.get(snapshotDir, StatlineLayout.sidecarName(source, odataVersion, id, "Metadata")),
-      mapper.writeValueAsString(mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](
-        scala.jdk.CollectionConverters.MapHasAsJava(meta).asJava)))
+      mapper.writeValueAsString(metaNode))
     val colDescs: Map[String, String] =
       if (odataVersion == "v3") dataPropertiesUrl.map(columnDescriptions).getOrElse(Map.empty)
       else Map.empty
