@@ -13,58 +13,76 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 /** End-to-end parity against the reference's own golden outputs
-  * (`/root/reference/tests/data/83583NED`, produced by the real pipeline
-  * from live CBS) — the offline analog of the reference's golden test
-  * (tests/test_statline_bq.py:151-219).
+  * (under `/root/reference/tests/data`, produced by the real pipeline from live
+  * CBS) — the offline analog of the reference's golden test
+  * (tests/test_statline_bq.py:151-219), across its v3 parametrizations:
+  * core (83583NED), wide + empty-table (84799NED), third-party multi-page
+  * (45012NED, 435k rows = 44 replay pages).
   *
   * The golden parquet is turned back into the OData wire responses (rows →
-  * `value` pages with explicit nulls, DataProperties keys un-dot-renamed,
-  * CSDL reconstructed from the golden main-table schema, the checked-in
-  * Metadata.json as the catalog response), replayed through the Spark
-  * pipeline, and the outputs compared to the golden files: full content
-  * equality per table, exact declared schema on the main table, and
-  * structurally-equal sidecars.
+  * 10k-row `value` pages with explicit nulls, DataProperties keys
+  * un-dot-renamed, CSDL reconstructed from the golden main-table schema, the
+  * checked-in Metadata.json as the catalog response), replayed through the
+  * Spark pipeline, and the outputs compared to the golden files.
   */
 class GoldenReplaySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val mapper = new ObjectMapper()
 
-  private val goldenDir = "/root/reference/tests/data/83583NED"
-  private val id = "83583NED"
-  private val base = s"https://opendata.cbs.nl/ODataFeed/odata/$id"
-  private val tables = Seq("TypedDataSet", "DataProperties", "CategoryGroups",
-    "BedrijfstakkenBranchesSBI2008", "Bedrijfsgrootte", "Perioden")
+  private final case class GoldenDataset(dir: String, source: String, id: String,
+                                         thirdParty: Boolean, emptyTables: Seq[String]) {
+    val host: String = if (thirdParty) "dataderden.cbs.nl" else "opendata.cbs.nl"
+    val base = s"https://$host/ODataFeed/odata/$id"
+    def prefix = s"$source.v3.$id"
+    def tables: Seq[String] = new java.io.File(dir).list().toSeq.sorted
+      .filter(f => f.startsWith(s"${prefix}_") && f.endsWith(".parquet"))
+      .map(_.stripPrefix(s"${prefix}_").stripSuffix(".parquet"))
+    def golden(name: String): DataFrame = spark.read.parquet(s"$dir/${prefix}_$name.parquet")
+    def metadataRaw: String = Files.readString(Paths.get(s"$dir/${prefix}_Metadata.json"))
+  }
 
-  private def golden(name: String): DataFrame =
-    spark.read.parquet(s"$goldenDir/cbs.v3.${id}_$name.parquet")
+  private val datasets = Seq(
+    GoldenDataset("/root/reference/tests/data/83583NED", "cbs", "83583NED",
+      thirdParty = false, emptyTables = Nil),
+    GoldenDataset("/root/reference/tests/data/84799NED", "cbs", "84799NED",
+      thirdParty = false, emptyTables = Seq("CategoryGroups")),
+    GoldenDataset("/root/reference/tests/data/45012NED", "iv3", "45012NED",
+      thirdParty = true, emptyTables = Nil),
+  )
 
-  /** Rows → wire page with explicit nulls (toJSON would drop them, but the
-    * real CBS responses carry them — that's how all-null columns exist in
-    * the golden parquet at all).
+  /** Rows → wire pages of `pageSize` with explicit nulls (toJSON would drop
+    * them, but real CBS responses carry them — that's how all-null columns
+    * exist in the golden parquet at all).
     */
-  private def pageOf(df: DataFrame, renameKeys: Map[String, String]): String = {
+  private def pagesOf(df: DataFrame, renameKeys: Map[String, String],
+                      pageSize: Int): Seq[String] = {
     val schema = df.schema
-    val arr = mapper.createArrayNode()
-    df.collect().foreach { row =>
-      val o: ObjectNode = mapper.createObjectNode()
-      schema.fields.zipWithIndex.foreach { case (f, i) =>
-        val name = renameKeys.getOrElse(f.name, f.name)
-        if (row.isNullAt(i)) o.putNull(name)
-        else f.dataType match {
-          case StringType  => o.put(name, row.getString(i))
-          case IntegerType => o.put(name, row.getInt(i))
-          case LongType    => o.put(name, row.getLong(i))
-          case DoubleType  => o.put(name, row.getDouble(i))
-          case FloatType   => o.put(name, row.getFloat(i))
-          case BooleanType => o.put(name, row.getBoolean(i))
-          case other       => fail(s"unhandled golden type $other for ${f.name}")
+    df.collect().grouped(pageSize).map { chunk =>
+      val arr = mapper.createArrayNode()
+      chunk.foreach { row =>
+        val o: ObjectNode = mapper.createObjectNode()
+        schema.fields.zipWithIndex.foreach { case (f, i) =>
+          val name = renameKeys.getOrElse(f.name, f.name)
+          if (row.isNullAt(i)) o.putNull(name)
+          else f.dataType match {
+            case StringType  => o.put(name, row.getString(i))
+            case IntegerType => o.put(name, row.getInt(i))
+            case LongType    => o.put(name, row.getLong(i))
+            case DoubleType  => o.put(name, row.getDouble(i))
+            case FloatType   => o.put(name, row.getFloat(i))
+            case BooleanType => o.put(name, row.getBoolean(i))
+            case other       => fail(s"unhandled golden type $other for ${f.name}")
+          }
         }
+        arr.add(o)
       }
-      arr.add(o)
+      val root = mapper.createObjectNode()
+      root.set[ObjectNode]("value", arr)
+      mapper.writeValueAsString(root)
+    }.toSeq match {
+      case Nil => Seq("""{"value":[]}""")
+      case ps  => ps
     }
-    val root = mapper.createObjectNode()
-    root.set[ObjectNode]("value", arr)
-    mapper.writeValueAsString(root)
   }
 
   /** CSDL reconstructed from the golden main-table schema (reverse EDM map). */
@@ -88,62 +106,80 @@ class GoldenReplaySpec extends AnyFunSuite {
        |</EntityType></Schema></edmx:DataServices></edmx:Edmx>""".stripMargin
   }
 
-  private def buildReplay(): ReplayClient = {
-    val metaRaw = Files.readString(Paths.get(s"$goldenDir/cbs.v3.${id}_Metadata.json"))
-    val serviceEntries = (tables ++ Seq("TableInfos", "UntypedDataSet"))
-      .map(n => s"""{"name":"$n","url":"$base/$n"}""").mkString(",")
-    val pages = tables.map { name =>
+  private def buildReplay(d: GoldenDataset): ReplayClient = {
+    val serviceEntries = (d.tables ++ d.emptyTables ++ Seq("TableInfos", "UntypedDataSet"))
+      .map(n => s"""{"name":"$n","url":"${d.base}/$n"}""").mkString(",")
+    val pages = d.tables.flatMap { name =>
       val rename = if (name == "DataProperties") Map("odata_type" -> "odata.type")
         else Map.empty[String, String]
-      s"$base/$name?$$format=json" -> pageOf(golden(name), rename)
+      // only the main table is paginated (statline.py:444-460); dimension
+      // endpoints return everything in one response, however large
+      val pageSize = if (name == "TypedDataSet") 10000 else Int.MaxValue
+      val ps = pagesOf(d.golden(name), rename, pageSize)
+      val baseUrl = s"${d.base}/$name?$$format=json"
+      ps.zipWithIndex.map { case (p, i) =>
+        (if (i == 0) baseUrl else s"$baseUrl&$$skip=${i * 10000}") -> p
+      }
     }.toMap
-    ReplayClient(pages ++ Map(
-      ODataUrls.v3CatalogUrl(id, thirdParty = false) -> s"""{"value":[$metaRaw]}""",
-      s"$base?$$format=json" -> s"""{"value":[$serviceEntries]}""",
-      s"$base/$$metadata" -> csdlFor(golden("TypedDataSet").schema),
+    val empties = d.emptyTables.map(n => s"${d.base}/$n?$$format=json" -> """{"value":[]}""")
+    ReplayClient(pages ++ empties ++ Map(
+      ODataUrls.v3CatalogUrl(d.id, d.thirdParty) -> s"""{"value":[${d.metadataRaw}]}""",
+      s"${d.base}?$$format=json" -> s"""{"value":[$serviceEntries]}""",
+      s"${d.base}/$$metadata" -> csdlFor(d.golden("TypedDataSet").schema),
     ))
   }
 
-  test("replaying the golden dataset reproduces the reference's outputs") {
-    val root = Files.createTempDirectory("graft_golden").toString
-    val ingest = new StatlineIngest(spark, buildReplay())
-    val res = ingest.run(id, root, date = LocalDate.of(2024, 3, 1))
+  private def runAndCompare(d: GoldenDataset): Unit = {
+    val root = Files.createTempDirectory(s"graft_golden_${d.id}").toString
+    val ingest = new StatlineIngest(spark, buildReplay(d), d.source)
+    val res = ingest.run(d.id, root, thirdParty = d.thirdParty,
+      date = LocalDate.of(2024, 3, 1))
     assert(!res.skipped)
+    // exactly the golden tables emitted — empty tables produce nothing (A15)
     assert(res.parquetPaths.map(_.split('/').last).toSet ==
-      tables.map(n => s"cbs.v3.${id}_$n.parquet").toSet)
+      d.tables.map(n => s"${d.prefix}_$n.parquet").toSet)
 
-    // main table: exact declared schema (int32/float preserved) + full content
-    val mainMine = spark.read.parquet(s"${res.snapshotDir}/cbs.v3.${id}_TypedDataSet.parquet")
-    val mainGold = golden("TypedDataSet")
+    // main table: exact declared schema (int32/float preserved) + content
+    val mainMine = spark.read.parquet(s"${res.snapshotDir}/${d.prefix}_TypedDataSet.parquet")
+    val mainGold = d.golden("TypedDataSet")
     assert(mainMine.schema.map(f => (f.name, f.dataType)) ==
       mainGold.schema.map(f => (f.name, f.dataType)))
-    assert(mainMine.count() == 7440)
+    assert(mainMine.count() == mainGold.count())
     assert(mainMine.exceptAll(mainGold).isEmpty && mainGold.exceptAll(mainMine).isEmpty)
 
     // every other table: content equality on all columns; schema equality
     // except all-null columns (pyarrow types them null, Spark's json
     // inference types them string — both carry only nulls)
-    tables.filterNot(_ == "TypedDataSet").foreach { name =>
-      val mine = spark.read.parquet(s"${res.snapshotDir}/cbs.v3.${id}_$name.parquet")
-      val gold = golden(name)
+    d.tables.filterNot(_ == "TypedDataSet").foreach { name =>
+      val mine = spark.read.parquet(s"${res.snapshotDir}/${d.prefix}_$name.parquet")
+      val gold = d.golden(name)
       assert(mine.columns.toSeq == gold.columns.toSeq, s"$name columns")
       val allNull = gold.columns.filter(c => gold.filter(gold(c).isNotNull).isEmpty).toSet
       gold.schema.fields.filterNot(f => allNull(f.name)).foreach { f =>
         assert(mine.schema(f.name).dataType == f.dataType, s"$name.${f.name} type")
       }
       val cmpCols = gold.columns.filterNot(allNull).toSeq
-      val m = mine.select(cmpCols.head, cmpCols.tail: _*)
-      val g = gold.select(cmpCols.head, cmpCols.tail: _*)
+      val m = mine.select(cmpCols.map(c => mine(s"`$c`")): _*)
+      val g = gold.select(cmpCols.map(c => gold(s"`$c`")): _*)
       assert(m.exceptAll(g).isEmpty && g.exceptAll(m).isEmpty, s"$name content")
-      allNull.foreach { c => assert(mine.filter(mine(c).isNotNull).isEmpty, s"$name.$c nulls") }
+      allNull.foreach { c => assert(mine.filter(mine(s"`$c`").isNotNull).isEmpty, s"$name.$c nulls") }
     }
 
     // sidecars: structural equality with the checked-in files
-    val goldMeta = mapper.readTree(Files.readString(Paths.get(s"$goldenDir/cbs.v3.${id}_Metadata.json")))
-    val mineMeta = mapper.readTree(Files.readString(Paths.get(s"${res.snapshotDir}/cbs.v3.${id}_Metadata.json")))
+    val goldMeta = mapper.readTree(d.metadataRaw)
+    val mineMeta = mapper.readTree(Files.readString(
+      Paths.get(s"${res.snapshotDir}/${d.prefix}_Metadata.json")))
     assert(mineMeta == goldMeta)
-    val goldDesc = mapper.readTree(Files.readString(Paths.get(s"$goldenDir/cbs.v3.${id}_ColDescriptions.json")))
-    val mineDesc = mapper.readTree(Files.readString(Paths.get(s"${res.snapshotDir}/cbs.v3.${id}_ColDescriptions.json")))
+    val goldDesc = mapper.readTree(Files.readString(
+      Paths.get(s"${d.dir}/${d.prefix}_ColDescriptions.json")))
+    val mineDesc = mapper.readTree(Files.readString(
+      Paths.get(s"${res.snapshotDir}/${d.prefix}_ColDescriptions.json")))
     assert(mineDesc == goldDesc)
+  }
+
+  datasets.foreach { d =>
+    test(s"golden replay reproduces the reference's outputs: ${d.source}/${d.id}") {
+      runAndCompare(d)
+    }
   }
 }
