@@ -182,4 +182,49 @@ class GoldenReplaySpec extends AnyFunSuite {
       runAndCompare(d)
     }
   }
+
+  test("golden replay, v4 long format: cbs/83765NED (main-table pages absent)") {
+    // The golden repo drops the 1.5M-row Observations blob
+    // (.MISSING_LARGE_BLOBS) — its 16 page urls get no response, which
+    // exercises the v4 pagination + empty-table path against the real
+    // metadata (TZ-offset Modified, ObservationCount) and real dim tables.
+    val dir = "/root/reference/tests/data/83765NED"
+    val id = "83765NED"
+    val base = ODataUrls.v4Base(id)
+    val tables = Seq("MeasureCodes", "MeasureGroups", "Dimensions",
+      "WijkenEnBuurtenCodes", "WijkenEnBuurtenGroups")
+    def gold(name: String): DataFrame = spark.read.parquet(s"$dir/cbs.v4.${id}_$name.parquet")
+    val metaRaw = Files.readString(Paths.get(s"$dir/cbs.v4.${id}_Metadata.json"))
+    val serviceEntries = (tables ++ Seq("Observations", "Properties"))
+      .map(n => s"""{"name":"$n","url":"$n"}""").mkString(",")
+    val pages = tables.map { name =>
+      s"$base/$name" -> pagesOf(gold(name), Map.empty, Int.MaxValue).head
+    }.toMap
+    val client = ReplayClient(pages ++ Map(
+      base -> s"""{"value":[$serviceEntries]}""",
+      s"$base/Properties" -> metaRaw,
+    ))
+    val root = Files.createTempDirectory("graft_golden_v4").toString
+    val res = new StatlineIngest(spark, client).run(id, root, date = LocalDate.of(2024, 3, 1))
+    assert(!res.skipped)
+    // Observations absent (all pages missing) — only the dim tables emit
+    assert(res.parquetPaths.map(_.split('/').last).toSet ==
+      tables.map(n => s"cbs.v4.${id}_$n.parquet").toSet)
+    tables.foreach { name =>
+      val mine = spark.read.parquet(s"${res.snapshotDir}/cbs.v4.${id}_$name.parquet")
+      val g = gold(name)
+      assert(mine.columns.toSeq == g.columns.toSeq, s"$name columns")
+      val allNull = g.columns.filter(c => g.filter(g(c).isNotNull).isEmpty).toSet
+      val cmp = g.columns.filterNot(allNull).toSeq
+      val m = mine.select(cmp.map(c => mine(s"`$c`")): _*)
+      val gg = g.select(cmp.map(c => g(s"`$c`")): _*)
+      assert(m.exceptAll(gg).isEmpty && gg.exceptAll(m).isEmpty, s"$name content")
+    }
+    // Metadata sidecar = raw v4 Properties document
+    val mineMeta = mapper.readTree(Files.readString(
+      Paths.get(s"${res.snapshotDir}/cbs.v4.${id}_Metadata.json")))
+    assert(mineMeta == mapper.readTree(metaRaw))
+    // v4 never writes ColDescriptions (main.py:356-357)
+    assert(!Files.exists(Paths.get(s"${res.snapshotDir}/cbs.v4.${id}_ColDescriptions.json")))
+  }
 }
