@@ -54,7 +54,18 @@ class StatlineTableProvider extends TableProvider {
 
 /** Resolved scan context: all strings/longs, safely serializable. */
 private[odata] final case class StatlineScanContext(
-    pageUrls: Seq[String], schema: StructType, replayIndex: Option[String])
+    baseUrl: String, nRecords: Option[Long], odataVersion: String,
+    schema: StructType, replayIndex: Option[String]) {
+  /** Page urls, optionally narrowed by a server-side `$filter`. A filter can
+    * only shrink responses, so the unfiltered pagination plan over-covers —
+    * trailing empty pages are tolerated by the reader.
+    */
+  def pageUrls(odataFilter: Option[String]): Seq[String] = {
+    val connector = if (baseUrl.contains("?")) "&" else "?"
+    val filtered = odataFilter.fold(baseUrl)(f => s"$baseUrl$connector$$filter=$f")
+    ODataUrls.pageUrls(filtered, nRecords, odataVersion)
+  }
+}
 
 private[odata] object StatlineScanContext {
 
@@ -108,7 +119,7 @@ private[odata] object StatlineScanContext {
         } else None
       declared.getOrElse(inferFromFirstPage(client, url))
     }
-    StatlineScanContext(ODataUrls.pageUrls(url, nRecords, version), schema, replayIndex)
+    StatlineScanContext(url, nRecords, version, schema, replayIndex)
   }
 
   /** First-page inference (A8) over the primitive types OData emits. */
@@ -152,19 +163,69 @@ private[odata] class StatlineTable(schema0: StructType, ctx: StatlineScanContext
 }
 
 private[odata] class StatlineScanBuilder(full: StructType, ctx: StatlineScanContext)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var odataFilter: Option[String] = None
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
   // column pruning pushed into the connector: readers convert only these
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new StatlineScan(required, ctx)
+
+  /** Server-side `$filter` pushdown — the table-scan generalization of the
+    * reference's catalog filter (statline.py:145). The translated predicate
+    * narrows every page request, but ALL filters are returned as residual so
+    * Spark re-applies them: the server's evaluation is an optimization the
+    * engine's correctness never depends on.
+    */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    val translated = filters.flatMap(f => ODataFilters.translate(f).map(f -> _))
+    pushed = translated.map(_._1)
+    odataFilter = if (translated.isEmpty) None
+      else Some(translated.map(_._2).mkString(" and "))
+    filters // everything stays residual (see above)
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan = new StatlineScan(required, ctx, odataFilter)
 }
 
-private[odata] class StatlineScan(schema: StructType, ctx: StatlineScanContext)
-    extends Scan with Batch {
+/** Catalyst `Filter` → OData v3/v4 `$filter` expression text. Conservative:
+  * only shapes with an exact OData equivalent translate; anything else stays
+  * Spark-side.
+  */
+private[odata] object ODataFilters {
+  import org.apache.spark.sql.sources._
+
+  private def lit(v: Any): Option[String] = v match {
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
+         _: java.lang.Byte | _: java.lang.Double | _: java.lang.Float => Some(v.toString)
+    case b: java.lang.Boolean => Some(b.toString)
+    case _ => None
+  }
+
+  def translate(f: Filter): Option[String] = f match {
+    case EqualTo(a, v)            => lit(v).map(l => s"$a eq $l")
+    case GreaterThan(a, v)        => lit(v).map(l => s"$a gt $l")
+    case GreaterThanOrEqual(a, v) => lit(v).map(l => s"$a ge $l")
+    case LessThan(a, v)           => lit(v).map(l => s"$a lt $l")
+    case LessThanOrEqual(a, v)    => lit(v).map(l => s"$a le $l")
+    case Not(EqualTo(a, v))       => lit(v).map(l => s"$a ne $l")
+    case And(l, r) =>
+      for (lt <- translate(l); rt <- translate(r)) yield s"($lt and $rt)"
+    case Or(l, r) =>
+      for (lt <- translate(l); rt <- translate(r)) yield s"($lt or $rt)"
+    case _ => None
+  }
+}
+
+private[odata] class StatlineScan(schema: StructType, ctx: StatlineScanContext,
+    odataFilter: Option[String]) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    ctx.pageUrls.map(u => StatlinePagePartition(u): InputPartition).toArray
+    ctx.pageUrls(odataFilter).map(u => StatlinePagePartition(u): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new StatlinePageReaderFactory(schema, ctx.replayIndex)
 }

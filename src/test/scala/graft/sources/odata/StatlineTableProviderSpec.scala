@@ -75,6 +75,48 @@ class StatlineTableProviderSpec extends AnyFunSuite {
     assert(df.count() == 3)
   }
 
+  test("DSv2: predicates reach the page urls as OData $filter") {
+    // serve ONLY the filtered urls: correct results prove the connector
+    // narrowed the request server-side (and Spark's residual re-filter is
+    // harmless on the already-filtered payload)
+    val dir = Files.createTempDirectory("graft_dsv2_filter")
+    val filteredBase = s"$base/TypedDataSet?$$format=json&$$filter=ID gt 1"
+    val payloads = Map(
+      s"https://opendata.cbs.nl/ODataCatalog/Tables?$$format=json&$$filter=Identifier eq '$id'" ->
+        s"""{"value":[{"Identifier":"$id","Modified":"2024-01-01","RecordCount":15000,"ColumnCount":2}]}""",
+      s"$base?$$format=json" ->
+        s"""{"value":[{"name":"TypedDataSet","url":"$base/TypedDataSet"}]}""",
+      s"$base/$$metadata" ->
+        s"""<?xml version="1.0"?><edmx:Edmx xmlns:edmx="x"><edmx:DataServices><Schema xmlns="y"><EntityType Name="TData"><Property Name="ID" Type="Edm.Int32"/><Property Name="Waarde" Type="Edm.Double"/></EntityType></Schema></edmx:DataServices></edmx:Edmx>""",
+      filteredBase -> """{"value":[{"ID":2,"Waarde":2.5},{"ID":3,"Waarde":3.5}]}""",
+      s"$filteredBase&$$skip=10000" -> """{"value":[]}""",
+    )
+    var i = 0
+    val index = payloads.map { case (url, content) =>
+      val fn = s"f$i.json"; i += 1
+      Files.writeString(dir.resolve(fn), content)
+      s""""${url.replace("\"", "\\\"")}": "$fn""""
+    }.mkString("{", ",", "}")
+    Files.writeString(dir.resolve("index.json"), index)
+    val df = spark.read.format("graft.sources.odata.StatlineTableProvider")
+      .option("id", id).option("table", "TypedDataSet")
+      .option("replayIndex", dir.resolve("index.json").toString)
+      .load()
+      .filter("ID > 1")
+    assert(df.orderBy("ID").collect().map(_.getInt(0)).toSeq == Seq(2, 3))
+  }
+
+  test("OData filter translation: supported shapes and conservative bailout") {
+    import org.apache.spark.sql.sources._
+    assert(ODataFilters.translate(EqualTo("Perioden", "2018JJ00")).contains("Perioden eq '2018JJ00'"))
+    assert(ODataFilters.translate(GreaterThan("ID", 5)).contains("ID gt 5"))
+    assert(ODataFilters.translate(And(GreaterThanOrEqual("ID", 1), LessThan("ID", 9)))
+      .contains("(ID ge 1 and ID lt 9)"))
+    assert(ODataFilters.translate(EqualTo("Key", "o'conner")).contains("Key eq 'o''conner'"))
+    assert(ODataFilters.translate(StringContains("Key", "x")).isEmpty) // no OData analog used
+    assert(ODataFilters.translate(And(EqualTo("A", 1), StringContains("B", "x"))).isEmpty)
+  }
+
   test("DSv2: dimension table schema is first-page inferred") {
     val idx = writeFixture()
     val df = spark.read.format("graft.sources.odata.StatlineTableProvider")
