@@ -56,8 +56,20 @@ object TextAnalysis {
     (lang, best)
   }
 
+  /** Integer-scaled 4-decimal rounding of the exact rational `num/den`:
+    * `round(num * 10^4 / den) / 10^4`. `ROUND(x, 4)` on a computed double is
+    * NOT engine-portable — when the true value sits on a .00005 tie, Spark
+    * rounds the exact double (BigDecimal) while DuckDB scales-and-rounds,
+    * and they can disagree by one ulp-of-decimal. With the numerator exact
+    * in integer space, ties are exact (all engines round positive ties up)
+    * and non-ties have margin ≥ 1/(2·10^4·den) ≫ double error.
+    */
+  private def ratio4(num: Column, den: Column): Column =
+    round(num.cast("double") * 10000d / greatest(den, lit(1L)).cast("double")) / 10000d
+
   /** Quality features + a composite score in [0, 1]. All arithmetic is
-    * exact-integer ratios → double, so the score is engine-portable.
+    * exact-integer ratios rounded in scaled-integer space, so results are
+    * engine-portable at any scale factor.
     */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
@@ -65,16 +77,14 @@ object TextAnalysis {
     val nWords = wsTokenCount(t)
     val alpha = length(regexp_replace(t, "[^a-zA-Z]", "")).cast(LongType)
     val punct = length(regexp_replace(t, "[^.,;:!?]", "")).cast(LongType)
-    val alphaRatio = alpha.cast("double") / greatest(nChars, lit(1L)).cast("double")
-    val punctRatio = punct.cast("double") / greatest(nChars, lit(1L)).cast("double")
-    val awl = (nChars - (nWords - 1)).cast("double") / greatest(nWords, lit(1L)).cast("double")
-    val lenScore = least(nWords.cast("double") / 50.0, lit(1.0))
     df.withColumn("n_chars_calc", nChars)
       .withColumn("n_words", nWords)
-      .withColumn("alpha_ratio", round(alphaRatio, 4))
-      .withColumn("punct_ratio", round(punctRatio, 4))
-      .withColumn("avg_word_len", round(awl, 4))
-      .withColumn("quality_score", round(lenScore * alphaRatio, 4))
+      .withColumn("alpha_ratio", ratio4(alpha, nChars))
+      .withColumn("punct_ratio", ratio4(punct, nChars))
+      .withColumn("avg_word_len", ratio4(nChars - (nWords - lit(1L)), nWords))
+      // least(n_words/50, 1) * alpha/n_chars == min(n_words,50)*alpha / (50*n_chars)
+      .withColumn("quality_score",
+        ratio4(least(nWords, lit(50L)) * alpha, lit(50L) * greatest(nChars, lit(1L))))
   }
 
   /** Polynomial rolling-hash fingerprint (base 31, mod 1e9+7) over the
@@ -159,10 +169,10 @@ object TextAnalysis {
     },
     "q48_text_quality" ->
       """SELECT doc_id, n_chars_calc, n_words,
-                ROUND(CAST(alpha AS DOUBLE) / greatest(n_chars_calc, 1), 4) AS alpha_ratio,
-                ROUND(CAST(punct AS DOUBLE) / greatest(n_chars_calc, 1), 4) AS punct_ratio,
-                ROUND(CAST(n_chars_calc - (n_words - 1) AS DOUBLE) / greatest(n_words, 1), 4) AS avg_word_len,
-                ROUND(least(CAST(n_words AS DOUBLE) / 50.0, 1.0) * (CAST(alpha AS DOUBLE) / greatest(n_chars_calc, 1)), 4) AS quality_score
+                ROUND(CAST(alpha AS DOUBLE) * 10000 / greatest(n_chars_calc, 1)) / 10000 AS alpha_ratio,
+                ROUND(CAST(punct AS DOUBLE) * 10000 / greatest(n_chars_calc, 1)) / 10000 AS punct_ratio,
+                ROUND(CAST(n_chars_calc - (n_words - 1) AS DOUBLE) * 10000 / greatest(n_words, 1)) / 10000 AS avg_word_len,
+                ROUND(CAST(least(n_words, 50) * alpha AS DOUBLE) * 10000 / (50 * greatest(n_chars_calc, 1))) / 10000 AS quality_score
          FROM (SELECT doc_id,
                       CAST(length(text) AS BIGINT) AS n_chars_calc,
                       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) END AS n_words,

@@ -284,18 +284,27 @@ object Relational {
       .agg(count(lit(1)).as("c"))
       .orderBy("y", "m")
 
-  // B26: math functions; per-row IEEE arithmetic is engine-portable.
-  private def q26MathFns: Q = (s, dir) =>
+  // B26: math functions. The charge is computed in exact cents space —
+  // `ROUND(x*(1-d)*(1+t), 2)` on raw doubles is not engine-portable when the
+  // true product lands on a half-cent tie; with integer cents the product is
+  // exact, ties are exact (rounded identically), and non-ties have huge
+  // margin (see TextAnalysis.ratio4 for the same reasoning).
+  private def q26MathFns: Q = (s, dir) => {
+    val p = round(col("l_extendedprice") * 100).cast(LongType)
+    val d = round(col("l_discount") * 100).cast(LongType)
+    val t = round(col("l_tax") * 100).cast(LongType)
+    val chg = round((p * (lit(100L) - d) * (lit(100L) + t)).cast("double") / 10000d) / 100d
     Tables(s, dir).lineitem
       .filter(col("l_orderkey") <= 100)
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 2).as("chg"),
+        chg.as("chg"),
         floor(col("l_quantity")).cast(LongType).as("fl"),
         ceil(col("l_discount") * 100).cast(LongType).as("ce"),
         round(sqrt(col("l_extendedprice")), 6).as("sq"))
       // non-unique (orderkey, linenumber): extend the sort to a total order
       .orderBy("l_orderkey", "l_linenumber", "chg", "fl", "ce", "sq")
+  }
 
   // B27: conditional expressions.
   private def q27CaseWhen: Q = (s, dir) =>
@@ -480,7 +489,7 @@ object Relational {
     "q25_date_fns" ->
       "SELECT CAST(YEAR(o_orderdate) AS INT) AS y, CAST(MONTH(o_orderdate) AS INT) AS m, COUNT(*) AS c FROM orders GROUP BY 1, 2 ORDER BY y, m",
     "q26_math_fns" ->
-      "SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS chg, CAST(FLOOR(l_quantity) AS BIGINT) AS fl, CAST(CEIL(l_discount * 100) AS BIGINT) AS ce, ROUND(SQRT(l_extendedprice), 6) AS sq FROM lineitem WHERE l_orderkey <= 100 ORDER BY l_orderkey, l_linenumber, chg, fl, ce, sq",
+      "SELECT l_orderkey, l_linenumber, ROUND(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)) AS DOUBLE) / 10000) / 100 AS chg, CAST(FLOOR(l_quantity) AS BIGINT) AS fl, CAST(CEIL(l_discount * 100) AS BIGINT) AS ce, ROUND(SQRT(l_extendedprice), 6) AS sq FROM lineitem WHERE l_orderkey <= 100 ORDER BY l_orderkey, l_linenumber, chg, fl, ce, sq",
     "q27_case_when" ->
       "SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket FROM orders ORDER BY o_orderkey",
     "q28_array_size" ->
