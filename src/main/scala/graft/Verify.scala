@@ -35,6 +35,11 @@ object Verify {
       if (worker.isAlive) {
         System.err.println(s"[verify] $name timed out after ${timeoutSec}s; cancelling")
         spark.sparkContext.cancelJobGroup(name)
+        // streaming queries run their microbatches under StreamExecution's
+        // own job group — stop any stream the hung query left active
+        spark.streams.active.foreach { q =>
+          try q.stop() catch { case _: Throwable => () }
+        }
         worker.join(30000)
       }
     }

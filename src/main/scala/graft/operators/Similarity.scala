@@ -112,8 +112,10 @@ object Similarity {
     val candidates = probes.join(cells, "cent_id")
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id").as("n_id"))
+    // query vectors come from the QUERIES input — they need not exist in the
+    // corpus (and a colliding corpus id must not shadow them)
     val scored = candidates
-      .join(corpus.select(col(keyCol).as("q_id"), col(vecCol).as("qv")), "q_id")
+      .join(queries.select(col(keyCol).as("q_id"), col(vecCol).as("qv")), "q_id")
       .join(corpus.select(col(keyCol).as("n_id"), col(vecCol).as("nv")), "n_id")
       .select(col("q_id"), col("n_id"), round(cos(col("qv"), col("nv")), 6).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))

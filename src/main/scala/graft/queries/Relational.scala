@@ -407,15 +407,17 @@ object Relational {
       .select("o_orderkey").orderBy("o_orderkey")
   }
 
-  // B33 batch analog: gap-based sessionization via lag + running sum —
-  // the batch identity the streaming session_window spec is verified against.
+  // B33 batch analog: gap-based sessionization via lag + running sum. The
+  // gap test is `>=`, matching streaming session_window semantics exactly
+  // (a session spans [start, last + gap); an event at the boundary opens a
+  // new one) — so q52 and q62 agree even on boundary-tie data.
   private def q52SessionBatch: Q = (s, dir) => {
     val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val gapUs = 30L * 60 * 1000 * 1000
     Tables(s, dir).eventsUs
       .withColumn("prev_us", lag("ts_us", 1).over(byUser))
       .withColumn("new_sess",
-        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") >= gapUs, 1L).otherwise(0L))
       .groupBy("user_id")
       .agg(sum(col("new_sess")).as("n_sessions"))
       .orderBy("user_id")
@@ -523,6 +525,6 @@ object Relational {
                 CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
          FROM events GROUP BY user_id ORDER BY user_id""",
     "q52_session_batch" ->
-      "SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions FROM (SELECT user_id, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM (SELECT user_id, epoch_us(ts) AS ts_us, LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us FROM events) g) h GROUP BY user_id ORDER BY user_id",
+      "SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions FROM (SELECT user_id, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess FROM (SELECT user_id, epoch_us(ts) AS ts_us, LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us FROM events) g) h GROUP BY user_id ORDER BY user_id",
   )
 }

@@ -30,7 +30,11 @@ object EdmSchema {
     case "Edm.Date"           => DateType
     case "Edm.DateTime"       => TimestampType
     case "Edm.DateTimeOffset" => TimestampType
-    case "Edm.Decimal"        => DecimalType(precision.getOrElse(38), scale.getOrElse(18))
+    // OData defaults an omitted Scale facet to 0 (not Spark's 18 — a scale
+    // larger than a small explicit precision would throw)
+    case "Edm.Decimal" =>
+      val p = precision.getOrElse(38)
+      DecimalType(p, scale.getOrElse(0).min(p))
     case "Edm.Double"         => DoubleType
     case "Edm.Duration"       => DayTimeIntervalType()
     case "Edm.Guid"           => StringType

@@ -23,12 +23,24 @@ final case class ReplayClient(pages: Map[String, String]) extends StatlineClient
 /** java.net.http-based client for live use (driver + executors). Kept tiny:
   * the engine's correctness never depends on it — everything is testable
   * through [[ReplayClient]].
+  *
+  * Semantics: 200 → body; 404 → None (absent — the version probe and empty
+  * tables rely on this); any other status → exception. Mapping a 429/500 to
+  * None would silently drop a page mid-pagination and write a truncated
+  * snapshot whose Modified date then blocks re-ingestion.
   */
 final class HttpClient extends StatlineClient {
   @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
   override def get(url: String): Option[String] = {
-    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+    // OData urls legitimately contain spaces ("$filter=Identifier eq 'X'");
+    // URI.create rejects them, so encode before parsing.
+    val encoded = url.replace(" ", "%20").replace("'", "%27")
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(encoded)).GET().build()
     val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() == 200) Some(resp.body()) else None
+    resp.statusCode() match {
+      case 200 => Some(resp.body())
+      case 404 => None
+      case other => throw new java.io.IOException(s"HTTP $other for $url")
+    }
   }
 }

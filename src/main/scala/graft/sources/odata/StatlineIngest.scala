@@ -34,6 +34,10 @@ final class StatlineIngest(spark: SparkSession, client: StatlineClient,
 
   private val mapper = new ObjectMapper()
 
+  /** Page RDDs persisted during [[run]]; released once the snapshot is done. */
+  private val pendingUnpersist =
+    scala.collection.mutable.Buffer.empty[org.apache.spark.rdd.RDD[String]]
+
   /** Tables dropped from the loop (statline.py:418-427): metadata tables
     * handled separately and the redundant untyped main table.
     */
@@ -117,6 +121,9 @@ final class StatlineIngest(spark: SparkSession, client: StatlineClient,
                  schema: Option[org.apache.spark.sql.types.StructType]): Option[DataFrame] = {
     val urls = ODataUrls.pageUrls(tableUrl, nRecords, odataVersion)
     val cl = client // avoid serializing `this`
+    // Persisted: this RDD is consumed up to three times (emptiness probe,
+    // schema inference for undeclared tables, the parquet write) — without
+    // the persist each pass would re-fetch every page from the source.
     val lines = spark.sparkContext.parallelize(urls, urls.size).flatMap { u =>
       cl.get(u).toSeq.flatMap { payload =>
         val m = new ObjectMapper()
@@ -124,7 +131,8 @@ final class StatlineIngest(spark: SparkSession, client: StatlineClient,
         if (v == null || !v.isArray) Seq.empty[String]
         else (0 until v.size()).map(i => m.writeValueAsString(v.get(i)))
       }
-    }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pendingUnpersist += lines
     if (lines.isEmpty()) None
     else {
       import spark.implicits._
@@ -259,6 +267,9 @@ final class StatlineIngest(spark: SparkSession, client: StatlineClient,
         mapper.writeValueAsString(mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](
           scala.jdk.CollectionConverters.MapHasAsJava(colDescs).asJava)))
     }
+
+    pendingUnpersist.foreach(_.unpersist(blocking = false))
+    pendingUnpersist.clear()
 
     if (endpoint == "catalog") {
       val ns = StatlineLayout.namespace(source, odataVersion, id)

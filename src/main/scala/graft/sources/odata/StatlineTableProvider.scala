@@ -41,13 +41,13 @@ import org.apache.spark.unsafe.types.UTF8String
 class StatlineTableProvider extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val ctx = StatlineScanContext.fromOptions(options.asCaseSensitiveMap().asScala.toMap)
+    val ctx = StatlineScanContext.resolve(options.asCaseSensitiveMap().asScala.toMap)
     ctx.schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new StatlineTable(schema, StatlineScanContext.fromOptions(properties.asScala.toMap))
+    new StatlineTable(schema, StatlineScanContext.resolve(properties.asScala.toMap))
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -68,6 +68,16 @@ private[odata] final case class StatlineScanContext(
 }
 
 private[odata] object StatlineScanContext {
+
+  // Spark calls inferSchema and getTable back-to-back with the same options;
+  // resolution costs ~5 network round trips, so memoize per options map
+  // (also keeps the schema and the pagination plan from racing a source
+  // change between the two calls).
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Map[String, String], StatlineScanContext]()
+
+  def resolve(opts: Map[String, String]): StatlineScanContext =
+    cache.computeIfAbsent(opts, fromOptions)
 
   def makeClient(replayIndex: Option[String]): StatlineClient = replayIndex match {
     case Some(path) =>

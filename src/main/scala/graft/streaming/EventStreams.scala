@@ -39,10 +39,17 @@ object EventStreams {
     val stageDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       s"graft_events_stage_${Integer.toHexString(dir.hashCode)}")
+    val source = java.nio.file.Paths.get(s"$dir/events.parquet")
     val target = stageDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(target)) {
+    // restage when missing OR stale (source regenerated since the copy)
+    val stale = !java.nio.file.Files.exists(target) ||
+      java.nio.file.Files.getLastModifiedTime(target)
+        .compareTo(java.nio.file.Files.getLastModifiedTime(source)) < 0 ||
+      java.nio.file.Files.size(target) != java.nio.file.Files.size(source)
+    if (stale) {
       java.nio.file.Files.createDirectories(stageDir)
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
+      java.nio.file.Files.copy(source, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     val raw = spark.readStream.schema(schema).parquet(stageDir.toString)
     val tsUs = schema("ts").dataType match {
