@@ -63,6 +63,8 @@ object Relational {
     "q39_correlated_subquery" -> q39CorrelatedSubquery,
     "q52_session_batch" -> q52SessionBatch,
     "q65_pivot" -> q65Pivot,
+    "q66_having" -> q66Having,
+    "q67_array_agg" -> q67ArrayAgg,
   )
 
   // B1: parquet scan + count (no shuffle beyond the final single-row agg).
@@ -434,6 +436,24 @@ object Relational {
       .na.fill(0L)
       .orderBy("user_id")
 
+  // Post-aggregation filter (HAVING).
+  private def q66Having: Q = (s, dir) =>
+    Tables(s, dir).orders
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("c"), Exact.dsum(col("o_totalprice")).as("total"))
+      .filter(col("c") >= 15)
+      .orderBy("o_custkey")
+
+  // Collection aggregate: deterministic via sorted array.
+  private def q67ArrayAgg: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.supplier.join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sort_array(collect_list(col("s_name"))).as("names"),
+        count(lit(1)).as("cnt"))
+      .orderBy("n_name")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   /** DuckDB-dialect equivalents, aligned on column names and types.
@@ -516,6 +536,10 @@ object Relational {
       "SELECT c_custkey FROM customer WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1) ORDER BY c_custkey",
     "q39_correlated_subquery" ->
       "SELECT o_orderkey FROM orders o WHERE o_totalprice > (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) ORDER BY o_orderkey",
+    "q66_having" ->
+      "SELECT o_custkey, COUNT(*) AS c, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey",
+    "q67_array_agg" ->
+      "SELECT n.n_name, list_sort(list(s.s_name)) AS names, COUNT(*) AS cnt FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey GROUP BY n.n_name ORDER BY n.n_name",
     "q65_pivot" ->
       """SELECT user_id,
                 CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
