@@ -13,7 +13,15 @@ import org.apache.spark.sql.types._
   * directories of many files; nothing here assumes a single file.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  /** One DataFrame per (session, dir, table): `spark.read.parquet` builds a
+    * fresh file index + schema read every call, a fixed per-query driver cost
+    * that dominates sub-second queries. The logical plan is immutable, so
+    * reusing it is free — and repeated queries share Catalyst plan fragments
+    * (exchange reuse) instead of rebuilding them.
+    */
+  def table(name: String): DataFrame =
+    Tables.cache.computeIfAbsent((System.identityHashCode(spark), dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   def region: DataFrame = table("region")
   def nation: DataFrame = table("nation")
@@ -41,4 +49,9 @@ final case class Tables(spark: SparkSession, dir: String) {
     }
     raw.withColumn("ts_us", tsUs).drop("ts")
   }
+}
+
+object Tables {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
 }

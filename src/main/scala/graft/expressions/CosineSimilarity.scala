@@ -7,13 +7,14 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.SparkSession
 
-/** Native Catalyst expression: cosine similarity of two float-array columns,
-  * computed in double.
+/** Native Catalyst expression: cosine similarity of two float- or
+  * double-array columns, computed in double. Mixed widths are fine — e.g. a
+  * float embedding against a double k-means centroid.
   *
   * This is the (b) tier of the custom-operator ladder — a codegen'd
   * `Expression` instead of a UDF: no row boxing, no Scala-function call per
   * row, it inlines into whole-stage codegen, and the tight primitive loop
-  * reads `ArrayData` floats directly. Semantics are bit-identical to
+  * reads `ArrayData` elements directly. Semantics are bit-identical to
   * [[graft.functions.VectorFunctions.cosine]] (same fold order, double math),
   * so the DuckDB oracles for q44/q45 pin its correctness.
   *
@@ -23,18 +24,25 @@ import org.apache.spark.sql.SparkSession
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def isVec(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case NullType => true // null literal → null result
+    case _ => false
+  }
+
   // (ExpectsInputTypes is sql-private in Spark 4; inputs must already be
-  // array<float> — the analyzer surfaces a clear error below otherwise.)
+  // numeric arrays — the analyzer surfaces a clear error below otherwise.)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case NullType => true // null literal → null result
-      case _ => false
-    })
-    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    if (Seq(left, right).forall(e => isVec(e.dataType)))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects two array<float> arguments, got " +
+      s"$prettyName expects two array<float|double> arguments, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  private def isDoubleArr(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
   }
 
   override def dataType: DataType = DoubleType
@@ -44,14 +52,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xd = isDoubleArr(left.dataType)
+    val yd = isDoubleArr(right.dataType)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
     var i = 0
     while (i < n) {
-      val xv = x.getFloat(i).toDouble
-      val yv = y.getFloat(i).toDouble
+      val xv = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xv * yv
       nx += xv * xv
       ny += yv * yv
@@ -62,6 +72,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // element getters resolve at CODEGEN time from the static child types —
+      // the per-row loop stays branch-free
+      def get(arr: String, dt: DataType, i: String): String =
+        if (isDoubleArr(dt)) s"$arr.getDouble($i)" else s"(double) $arr.getFloat($i)"
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val nx = ctx.freshName("nx")
@@ -73,8 +87,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $dot = 0.0, $nx = 0.0, $ny = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          double $xv = (double) $a.getFloat($i);
-          double $yv = (double) $b.getFloat($i);
+          double $xv = ${get(a, left.dataType, i)};
+          double $yv = ${get(b, right.dataType, i)};
           $dot += $xv * $yv;
           $nx += $xv * $xv;
           $ny += $yv * $yv;
@@ -110,8 +124,13 @@ object CosineSimilarity {
   * engine's native functions into every session of a deployment.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier(CosineSimilarity.name),
       new ExpressionInfo(classOf[CosineSimilarity].getName, CosineSimilarity.name),
       { children: Seq[Expression] => CosineSimilarity(children.head, children(1)) }))
+    TextSignatures.fns.foreach { case (name, cls, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name), builder))
+    }
+  }
 }

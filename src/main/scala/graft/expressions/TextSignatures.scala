@@ -1,0 +1,226 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd signature math for the dedup family (SURVEY §2.C) — the
+  * per-shingle/per-token hash loops are the scan-side hot path of MinHash and
+  * SimHash dedup, so they live in Catalyst expressions (tier (b) of the
+  * custom-operator ladder, same as [[CosineSimilarity]]): no UDF
+  * encode/decode per row, the loops are plain JVM code reached from
+  * whole-stage codegen via a static call.
+  *
+  * All hashing is MurmurHash3 (platform-independent by spec) with fixed
+  * seeds, so signatures are reproducible across runs, partitionings, and
+  * cluster sizes.
+  */
+object TextSignatures {
+
+  // -- MinHash constants: 64 universal hashes folded into 8 bands of 8 rows.
+  //    (1/b)^(1/r) ≈ 0.77 candidate threshold — sharp S-curve for a ~0.8
+  //    verification threshold.
+  val MersennePrime = 2147483647L // 2^31 - 1
+  val NumHashes = 64
+  val Bands = 8
+  val RowsPerBand = 8
+
+  /** Deterministic (a, b) coefficients of h_i(x) = (a_i·x + b_i) mod p. */
+  private val coeffA = new Array[Long](NumHashes)
+  private val coeffB = new Array[Long](NumHashes)
+  locally {
+    val rnd = new scala.util.Random(42)
+    var i = 0
+    while (i < NumHashes) {
+      coeffA(i) = rnd.nextInt(Int.MaxValue - 1).toLong + 1
+      coeffB(i) = rnd.nextInt(Int.MaxValue).toLong
+      i += 1
+    }
+  }
+
+  /** MinHash band hashes of `text`'s distinct character k-shingles in one
+    * pass: no shingle array is materialized — each first-seen shingle updates
+    * all 64 signature minima, and the signature folds into `Bands` longs.
+    * Static so generated code can call it directly.
+    */
+  def minhashBands(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString
+    val n = math.max(s.length - k + 1, 1)
+    val seen = new java.util.HashSet[String](math.min(n * 2, 1 << 16))
+    val sig = new Array[Long](NumHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val sh = s.substring(i, math.min(i + k, s.length))
+      if (seen.add(sh)) {
+        val h = scala.util.hashing.MurmurHash3.stringHash(sh) & 0x7fffffffL
+        var j = 0
+        while (j < NumHashes) {
+          val v = (coeffA(j) * h + coeffB(j)) % MersennePrime
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val bands = new Array[Long](Bands)
+    var bnd = 0
+    while (bnd < Bands) {
+      var h = 1125899906842597L
+      var r = 0
+      while (r < RowsPerBand) { h = h * 31 + sig(bnd * RowsPerBand + r); r += 1 }
+      bands(bnd) = h
+      bnd += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(bands)
+  }
+
+  /** 64-bit SimHash of a token array: per-bit vote sum over a 64-bit token
+    * hash (two murmur3 passes with fixed seeds), bit set iff votes > 0.
+    */
+  def simhash(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i).toString
+      val h = (scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c).toLong << 32) |
+        (scala.util.hashing.MurmurHash3.stringHash(t, 0x5bd1e995).toLong & 0xffffffffL)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  /** Exact Jaccard of two texts' distinct k-shingle sets, computed directly
+    * from the texts — candidate verification never materializes shingle
+    * arrays through a shuffle.
+    */
+  def shingleJaccard(a: UTF8String, b: UTF8String, k: Int): Double = {
+    val sa = shingleSet(a.toString, k)
+    val sb = shingleSet(b.toString, k)
+    var inter = 0
+    val it = sb.iterator()
+    while (it.hasNext) if (sa.contains(it.next())) inter += 1
+    val union = sa.size + sb.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  private def shingleSet(s: String, k: Int): java.util.HashSet[String] = {
+    val n = math.max(s.length - k + 1, 1)
+    val set = new java.util.HashSet[String](math.min(n * 2, 1 << 16))
+    var i = 0
+    while (i < n) { set.add(s.substring(i, math.min(i + k, s.length))); i += 1 }
+    set
+  }
+
+  // ------------------------------------------------------------ registration
+
+  private[expressions] val fns: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_minhash_bands", classOf[MinHashBands],
+      (c: Seq[Expression]) => MinHashBands(c.head, c(1))),
+    ("graft_simhash", classOf[SimHash64],
+      (c: Seq[Expression]) => SimHash64(c.head)),
+    ("graft_shingle_jaccard", classOf[ShingleJaccard],
+      (c: Seq[Expression]) => ShingleJaccard(c.head, c(1), c(2))),
+  )
+
+  /** Idempotent direct-session registration (mirrors CosineSimilarity). */
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, cls, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder)
+  }
+
+  /** Column helpers (register on first use in the owning session). */
+  def minhashBandsCol(spark: SparkSession)(text: Column, k: Int): Column = {
+    register(spark); call_function("graft_minhash_bands", text, lit(k))
+  }
+  def simhashCol(spark: SparkSession)(tokens: Column): Column = {
+    register(spark); call_function("graft_simhash", tokens)
+  }
+  def shingleJaccardCol(spark: SparkSession)(a: Column, b: Column, k: Int): Column = {
+    register(spark); call_function("graft_shingle_jaccard", a, b, lit(k))
+  }
+
+  private[expressions] def requireFoldableInt(e: Expression, name: String): TypeCheckResult =
+    if (e.foldable && e.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$name expects a literal INT k, got ${e.dataType.simpleString}")
+}
+
+/** `graft_minhash_bands(text, k)` → ARRAY<BIGINT> of 8 LSH band hashes. */
+case class MinHashBands(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects a STRING text, got ${left.dataType.simpleString}")
+    else TextSignatures.requireFoldableInt(right, prettyName)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_bands"
+
+  override protected def nullSafeEval(t: Any, k: Any): Any =
+    TextSignatures.minhashBands(t.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) =>
+      s"graft.expressions.TextSignatures.minhashBands($t, $k)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashBands =
+    copy(left = l, right = r)
+}
+
+/** `graft_simhash(tokens)` → BIGINT 64-bit SimHash signature. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<STRING> tokens, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    TextSignatures.simhash(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.expressions.TextSignatures.simhash($t)")
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** `graft_shingle_jaccard(a, b, k)` → DOUBLE exact k-shingle Jaccard. */
+case class ShingleJaccard(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType != StringType || second.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects two STRING texts")
+    else TextSignatures.requireFoldableInt(third, prettyName)
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_shingle_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any, k: Any): Any =
+    TextSignatures.shingleJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, k) =>
+      s"graft.expressions.TextSignatures.shingleJaccard($a, $b, $k)")
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): ShingleJaccard =
+    copy(first = a, second = b, third = c)
+}

@@ -17,9 +17,12 @@ import graft.Tables
   * this is the only shape that survives: cost is one shuffle of each side
   * plus a sort, independent of how many left rows each right row serves.
   *
-  * Within-key ordering is (ts, side, right-tiebreak): right rows sort before
-  * left rows at equal timestamps (inclusive `>=` semantics), and equal-ts
-  * right rows resolve deterministically by the tiebreak column.
+  * Within-key ordering is (ts, side): right rows sort before left rows at
+  * equal timestamps (inclusive `>=` semantics). Right rows are first deduped
+  * to ONE row per (key, ts) — the max-tiebreak row — so the operator's
+  * choice under duplicate right timestamps is part of its contract rather
+  * than an ordering accident (engines' native ASOF joins leave that case
+  * unspecified).
   */
 object AsOfJoin {
   type Q = (SparkSession, String) => DataFrame
@@ -33,10 +36,14 @@ object AsOfJoin {
     val r = right.select(
         col(keyCol), col(tsCol),
         col(valueCol).as("_asof_v"), col(tiebreakCol).as("_asof_tb"))
+      // one right row per (key, ts): max-tiebreak wins (see scaladoc). The
+      // extra aggregation shuffles only the (small) right side.
+      .groupBy(keyCol, tsCol)
+      .agg(max_by(col("_asof_v"), col("_asof_tb")).as("_asof_v"))
       .withColumn("_side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol), col("_side"), coalesce(col("_asof_tb"), lit(Long.MaxValue)))
+      .orderBy(col(tsCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("asof_value", last(col("_asof_v"), ignoreNulls = true).over(w))
@@ -63,9 +70,14 @@ object AsOfJoin {
     * of the same semantics to check against.
     */
   val oracles: Map[String, String] = Map(
+    // right side deduped to one row per (user_id, ts) with arg_max — the
+    // same max-tiebreak contract as leftAsOf, so neither engine's behavior
+    // under duplicate right timestamps is left unspecified.
     "q37_asof_join" ->
       """SELECT e.event_id, s.value AS asof_value
-         FROM events e ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
+         FROM events e ASOF LEFT JOIN (
+           SELECT user_id, ts, arg_max(value, event_id) AS value
+           FROM events WHERE event_type = 'signup' GROUP BY user_id, ts) s
            ON e.user_id = s.user_id AND e.ts >= s.ts
          ORDER BY e.event_id""",
   )

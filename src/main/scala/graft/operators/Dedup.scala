@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.Tables
+import graft.expressions.TextSignatures
 import graft.functions.VectorFunctions
 
 /** Deduplication operators for training-data pipelines, designed shuffle-first
@@ -13,8 +14,9 @@ import graft.functions.VectorFunctions
   *
   *  - '''exact''': one hash-partitioned aggregation on the content key — the
   *    only shuffle is by `text` hash, with map-side partial aggregation.
-  *  - '''MinHash + LSH''': signatures are computed scan-side with codegen'd
-  *    higher-order functions (no UDF), then candidates come from a self-join
+  *  - '''MinHash + LSH''': signatures are computed scan-side by the native
+  *    codegen expression [[graft.expressions.MinHashBands]] (no UDF, no
+  *    materialized shingle arrays), then candidates come from a self-join
   *    on (band, band-hash) buckets — the classic band trick keeps the join
   *    key space dense and bounded instead of an O(n²) cross join; verification
   *    (exact Jaccard) touches only candidate pairs.
@@ -43,23 +45,6 @@ object Dedup {
 
   // ---------------------------------------------------------------- minhash
 
-  private val MersennePrime = 2147483647L // 2^31 - 1
-  private val NumHashes = 64
-  // 8 bands × 8 rows: candidate threshold ≈ (1/b)^(1/r) ≈ 0.77 — sharp
-  // S-curve for a 0.8 verify threshold. 4-row bands make nearly EVERY pair
-  // a candidate on corpora with a shared vocabulary (moderate baseline
-  // Jaccard), which degenerates to an O(n²) verify.
-  private val Bands = 8
-  private val RowsPerBand = 8
-
-  /** Deterministic (a, b) coefficients for the universal hash family
-    * h_i(x) = (a_i * x + b_i) mod p. Fixed seed ⇒ reproducible signatures.
-    */
-  private val coeffs: Array[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(NumHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
-  }
-
   /** Distinct character k-shingles of column `textCol` (codegen'd, no UDF).
     * `sequence(1, greatest(len-k+1, 1))` guards the descending-sequence trap
     * for texts shorter than k (callers should also filter those out).
@@ -69,73 +54,23 @@ object Dedup {
 
   private def shinglesExpr(k: Int): Column = shingles("text", k)
 
-  /** Distinct k-shingles, compiled: the signature path hashes every shingle
-    * 64×, so the scan-side hot loop is a plain JVM function instead of an
-    * interpreted higher-order-function chain. (A codegen'd Expression is the
-    * next step if this ever shows up in profiles.)
-    */
-  private def shingleUdf(k: Int) = udf { (text: String) =>
-    if (text == null) Array.empty[String]
-    else {
-      val n = math.max(text.length - k + 1, 1)
-      val seen = new scala.collection.mutable.LinkedHashSet[String]
-      var i = 0
-      while (i < n) { seen.add(text.substring(i, math.min(i + k, text.length))); i += 1 }
-      seen.toArray
-    }
-  }
-
-  /** Per-doc band hashes in one tight pass: 64 minhash values (universal
-    * hashing over a deterministic 31-bit base hash of each shingle), folded
-    * into `Bands` band-hash longs. Murmur3 is specified platform-independent,
-    * so signatures are reproducible anywhere.
-    */
-  private val bandHashesUdf = udf { (shingles: Seq[String]) =>
-    val sig = Array.fill(NumHashes)(Long.MaxValue)
-    shingles.foreach { s =>
-      val h = (scala.util.hashing.MurmurHash3.stringHash(s) & 0x7fffffffL)
-      var j = 0
-      while (j < NumHashes) {
-        val (a, b) = coeffs(j)
-        val v = (a * h + b) % MersennePrime
-        if (v < sig(j)) sig(j) = v
-        j += 1
-      }
-    }
-    Array.tabulate(Bands) { bnd =>
-      var h = 1125899906842597L
-      var r = 0
-      while (r < RowsPerBand) { h = h * 31 + sig(bnd * RowsPerBand + r); r += 1 }
-      h
-    }
-  }
-
-  /** Exact Jaccard of two shingle sets (verification is candidate-only, so a
-    * compiled set intersection beats interpreted array_intersect here).
-    */
-  private val jaccardUdf = udf { (a: Seq[String], b: Seq[String]) =>
-    if (a.isEmpty && b.isEmpty) 1.0
-    else {
-      val sa = a.toSet
-      var inter = 0
-      b.foreach(s => if (sa.contains(s)) inter += 1)
-      inter.toDouble / (sa.size + b.toSet.size - inter)
-    }
-  }
-
   /** Candidate near-duplicate pairs via banded LSH + exact Jaccard verify.
     *
-    * Scale shape: the band table is just `(key, band, hash)` — candidate
-    * generation is an equi-join on dense keys with nothing wide shuffled;
-    * shingle sets are re-fetched only for surviving candidate pairs.
+    * Scale shape: signatures come from the native
+    * [[graft.expressions.MinHashBands]] codegen expression — one scan-side
+    * pass per document, no shingle arrays materialized, no UDF boxing. The
+    * band table is just `(key, band, hash)`, so candidate generation is an
+    * equi-join on dense keys with nothing wide shuffled; verification
+    * re-reads only the *texts* of surviving candidate pairs and computes
+    * exact Jaccard directly ([[graft.expressions.ShingleJaccard]]).
     *
     * @param jaccardThreshold verification threshold on exact shingle Jaccard
     */
   def minhashPairs(docs: DataFrame, keyCol: String, k: Int = 5,
                    jaccardThreshold: Double = 0.8): DataFrame = {
-    val sh = docs.select(col(keyCol), shingleUdf(k)(col("text")).as("sh"))
-    val bands = sh.select(col(keyCol),
-      posexplode(bandHashesUdf(col("sh"))).as(Seq("band", "bh")))
+    val spark = docs.sparkSession
+    val bands = docs.select(col(keyCol),
+      posexplode(TextSignatures.minhashBandsCol(spark)(col("text"), k)).as(Seq("band", "bh")))
     val a = bands.select(col(keyCol).as("a"), col("band"), col("bh"))
     val b = bands.select(col(keyCol).as("b"), col("band"), col("bh"))
     val candidates = a.join(b, Seq("band", "bh"))
@@ -143,41 +78,25 @@ object Dedup {
       .select("a", "b")
       .dropDuplicates("a", "b")
     candidates
-      .join(sh.select(col(keyCol).as("a"), col("sh").as("sha")), "a")
-      .join(sh.select(col(keyCol).as("b"), col("sh").as("shb")), "b")
-      .withColumn("jaccard", jaccardUdf(col("sha"), col("shb")))
+      .join(docs.select(col(keyCol).as("a"), col("text").as("ta")), "a")
+      .join(docs.select(col(keyCol).as("b"), col("text").as("tb")), "b")
+      .withColumn("jaccard", TextSignatures.shingleJaccardCol(spark)(col("ta"), col("tb"), k))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   // ---------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash of a token sequence: per-bit vote sum over a 64-bit
-    * token hash (two murmur3 passes), bit set iff vote > 0. Compiled hot
-    * loop for the same reason as the MinHash signature.
+  /** Adds a 64-bit `simhash` column from whitespace tokens of `text`:
+    * per-bit vote sum over a 64-bit token hash (two murmur3 passes), bit set
+    * iff vote > 0 — the native [[graft.expressions.SimHash64]] codegen
+    * expression, inlined into the scan's whole-stage codegen.
     */
-  private val simhashUdf = udf { (tokens: Seq[String]) =>
-    val votes = new Array[Int](64)
-    tokens.foreach { t =>
-      val h = (scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c).toLong << 32) |
-        (scala.util.hashing.MurmurHash3.stringHash(t, 0x5bd1e995).toLong & 0xffffffffL)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
-      }
-    }
-    var sig = 0L
-    var j = 0
-    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
-    sig
-  }
-
-  /** Adds a 64-bit `simhash` column from whitespace tokens of `text`. */
   def withSimhash(df: DataFrame, textCol: String): DataFrame =
     // ' +' (not \s+) keeps the pattern free of backslash-escape ambiguity
     // across Scala interpolation and SQL literal parsing.
-    df.withColumn("simhash", simhashUdf(split(trim(col(textCol)), " +")))
+    df.withColumn("simhash",
+      TextSignatures.simhashCol(df.sparkSession)(split(trim(col(textCol)), " +")))
 
   /** SimHash near-dup pairs: bucket by 16-bit chunks, verify Hamming ≤ maxDist. */
   def simhashPairs(docs: DataFrame, keyCol: String, textCol: String,

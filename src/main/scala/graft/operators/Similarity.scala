@@ -60,11 +60,19 @@ object Similarity {
     df.withColumn("bucket", bucket)
   }
 
-  /** ANN top-k via LSH buckets: candidates share the query's bucket. */
+  /** ANN top-k via LSH buckets: candidates share the query's bucket.
+    *
+    * @param dim embedding width; derived from the first query vector when
+    *   not given. It MUST match the data — `zip_with` would silently
+    *   truncate projections of wider vectors to a shorter plane, assigning
+    *   wrong buckets with no error.
+    */
   def lshTopK(queries: DataFrame, corpus: DataFrame, keyCol: String,
-              vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
-    val dim = 64 // fixture embedding dimensionality (FIXTURES.md §B)
-    val planes = hyperplanes(nPlanes, dim)
+              vecCol: String, k: Int, nPlanes: Int = 8,
+              dim: Option[Int] = None): DataFrame = {
+    // one scalar job over the (small) query side, not the corpus
+    val d = dim.getOrElse(queries.select(size(col(vecCol))).head().getInt(0))
+    val planes = hyperplanes(nPlanes, d)
     val q = withLshBucket(queries, vecCol, planes)
       .select(col(keyCol).as("q_id"), col(vecCol).as("qv"), col("bucket"))
     val c = withLshBucket(corpus, vecCol, planes)
@@ -80,11 +88,71 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("n_id"), col("sim"))
   }
 
+  /** K-means (Lloyd) centroid refinement, all DataFrame ops, deterministic
+    * and engine-portable:
+    *
+    *  - seed centroids = the `nlist` lowest-id corpus vectors;
+    *  - each iteration assigns every vector to its nearest centroid by the
+    *    6-decimal-rounded cosine (cent_id tiebreak), then recomputes per-cell
+    *    element-wise means, ALSO rounded to 6 decimals;
+    *  - a cell that loses all members keeps its previous centroid.
+    *
+    * The rounding is what makes refinement reproducible: raw double means
+    * carry partition-order ULP jitter (across runs AND engines), but
+    * collapse to the same 6-decimal value on continuous data, so every
+    * downstream cosine sees bit-identical centroids — which is why q55
+    * stays DuckDB-hash-oracled even with trained centroids.
+    *
+    * Scale shape: per iteration, one broadcast of nlist×dim centroids, one
+    * argmax over the corpus, and one shuffle of (cent_id, pos, x) triples
+    * into nlist×dim groups (map-side partial agg collapses them early).
+    * Centroids themselves are bounded (nlist×dim doubles), so pinning them
+    * with a driver collect between iterations is O(KB) — it keeps the plan
+    * from recomputing the whole k-means lineage at every downstream use.
+    * At 100 TB you'd refine on a deterministic corpus sample; the iteration
+    * shape is unchanged.
+    */
+  def kmeansCentroids(corpus: DataFrame, keyCol: String, vecCol: String,
+                      nlist: Int = 16, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cos = VectorFunctions.cosineNative(spark) _
+    def pin(df: DataFrame): DataFrame = {
+      val rows = df.select(col("cent_id").cast("long"), col("cvec"))
+        .collect() // bounded: nlist rows × dim doubles
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      spark.createDataset(rows.toIndexedSeq).toDF("cent_id", "cvec")
+    }
+    var cent = pin(corpus.filter(col(keyCol) < nlist)
+      .select(col(keyCol).as("cent_id"),
+        col(vecCol).cast("array<double>").as("cvec")))
+    (0 until iters).foreach { _ =>
+      val w = Window.partitionBy("_vid").orderBy(col("_s").desc, col("cent_id"))
+      val assigned = corpus.select(col(keyCol).as("_vid"), col(vecCol).as("_v"))
+        .join(broadcast(cent))
+        .select(col("_vid"), col("cent_id"), col("_v"),
+          round(cos(col("_v"), col("cvec")), 6).as("_s"))
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("_v").cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy("cent_id", "pos")
+        .agg(round(avg(col("x")), 6).as("v"))
+      val refined = means.groupBy("cent_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("cvec"))
+      cent = pin(cent.select(col("cent_id"), col("cvec").as("_old"))
+        .join(refined.select(col("cent_id"), col("cvec").as("_new")), Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("_new"), col("_old")).as("cvec")))
+    }
+    cent
+  }
+
   /** IVF-flat ANN: the corpus is partitioned into `nlist` cells by nearest
     * centroid; a query scores only vectors in its `nprobe` nearest cells.
     *
-    * Centroids are data vectors picked deterministically (lowest ids) — at
-    * scale they'd come from a k-means sample, but the *query shape* is the
+    * Centroids come from [[kmeansCentroids]] (seeded on the lowest-id
+    * vectors, `kmeansIters` Lloyd refinements). The *query shape* is the
     * point: cell assignment is one broadcast-join + per-key argmax, the
     * probe is an equi-join on the dense `cent_id` key, and the corpus never
     * cross-joins the query set. All ranking happens on 6-decimal-rounded
@@ -92,10 +160,10 @@ object Similarity {
     * DuckDB-oracled, unusually for an ANN index).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, keyCol: String,
-              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              kmeansIters: Int = 2): DataFrame = {
     val cos = VectorFunctions.cosineNative(corpus.sparkSession) _
-    val cent = corpus.filter(col(keyCol) < nlist)
-      .select(col(keyCol).as("cent_id"), col(vecCol).as("cvec"))
+    val cent = kmeansCentroids(corpus, keyCol, vecCol, nlist, kmeansIters)
     def assignments(df: DataFrame, idAs: String): DataFrame =
       df.select(col(keyCol).as(idAs), col(vecCol))
         .join(broadcast(cent))
@@ -154,11 +222,34 @@ object Similarity {
            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
            WHERE q.vec_id <= 5) t
          WHERE rnk <= 3 ORDER BY q_id, rnk""",
+    // mirrors kmeansCentroids: c0 = lowest-id seeds, two Lloyd iterations
+    // (assign on round-6 cosine with cent_id tiebreak → per-cell round-6
+    // means, empty cells keep the old centroid), then the IVF probe over the
+    // trained centroids. The 6-decimal rounding at every step is what makes
+    // the two engines' double math collapse to identical values.
     "q55_similarity_ivf" ->
-      """WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
-              ca AS (SELECT e.vec_id, cent_id,
-                            ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(cvec AS DOUBLE[])), 6) AS s
-                     FROM embeddings e CROSS JOIN cent),
+      """WITH c0 AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings WHERE vec_id < 16),
+              a1 AS (SELECT vec_id, cent_id FROM (
+                       SELECT e.vec_id, c.cent_id,
+                              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC, c.cent_id) AS rn
+                       FROM embeddings e CROSS JOIN c0 c) x WHERE rn = 1),
+              m1 AS (SELECT a1.cent_id, t.pos, ROUND(AVG(CAST(e.embedding[t.pos] AS DOUBLE)), 6) AS v
+                     FROM a1 JOIN embeddings e USING (vec_id), LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS pos) t
+                     GROUP BY a1.cent_id, t.pos),
+              c1 AS (SELECT s.cent_id, COALESCE(r.cvec, s.cvec) AS cvec
+                     FROM c0 s LEFT JOIN (SELECT cent_id, list(v ORDER BY pos) AS cvec FROM m1 GROUP BY cent_id) r USING (cent_id)),
+              a2 AS (SELECT vec_id, cent_id FROM (
+                       SELECT e.vec_id, c.cent_id,
+                              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC, c.cent_id) AS rn
+                       FROM embeddings e CROSS JOIN c1 c) x WHERE rn = 1),
+              m2 AS (SELECT a2.cent_id, t.pos, ROUND(AVG(CAST(e.embedding[t.pos] AS DOUBLE)), 6) AS v
+                     FROM a2 JOIN embeddings e USING (vec_id), LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS pos) t
+                     GROUP BY a2.cent_id, t.pos),
+              c2 AS (SELECT s.cent_id, COALESCE(r.cvec, s.cvec) AS cvec
+                     FROM c1 s LEFT JOIN (SELECT cent_id, list(v ORDER BY pos) AS cvec FROM m2 GROUP BY cent_id) r USING (cent_id)),
+              ca AS (SELECT e.vec_id, c.cent_id,
+                            ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) AS s
+                     FROM embeddings e CROSS JOIN c2 c),
               cells AS (SELECT vec_id AS c_id, cent_id FROM
                           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id) AS rn FROM ca) x
                         WHERE rn = 1),

@@ -104,7 +104,10 @@ object TextAnalysis {
     val tok = docs.select(col(keyCol),
       explode(split(trim(col(textCol)), " +")).as("token"))
     val tf = tok.groupBy(keyCol, "token").agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy("token").agg(countDistinct(keyCol).as("df"))
+    // df derives from tf — one row per (doc, token) — so the corpus is
+    // tokenized ONCE and the df aggregation shuffles the small pre-aggregated
+    // table instead of re-exploding every document.
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.count() // bounded: a single scalar, not a collect of rows
     val scored = tf.join(df, "token")
       .withColumn("score",

@@ -158,20 +158,22 @@ object Relational {
 
   // B12: multi-way star join (the CBS fact/dimension shape) + top-k.
   // Shape matters at scale: the customer⋈orders side only *filters* order
-  // keys, so pre-aggregate the fact table by its join key first — the join
-  // then sees one row per order instead of every lineitem, and the agg's
-  // hash partitioning on l_orderkey is reused by the join (no extra
-  // shuffle of the big side). Never broadcast the fact side.
+  // keys, so semi-join the fact against those keys FIRST — survivors are
+  // ~20% of lineitem — and only then aggregate. The semi-join's hash
+  // partitioning on l_orderkey is reused by the aggregation (one shuffle of
+  // the big side total). No broadcast hint on the keys: they are
+  // fact-derived (grow with data scale), so AQE/Catalyst must pick the
+  // strategy — broadcast at small SF, shuffled semi-join at 100 TB.
   private def q11StarJoin: Q = (s, dir) => {
     val t = Tables(s, dir)
     val buildingOrders = t.customer.filter(col("c_mktsegment") === "BUILDING")
       .join(t.orders, col("c_custkey") === col("o_custkey"))
       .select("o_orderkey")
-    val revPerOrder = t.lineitem
+    t.lineitem
+      .join(buildingOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy(col("l_orderkey").as("o_orderkey"))
       .agg(sum(Exact.revenueTerm(col("l_extendedprice"), col("l_discount")))
         .cast("double").as("rev"))
-    revPerOrder.join(broadcast(buildingOrders), "o_orderkey")
       .orderBy(col("rev").desc, col("o_orderkey"))
       .limit(10)
   }
@@ -444,12 +446,13 @@ object Relational {
       .filter(col("c") >= 15)
       .orderBy("o_custkey")
 
-  // Collection aggregate: deterministic via sorted array.
+  // Collection aggregate: deterministic via sorted array, emitted as a joined
+  // string so the oracle harness (pandas sort/hash) can handle the column.
   private def q67ArrayAgg: Q = (s, dir) => {
     val t = Tables(s, dir)
     t.supplier.join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(sort_array(collect_list(col("s_name"))).as("names"),
+      .agg(array_join(sort_array(collect_list(col("s_name"))), ",").as("names"),
         count(lit(1)).as("cnt"))
       .orderBy("n_name")
   }
@@ -539,7 +542,7 @@ object Relational {
     "q66_having" ->
       "SELECT o_custkey, COUNT(*) AS c, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey",
     "q67_array_agg" ->
-      "SELECT n.n_name, list_sort(list(s.s_name)) AS names, COUNT(*) AS cnt FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey GROUP BY n.n_name ORDER BY n.n_name",
+      "SELECT n.n_name, array_to_string(list_sort(list(s.s_name)), ',') AS names, COUNT(*) AS cnt FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey GROUP BY n.n_name ORDER BY n.n_name",
     "q65_pivot" ->
       """SELECT user_id,
                 CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,

@@ -68,10 +68,13 @@ object ODataUrls {
 
   /** Page-url generation (statline.py:198-237): `$skip` increments of the
     * version's page size; tables without a known row count get one url.
-    * v3 table urls already carry `?$format=json`, hence the `&` connector.
+    * The `$skip` connector comes from the URL itself, not the OData version:
+    * v3 bases always carry `?$format=json`, but a v4 base may already carry a
+    * pushed-down `?$filter=...` — keying on the version would emit
+    * `base?$filter=f?$skip=n` and silently drop pages in replay mode.
     */
   def pageUrls(baseUrl: String, nRecords: Option[Long], odataVersion: String): Seq[String] = {
-    val connector = if (odataVersion == "v3") "&" else "?"
+    val connector = if (baseUrl.contains("?")) "&" else "?"
     val limit = if (odataVersion == "v3") V3PageSize else V4PageSize
     nRecords match {
       case Some(n) =>

@@ -31,11 +31,31 @@ final case class ReplayClient(pages: Map[String, String]) extends StatlineClient
   */
 final class HttpClient extends StatlineClient {
   @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+
+  /** Percent-encodes each query-parameter *value* (URLs are assembled from
+    * plain text upstream — "$filter=Identifier eq 'X'" — and URI.create
+    * rejects spaces; reserved characters like +, %, ' in a filter value would
+    * otherwise be misread by the server). Parameter names ($format, $skip,
+    * $filter) are emitted by this connector and already URL-safe.
+    */
+  private def encodeQueryValues(url: String): String = {
+    val qIdx = url.indexOf('?')
+    if (qIdx < 0) url
+    else {
+      def enc(s: String) = java.net.URLEncoder
+        .encode(s, java.nio.charset.StandardCharsets.UTF_8).replace("+", "%20")
+      val query = url.substring(qIdx + 1).split("&", -1).map { param =>
+        val eq = param.indexOf('=')
+        if (eq < 0) enc(param)
+        else param.substring(0, eq) + "=" + enc(param.substring(eq + 1))
+      }.mkString("&")
+      url.substring(0, qIdx + 1) + query
+    }
+  }
+
   override def get(url: String): Option[String] = {
-    // OData urls legitimately contain spaces ("$filter=Identifier eq 'X'");
-    // URI.create rejects them, so encode before parsing.
-    val encoded = url.replace(" ", "%20").replace("'", "%27")
-    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(encoded)).GET().build()
+    val req = java.net.http.HttpRequest.newBuilder(
+      java.net.URI.create(encodeQueryValues(url))).GET().build()
     val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
     resp.statusCode() match {
       case 200 => Some(resp.body())

@@ -34,6 +34,14 @@ final class StatlineIngest(spark: SparkSession, client: StatlineClient,
 
   private val mapper = new ObjectMapper()
 
+  /** The client rides to executors as a broadcast: a replay client carries
+    * its whole page map (tens of MiB for golden fixtures), and a closure
+    * capture would re-serialize it into every task binary; a broadcast ships
+    * it once per executor. Lazy so driver-only use never touches the
+    * SparkContext.
+    */
+  @transient private lazy val clientBc = spark.sparkContext.broadcast(client)
+
   /** Page RDDs persisted during [[run]]; released once the snapshot is done. */
   private val pendingUnpersist =
     scala.collection.mutable.Buffer.empty[org.apache.spark.rdd.RDD[String]]
@@ -96,9 +104,12 @@ final class StatlineIngest(spark: SparkSession, client: StatlineClient,
                                    odataVersion: String): Option[Map[String, String]] = {
     val base = Paths.get(StatlineLayout.partitionedPath(root, source, odataVersion, id))
     if (!Files.isDirectory(base)) return None
-    val folders = Files.list(base).iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
     val names = new scala.collection.mutable.ArrayBuffer[String]
-    while (folders.hasNext) names += folders.next().getFileName.toString
+    val stream = Files.list(base)
+    try {
+      val folders = stream.iterator()
+      while (folders.hasNext) names += folders.next().getFileName.toString
+    } finally stream.close() // Files.list leaks an fd unless closed
     StatlineLayout.latestFolder(names.toSeq).flatMap { latest =>
       val sidecar = base.resolve(latest)
         .resolve(StatlineLayout.sidecarName(source, odataVersion, id, "Metadata"))
@@ -114,18 +125,29 @@ final class StatlineIngest(spark: SparkSession, client: StatlineClient,
   }
 
   /** Fetches one table (all pages, executor-parallel) as a DataFrame.
-    * Returns None when every page is empty (A15 — e.g. 84799NED's
-    * CategoryGroups).
+    * Returns None when the table is absent or every page is empty (A15 —
+    * e.g. 84799NED's CategoryGroups, 83765NED's dropped Observations blob).
     */
   def fetchTable(tableUrl: String, nRecords: Option[Long], odataVersion: String,
                  schema: Option[org.apache.spark.sql.types.StructType]): Option[DataFrame] = {
+    // Driver-side absence probe: a table whose FIRST page is absent is an
+    // absent table (A15) — skip the Spark job entirely. With presence
+    // established, executors can treat any missing `$skip` page as a GAP
+    // (silent truncation) rather than absence. Costs one extra page fetch
+    // per table live; the reference's sequential fetcher paid the same page.
+    if (client.get(tableUrl).isEmpty) return None
     val urls = ODataUrls.pageUrls(tableUrl, nRecords, odataVersion)
-    val cl = client // avoid serializing `this`
+    val cl = clientBc // broadcast handle, not the client itself
     // Persisted: this RDD is consumed up to three times (emptiness probe,
     // schema inference for undeclared tables, the parquet write) — without
     // the persist each pass would re-fetch every page from the source.
     val lines = spark.sparkContext.parallelize(urls, urls.size).flatMap { u =>
-      cl.get(u).toSeq.flatMap { payload =>
+      val page = cl.value.get(u)
+      // missing FIRST page = absent/empty table (expected); a missing
+      // mid-pagination page would silently truncate the snapshot — raise.
+      if (page.isEmpty && u.contains("$skip="))
+        throw new java.io.IOException(s"missing pagination page: $u")
+      page.toSeq.flatMap { payload =>
         val m = new ObjectMapper()
         val v = m.readTree(payload).get("value")
         if (v == null || !v.isArray) Seq.empty[String]

@@ -208,7 +208,12 @@ private[odata] object ODataFilters {
   import org.apache.spark.sql.sources._
 
   private def lit(v: Any): Option[String] = v match {
-    case s: String => Some("'" + s.replace("'", "''") + "'")
+    // '&' / '#' in a value are ambiguous once the URL is assembled (the query
+    // string can no longer be split into parameters unambiguously), so such
+    // strings stay Spark-side residual; everything else is percent-encoded by
+    // HttpClient at send time.
+    case s: String if !s.exists(c => c == '&' || c == '#') =>
+      Some("'" + s.replace("'", "''") + "'")
     case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
          _: java.lang.Byte | _: java.lang.Double | _: java.lang.Float => Some(v.toString)
     case b: java.lang.Boolean => Some(b.toString)
@@ -259,6 +264,13 @@ private[odata] class StatlinePageReader(url: String, schema: StructType,
   private val rows: Iterator[JsonNode] = {
     val client = StatlineScanContext.makeClient(replayIndex)
     client.get(url) match {
+      // A 404/absent FIRST page is an absent-or-empty table (expected: the
+      // version probe and empty-table skip rely on it). A missing mid-
+      // pagination `$skip` page is a gap — an empty result here would be a
+      // silently truncated scan, so fail loudly instead. (Legitimately
+      // over-covering filtered pagination returns 200 + empty `value`.)
+      case None if url.contains("$skip=") =>
+        throw new java.io.IOException(s"missing pagination page: $url")
       case None => Iterator.empty
       case Some(payload) =>
         val v = new ObjectMapper().readTree(payload).get("value")

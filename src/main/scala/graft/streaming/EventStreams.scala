@@ -32,7 +32,8 @@ object EventStreams {
 
   /** Streaming view of events with `ts_us` (BIGINT µs) + `ts_utc` timestamp. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // cached table registry: the schema read costs a parquet footer only once
+    val schema = graft.Tables(spark, dir).table("events").schema
     // The file stream source wants a directory of files (the unbounded-ingest
     // layout); the fixture is a single file, so stage it into a per-sf temp
     // directory once and replay from there.
@@ -67,10 +68,16 @@ object EventStreams {
   def runToMemory(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}_${System.nanoTime()}"
     // Stateful operators allocate one state store per shuffle partition up
-    // front; for these bounded replays a handful is plenty (a real cluster
-    // deployment sizes this to its executor count instead).
+    // front; for these bounded replays a couple is plenty (a real cluster
+    // deployment sizes this to its executor count instead). The trailing
+    // no-data microbatch exists to close event-time windows promptly on a
+    // LIVE stream; an AvailableNow replay terminates anyway, so it only adds
+    // a full extra microbatch of latency.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.getOption("spark.graft.stream.partitions").getOrElse("2"))
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = df.writeStream
         .format("memory")
@@ -79,7 +86,11 @@ object EventStreams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevNoData.fold(spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled"))(
+        v => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v))
+    }
     spark.table(name)
   }
 

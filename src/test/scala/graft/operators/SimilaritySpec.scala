@@ -54,6 +54,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top1.getAs[Double]("sim") == 1.0)
   }
 
+  test("LSH derives the embedding dim: non-64-dim corpora bucket correctly") {
+    val s = spark
+    import s.implicits._
+    // dim 16 (≠ the fixture's 64): with a hardcoded dim the projections
+    // would zip against a longer plane and the planted duplicate could land
+    // in a different bucket; deriving dim from the data keeps buckets exact
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 16 + d).toFloat)))
+    val dup = Seq((777L, corpus(3)._2))
+    val corpusDf = (corpus ++ dup).toDF("vec_id", "embedding")
+    val queryDf = Seq((3L, corpus(3)._2)).toDF("vec_id", "embedding")
+    val top1 = Similarity.lshTopK(queryDf, corpusDf, "vec_id", "embedding", k = 1)
+      .collect().head
+    assert(top1.getAs[Long]("n_id") == 777L)
+    assert(top1.getAs[Double]("sim") == 1.0)
+  }
+
+  test("k-means centroids beat raw seeds on a skewed corpus (recall vs brute force)") {
+    val s = spark
+    import s.implicits._
+    // three tight clusters, but ALL low ids sit in cluster A — the seed
+    // hack (centroids = ids < nlist) starts with every centroid in one
+    // cluster, the worst case Lloyd refinement exists to fix
+    def cluster(center: Int, n: Int, base: Long) = (0 until n).map { i =>
+      (base + i, Array.tabulate(32) { d =>
+        (math.cos(center * 97 + d) + 0.05 * math.sin((base + i) * 13 + d)).toFloat
+      })
+    }
+    val corpus = cluster(1, 60, 0L) ++ cluster(2, 60, 60L) ++ cluster(3, 60, 120L)
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val queries = corpusDf.filter(col("vec_id") % 30 === 7) // one per cluster region
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, corpusDf, "vec_id", "embedding", k = 3))
+    val seeded = pairs(Similarity.ivfTopK(queries, corpusDf, "vec_id", "embedding",
+      k = 3, kmeansIters = 0))
+    val trained = pairs(Similarity.ivfTopK(queries, corpusDf, "vec_id", "embedding",
+      k = 3, kmeansIters = 2))
+    val recallSeeded = (seeded & exact).size.toDouble / exact.size
+    val recallTrained = (trained & exact).size.toDouble / exact.size
+    assert(recallTrained >= recallSeeded,
+      s"kmeans recall $recallTrained < seeded recall $recallSeeded")
+    assert(recallTrained >= 0.9, s"kmeans recall $recallTrained")
+  }
+
   test("LSH top-1 agrees with brute force for a duplicated vector") {
     val s = spark
     import s.implicits._

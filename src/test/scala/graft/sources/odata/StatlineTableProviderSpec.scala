@@ -106,6 +106,70 @@ class StatlineTableProviderSpec extends AnyFunSuite {
     assert(df.orderBy("ID").collect().map(_.getInt(0)).toSeq == Seq(2, 3))
   }
 
+  test("DSv2: v4 + pushed $filter + multipage uses '&' for $skip pages") {
+    // v4 bases carry no '?': a pushed filter adds one, and $skip pages must
+    // then connect with '&' — keying the connector on the OData version
+    // would produce 'base?$filter=f?$skip=100000' and silently drop pages
+    val v4id = "55555TST"
+    val v4base = ODataUrls.v4Base(v4id)
+    val dir = Files.createTempDirectory("graft_dsv2_v4filter")
+    val filteredBase = s"$v4base/Observations?$$filter=Id gt 0"
+    val payloads = Map(
+      v4base ->
+        s"""{"value":[{"name":"Properties","url":"Properties"},{"name":"Observations","url":"Observations"}]}""",
+      s"$v4base/Properties" ->
+        s"""{"Identifier":"$v4id","Modified":"2024-01-01","ObservationCount":150000}""",
+      s"$v4base/Observations" ->
+        """{"value":[{"Id":0,"Measure":"M1","Value":1.5}]}""",
+      filteredBase -> """{"value":[{"Id":1,"Measure":"M1","Value":2.5}]}""",
+      s"$filteredBase&$$skip=100000" -> """{"value":[{"Id":100001,"Measure":"M2","Value":9.5}]}""",
+    )
+    var i = 0
+    val index = payloads.map { case (url, content) =>
+      val fn = s"v$i.json"; i += 1
+      Files.writeString(dir.resolve(fn), content)
+      s""""${url.replace("\"", "\\\"")}": "$fn""""
+    }.mkString("{", ",", "}")
+    Files.writeString(dir.resolve("index.json"), index)
+    val df = spark.read.format("graft.sources.odata.StatlineTableProvider")
+      .option("id", v4id).option("table", "Observations")
+      .option("replayIndex", dir.resolve("index.json").toString)
+      .load()
+      .filter("Id > 0")
+    // both filtered pages read ⇒ the $skip connector was '&' (a malformed
+    // second-page url would now raise, not truncate)
+    assert(df.orderBy("Id").collect().map(_.getLong(0)).toSeq == Seq(1L, 100001L))
+  }
+
+  test("DSv2: a missing mid-pagination page raises instead of truncating") {
+    val v4id = "44444TST"
+    val v4base = ODataUrls.v4Base(v4id)
+    val dir = Files.createTempDirectory("graft_dsv2_gap")
+    val payloads = Map(
+      v4base ->
+        s"""{"value":[{"name":"Properties","url":"Properties"},{"name":"Observations","url":"Observations"}]}""",
+      s"$v4base/Properties" ->
+        s"""{"Identifier":"$v4id","Modified":"2024-01-01","ObservationCount":150000}""",
+      s"$v4base/Observations" ->
+        """{"value":[{"Id":0,"Measure":"M1","Value":1.5}]}""",
+      // $skip=100000 page deliberately absent from the replay index
+    )
+    var i = 0
+    val index = payloads.map { case (url, content) =>
+      val fn = s"g$i.json"; i += 1
+      Files.writeString(dir.resolve(fn), content)
+      s""""${url.replace("\"", "\\\"")}": "$fn""""
+    }.mkString("{", ",", "}")
+    Files.writeString(dir.resolve("index.json"), index)
+    val df = spark.read.format("graft.sources.odata.StatlineTableProvider")
+      .option("id", v4id).option("table", "Observations")
+      .option("replayIndex", dir.resolve("index.json").toString)
+      .load()
+    val e = intercept[org.apache.spark.SparkException](df.count())
+    assert(e.getMessage.contains("missing pagination page") ||
+      Option(e.getCause).exists(_.getMessage.contains("missing pagination page")))
+  }
+
   test("OData filter translation: supported shapes and conservative bailout") {
     import org.apache.spark.sql.sources._
     assert(ODataFilters.translate(EqualTo("Perioden", "2018JJ00")).contains("Perioden eq '2018JJ00'"))
@@ -114,6 +178,10 @@ class StatlineTableProviderSpec extends AnyFunSuite {
       .contains("(ID ge 1 and ID lt 9)"))
     assert(ODataFilters.translate(EqualTo("Key", "o'conner")).contains("Key eq 'o''conner'"))
     assert(ODataFilters.translate(StringContains("Key", "x")).isEmpty) // no OData analog used
+    // '&'/'#' in a value can't be unambiguously embedded in a query string
+    assert(ODataFilters.translate(EqualTo("Key", "a&b")).isEmpty)
+    assert(ODataFilters.translate(EqualTo("Key", "a#b")).isEmpty)
+    assert(ODataFilters.translate(EqualTo("Key", "a+b %")).isDefined) // encodable at send time
     assert(ODataFilters.translate(And(EqualTo("A", 1), StringContains("B", "x"))).isEmpty)
   }
 
