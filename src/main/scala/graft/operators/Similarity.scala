@@ -113,7 +113,20 @@ object Similarity {
     * shape is unchanged.
     */
   def kmeansCentroids(corpus: DataFrame, keyCol: String, vecCol: String,
-                      nlist: Int = 16, iters: Int = 2): DataFrame = {
+                      nlist: Int = 16, iters: Int = 2): DataFrame =
+    // An IVF index is trained once and probed many times; memoizing on the
+    // corpus' SEMANTIC plan hash (+ params) is the index registry. Training
+    // is fully deterministic, so a cache hit is exact, not approximate.
+    centroidCache.computeIfAbsent(
+      (System.identityHashCode(corpus.sparkSession),
+        corpus.queryExecution.logical.semanticHash(), keyCol, vecCol, nlist, iters),
+      _ => trainCentroids(corpus, keyCol, vecCol, nlist, iters))
+
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, String, String, Int, Int), DataFrame]()
+
+  private def trainCentroids(corpus: DataFrame, keyCol: String, vecCol: String,
+                             nlist: Int, iters: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cos = VectorFunctions.cosineNative(spark) _

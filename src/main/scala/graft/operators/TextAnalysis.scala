@@ -95,21 +95,22 @@ object TextAnalysis {
   def fingerprint(textCol: String): Column =
     expr(s"aggregate(transform(split($textCol, ''), c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)")
 
-  /** TF-IDF over whitespace tokens: one explode, two hash aggregations, one
-    * join on the token dictionary — all shuffle-by-token/doc, no driver-side
-    * vocabulary. `ln` may differ in the last ULP across libm implementations,
-    * so ranking happens on the 6-decimal-rounded score (deterministic).
+  /** TF-IDF over whitespace tokens: one explode, one hash aggregation, then
+    * document frequency as a count-window over the (doc, token) aggregate —
+    * the corpus is tokenized once, nothing joins against itself, and there
+    * is no driver-side vocabulary. Three narrow shuffles total
+    * ((doc,token) → token → doc). `ln` may differ in the last ULP across
+    * libm implementations, so ranking happens on the 6-decimal-rounded
+    * score (deterministic).
     */
   def tfidfTopTerm(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(keyCol),
       explode(split(trim(col(textCol)), " +")).as("token"))
     val tf = tok.groupBy(keyCol, "token").agg(count(lit(1)).as("tf"))
-    // df derives from tf — one row per (doc, token) — so the corpus is
-    // tokenized ONCE and the df aggregation shuffles the small pre-aggregated
-    // table instead of re-exploding every document.
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.count() // bounded: a single scalar, not a collect of rows
-    val scored = tf.join(df, "token")
+    val scored = tf
+      // tf has one row per (doc, token), so a per-token count IS df
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
       .withColumn("score",
         round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
     val w = Window.partitionBy(keyCol).orderBy(col("score").desc, col("token"))

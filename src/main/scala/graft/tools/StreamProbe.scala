@@ -19,46 +19,28 @@ object StreamProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time(name: String)(f: => Unit): Unit = {
+    val names = EventStreams.queries.keys.toSeq.sorted
+
+    def runAll(): Map[String, Double] = names.map { n =>
       val t0 = System.nanoTime()
-      f
-      println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      EventStreams.queries(n)(spark, sfDir).count()
+      n -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+
+    runAll() // warm codegen + staging
+
+    for {
+      trigger <- Seq("availableNow", "once")
+      localMerge <- Seq("false", "true")
+    } {
+      spark.conf.set("spark.graft.stream.partitions", "8")
+      spark.conf.set("spark.graft.stream.trigger", trigger)
+      spark.conf.set("spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition", localMerge)
+      val t = runAll()
+      val total = t.values.sum
+      println(f"PROBE trig=$trigger%-13s localMerge=$localMerge%-5s total=$total%6.2f  " +
+        t.toSeq.sorted.map { case (n, s) => f"${n.stripPrefix("q6").take(12)}=$s%4.2f" }.mkString(" "))
     }
-
-    // warm up the whole path once
-    EventStreams.queries("q62_stream_session")(spark, sfDir).count()
-
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    spark.conf.set("spark.graft.stream.partitions", "2")
-
-    // minimal machinery floor: passthrough stream, no state
-    import org.apache.spark.sql.streaming.Trigger
-    def passthrough(): Unit = {
-      val name = s"probe_pt_${System.nanoTime()}"
-      val q = EventStreams.readEvents(spark, sfDir).select("event_id")
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      spark.table(name).count()
-    }
-    passthrough() // warm
-    time("passthrough-1")(passthrough())
-    time("passthrough-2")(passthrough())
-
-    // progress breakdown of the expensive one
-    val name = s"probe_q62_${System.nanoTime()}"
-    val agg = EventStreams.readEvents(spark, sfDir)
-      .groupBy(org.apache.spark.sql.functions.session_window(
-        org.apache.spark.sql.functions.col("ts_utc"), "30 minutes"),
-        org.apache.spark.sql.functions.col("user_id"))
-      .agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("n_events"))
-    val t0 = System.nanoTime()
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    println(f"PROBE q62-raw ${(System.nanoTime() - t0) / 1e9}%.3f s")
-    q.recentProgress.foreach(p => println("PROBE progress " + p.json))
     spark.stop()
   }
 }
