@@ -30,12 +30,10 @@ object SparkEntry {
     // posture); SPARK_GRAFT_AQE=false lets the bench isolate its per-stage
     // scheduling cost on tiny inputs.
     "spark.sql.adaptive.enabled" -> sys.env.getOrElse("SPARK_GRAFT_AQE", "true"),
-    // Coalesce shuffle reads to the advisory partition SIZE, not the core
-    // count (the setting Spark's own tuning guide recommends for
-    // production): partitions are sized in bytes, so a 100 TB shuffle still
-    // fans out to thousands of reducers while a 2 MB one collapses to a
-    // single task instead of 32 no-op ones.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+    // (Measured: forcing size-based AQE coalescing — parallelismFirst=false
+    // — serializes genuinely parallel work at bench scale for no net win;
+    // the default, which only merges empty/sub-minPartitionSize reads,
+    // stays.)
     "spark.sql.session.timeZone" -> "UTC",
   )
 

@@ -54,6 +54,8 @@ object Dedup {
 
   private def shinglesExpr(k: Int): Column = shingles("text", k)
 
+  private def spread(df: DataFrame): DataFrame = Inputs.spread(df)
+
   /** Candidate near-duplicate pairs via banded LSH + exact Jaccard verify.
     *
     * Scale shape: signatures come from the native
@@ -69,7 +71,8 @@ object Dedup {
   def minhashPairs(docs: DataFrame, keyCol: String, k: Int = 5,
                    jaccardThreshold: Double = 0.8): DataFrame = {
     val spark = docs.sparkSession
-    val bands = docs.select(col(keyCol),
+    val d = spread(docs)
+    val bands = d.select(col(keyCol),
       posexplode(TextSignatures.minhashBandsCol(spark)(col("text"), k)).as(Seq("band", "bh")))
     val a = bands.select(col(keyCol).as("a"), col("band"), col("bh"))
     val b = bands.select(col(keyCol).as("b"), col("band"), col("bh"))
@@ -78,8 +81,8 @@ object Dedup {
       .select("a", "b")
       .dropDuplicates("a", "b")
     candidates
-      .join(docs.select(col(keyCol).as("a"), col("text").as("ta")), "a")
-      .join(docs.select(col(keyCol).as("b"), col("text").as("tb")), "b")
+      .join(d.select(col(keyCol).as("a"), col("text").as("ta")), "a")
+      .join(d.select(col(keyCol).as("b"), col("text").as("tb")), "b")
       .withColumn("jaccard", TextSignatures.shingleJaccardCol(spark)(col("ta"), col("tb"), k))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
@@ -98,10 +101,17 @@ object Dedup {
     df.withColumn("simhash",
       TextSignatures.simhashCol(df.sparkSession)(split(trim(col(textCol)), " +")))
 
-  /** SimHash near-dup pairs: bucket by 16-bit chunks, verify Hamming ≤ maxDist. */
+  /** SimHash near-dup pairs: bucket by 16-bit chunks, verify Hamming ≤ maxDist.
+    *
+    * The Hamming check runs BEFORE the pair dedup: on real text the 16-bit
+    * buckets are dense (shared vocabulary pulls signatures together), so the
+    * bucket join emits orders of magnitude more candidates than survivors —
+    * a one-instruction popcount per joined row is far cheaper than shuffling
+    * every candidate pair into `dropDuplicates`.
+    */
   def simhashPairs(docs: DataFrame, keyCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
-    val sigs = withSimhash(docs, textCol).select(col(keyCol), col("simhash"))
+    val sigs = withSimhash(spread(docs), textCol).select(col(keyCol), col("simhash"))
     val chunks = sigs.select(col(keyCol), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)"))
@@ -110,10 +120,10 @@ object Dedup {
     val b = chunks.select(col(keyCol).as("b"), col("simhash").as("sigb"), col("chunk"), col("cv"))
     a.join(b, Seq("chunk", "cv"))
       .filter(col("a") < col("b"))
-      .dropDuplicates("a", "b")
       .withColumn("hamming", bit_count(col("siga").bitwiseXOR(col("sigb"))))
       .filter(col("hamming") <= maxDist)
       .select("a", "b", "hamming")
+      .dropDuplicates("a", "b")
   }
 
   // ---------------------------------------------------- n-gram Jaccard

@@ -70,8 +70,12 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, keyCol: String,
               vecCol: String, k: Int, nPlanes: Int = 8,
               dim: Option[Int] = None): DataFrame = {
-    // one scalar job over the (small) query side, not the corpus
-    val d = dim.getOrElse(queries.select(size(col(vecCol))).head().getInt(0))
+    // one scalar job over the (small) query side, not the corpus; memoized
+    // per (session, query plan, column) like the IVF centroids
+    val d = dim.getOrElse(dimCache.computeIfAbsent(
+      (System.identityHashCode(queries.sparkSession),
+        queries.queryExecution.logical.semanticHash(), vecCol),
+      _ => Integer.valueOf(queries.select(size(col(vecCol))).head().getInt(0))).intValue)
     val planes = hyperplanes(nPlanes, d)
     val q = withLshBucket(queries, vecCol, planes)
       .select(col(keyCol).as("q_id"), col(vecCol).as("qv"), col("bucket"))
@@ -124,6 +128,9 @@ object Similarity {
 
   private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
     (Int, Int, String, String, Int, Int), DataFrame]()
+
+  private val dimCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, String), Integer]()
 
   private def trainCentroids(corpus: DataFrame, keyCol: String, vecCol: String,
                              nlist: Int, iters: Int): DataFrame = {

@@ -104,6 +104,8 @@ object TextAnalysis {
     * score (deterministic).
     */
   def tfidfTopTerm(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    // (no Inputs.spread here — measured: tokenization is not the bottleneck
+    // and the extra shuffle of raw texts costs more than it buys)
     val tok = docs.select(col(keyCol),
       explode(split(trim(col(textCol)), " +")).as("token"))
     val tf = tok.groupBy(keyCol, "token").agg(count(lit(1)).as("tf"))

@@ -185,8 +185,10 @@ object EventStreams {
     */
   def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
     val twice = readEvents(spark, dir).unionAll(readEvents(spark, dir))
-    val deduped = twice.dropDuplicates("event_id")
-      .select("event_id", "event_type")
+    // project BEFORE dropDuplicates: streaming dedup state keeps the whole
+    // input row per key, so the projection decides the state size
+    val deduped = twice.select("event_id", "event_type")
+      .dropDuplicates("event_id")
     runToMemory(spark, deduped, "append")
       .groupBy("event_type").agg(count(lit(1)).as("n"))
       .orderBy("event_type")
