@@ -115,9 +115,15 @@ object TextAnalysis {
       .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
       .withColumn("score",
         round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
-    val w = Window.partitionBy(keyCol).orderBy(col("score").desc, col("token"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(keyCol), col("token").as("top_token"), col("score"))
+    // top-1 per doc as a hash AGGREGATION, not a rank window (measured >3x
+    // cheaper: no per-partition sort of the whole scored table, and map-side
+    // partial min_by collapses each doc's tokens before the shuffle).
+    // Minimizing (-score, token) = max score with min-token tiebreak —
+    // identical to ROW_NUMBER() OVER (ORDER BY score DESC, token) = 1.
+    scored.groupBy(keyCol)
+      .agg(min_by(struct(col("token"), col("score")),
+        struct(negate(col("score")), col("token"))).as("_top"))
+      .select(col(keyCol), col("_top.token").as("top_token"), col("_top.score").as("score"))
   }
 
   // ------------------------------------------------------- declared queries
