@@ -38,7 +38,7 @@ final class HttpClient extends StatlineClient {
     * otherwise be misread by the server). Parameter names ($format, $skip,
     * $filter) are emitted by this connector and already URL-safe.
     */
-  private def encodeQueryValues(url: String): String = {
+  private[odata] def encodeQueryValues(url: String): String = {
     val qIdx = url.indexOf('?')
     if (qIdx < 0) url
     else {

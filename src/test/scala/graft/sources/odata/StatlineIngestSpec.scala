@@ -172,6 +172,21 @@ class StatlineIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("HttpClient encodes query parameter values component-wise") {
+    val c = new HttpClient
+    // spaces and quotes in a $filter value
+    assert(c.encodeQueryValues("https://h/T?$format=json&$filter=Identifier eq 'X Y'")
+      == "https://h/T?$format=json&$filter=Identifier%20eq%20%27X%20Y%27")
+    // reserved characters that the old space-only encoding passed through
+    assert(c.encodeQueryValues("https://h/T?$filter=Key eq 'a+b %'")
+      == "https://h/T?$filter=Key%20eq%20%27a%2Bb%20%25%27")
+    // no query string: untouched
+    assert(c.encodeQueryValues("https://h/CBS/83583NED") == "https://h/CBS/83583NED")
+    // $skip pages keep their numeric values intact
+    assert(c.encodeQueryValues("https://h/T?$format=json&$skip=10000")
+      == "https://h/T?$format=json&$skip=10000")
+  }
+
   test("version probe: third-party always v3; v4 iff root answers") {
     val c = ReplayClient(Map(ODataUrls.v4Base("A") -> "{}"))
     assert(ODataUrls.checkV4(c, "A", thirdParty = false) == "v4")
