@@ -145,7 +145,11 @@ object Dedup {
 
   // ------------------------------------------------ embedding cosine near-dup
 
-  /** Near-duplicate pairs by embedding cosine over a bounded/blocked id set. */
+  /** Near-duplicate pairs by embedding cosine over a bounded/blocked id set.
+    * All-pairs by construction — the candidate-VERIFICATION primitive. At
+    * scale the pair source is [[embeddingLshPairs]]' buckets, never a full
+    * cross join.
+    */
   def embeddingCosinePairs(emb: DataFrame, keyCol: String, vecCol: String): DataFrame = {
     val cos = VectorFunctions.cosineNative(emb.sparkSession) _
     val a = emb.select(col(keyCol).as("a"), col(vecCol).as("va"))
@@ -153,6 +157,29 @@ object Dedup {
     a.join(b, col("a") < col("b"))
       .select(col("a"), col("b"),
         round(cos(col("va"), col("vb")), 6).as("sim"))
+  }
+
+  /** Embedding near-dup at corpus scale: sign-projection LSH buckets provide
+    * the blocking — candidate generation is an EQUI-join on the dense bucket
+    * id (hash join, never a cross join) — and cosine ≥ `minSim` verifies
+    * only within-bucket pairs. Each vector lands in exactly one bucket, so
+    * pairs are already unique (no dedup shuffle). Identical vectors always
+    * share a bucket, so exact duplicates have recall 1; near-dup recall is
+    * tuned by `nPlanes` (fewer planes ⇒ bigger buckets ⇒ more recall, more
+    * verify work).
+    */
+  def embeddingLshPairs(emb: DataFrame, keyCol: String, vecCol: String,
+                        minSim: Double = 0.9, nPlanes: Int = 8): DataFrame = {
+    val cos = VectorFunctions.cosineNative(emb.sparkSession) _
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val planes = graft.operators.Similarity.hyperplanes(nPlanes, dim)
+    val bucketed = graft.operators.Similarity.withLshBucket(emb, vecCol, planes)
+    val a = bucketed.select(col(keyCol).as("a"), col(vecCol).as("va"), col("bucket"))
+    val b = bucketed.select(col(keyCol).as("b"), col(vecCol).as("vb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), round(cos(col("va"), col("vb")), 6).as("sim"))
+      .filter(col("sim") >= minSim)
   }
 
   // ------------------------------------------------------- declared queries
@@ -174,6 +201,11 @@ object Dedup {
         .orderBy("a", "b")),
     "q44_dedup_embedding_cosine" -> ((s, dir) =>
       embeddingCosinePairs(Tables(s, dir).embeddings.filter(col("vec_id") <= 20), "vec_id", "embedding")
+        .orderBy("a", "b")),
+    // full corpus, LSH-blocked (the 100 TB shape): engine-seeded buckets →
+    // rows-only check; recall + plan-shape invariants in DedupSpec.
+    "q56_dedup_embedding_lsh" -> ((s, dir) =>
+      embeddingLshPairs(Tables(s, dir).embeddings, "vec_id", "embedding", minSim = 0.3)
         .orderBy("a", "b")),
   )
 

@@ -57,6 +57,24 @@ class DedupSpec extends AnyFunSuite {
     assert(out.values.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("LSH-blocked embedding pairs: exact dups found, plan has no cross join") {
+    val s = spark
+    import s.implicits._
+    // 80 spread-out vectors + one planted exact duplicate of id 9
+    val corpus = (0 until 80).map(i =>
+      (i.toLong, Array.tabulate(24)(d => math.sin(i * 24 + d).toFloat)))
+    val emb = (corpus :+ (900L, corpus(9)._2)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingLshPairs(emb, "vec_id", "embedding", minSim = 0.99)
+    val plan = pairs.queryExecution.executedPlan.toString
+    // the blocking MUST be an equi-join on the bucket id — an all-pairs
+    // fallback would show up as a nested-loop/cartesian operator
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in plan:\n$plan")
+    val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(found.exists { case (a, b, sim) => a == 9L && b == 900L && sim == 1.0 },
+      s"planted duplicate not found: ${found.toSeq}")
+  }
+
   test("embedding cosine pairs flag duplicate vectors") {
     val s = spark
     import s.implicits._
