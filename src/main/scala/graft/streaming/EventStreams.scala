@@ -30,6 +30,17 @@ object EventStreams {
 
   private val runId = new AtomicLong(0)
 
+  /** Scratch root for replay staging + throwaway checkpoints: a tmpfs when
+    * the host has one (offset/commit WAL and state-store delta files are
+    * fsync-heavy small writes — RAM-backed beats disk), else the tmp dir.
+    * Replays are rebuildable, so nothing here needs to survive a reboot.
+    */
+  private[graft] val scratchBase: String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm)) shm.toString
+    else System.getProperty("java.io.tmpdir")
+  }
+
   /** Streaming view of events with `ts_us` (BIGINT µs) + `ts_utc` timestamp. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     // cached table registry: the schema read costs a parquet footer only once
@@ -41,13 +52,12 @@ object EventStreams {
     // parquet is a single input split — a single-threaded scan at the head
     // of every replay. (Row order is irrelevant: every streaming query here
     // aggregates or dedups, and all checks sort.)
-    val stageDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
+    val stageDir = java.nio.file.Paths.get(scratchBase,
       s"graft_events_stage_${Integer.toHexString(dir.hashCode)}")
     val source = java.nio.file.Paths.get(s"$dir/events.parquet")
     val marker = stageDir.resolve("_graft_stage_marker")
     val sig = s"${java.nio.file.Files.size(source)}:" +
-      s"${java.nio.file.Files.getLastModifiedTime(source).toMillis}"
+      s"${java.nio.file.Files.getLastModifiedTime(source).toMillis}:8"
     // restage when missing OR stale (source regenerated since staging)
     if (!java.nio.file.Files.exists(marker) ||
         java.nio.file.Files.readString(marker) != sig) {
@@ -100,13 +110,17 @@ object EventStreams {
       // definition, so losing the checkpoint on restart costs nothing — a
       // durable deployment sets a real checkpointLocation and never goes
       // through runToMemory.
-      val ckpt = spark.conf.getOption("spark.graft.stream.checkpointBase").map { base =>
+      val ckpt = Some(spark.conf.getOption("spark.graft.stream.checkpointBase")
+          .getOrElse(scratchBase)).map { base =>
         val dir = java.nio.file.Paths.get(base, s"graft_ckpt_$name")
         writer.option("checkpointLocation", dir.toString)
         dir
       }
       val q = writer.start()
       q.awaitTermination()
+      // Probe hook: surface the engine's own per-phase timing breakdown.
+      if (spark.conf.getOption("spark.graft.stream.debugProgress").contains("true"))
+        q.recentProgress.foreach(p => println(s"PROGRESS ${p.durationMs}"))
       ckpt.foreach { dir => // best-effort scratch cleanup
         import scala.jdk.CollectionConverters._
         val s = java.nio.file.Files.walk(dir)

@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Scratch probe: median-of-N per-query latency (the bench reports a single
+  * second run, which is noisy on a shared host; medians make optimization
+  * deltas trustworthy). Args: [reps] [substring filters...].
+  */
+object QueryProbe {
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(5)
+    val filters = args.drop(1)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkEntry.configure(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => filters.isEmpty || filters.exists(n.contains))
+    val all = names.map { n =>
+      val fn = SparkEntry.queries(n)
+      val ts = (1 to (reps + 1)).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.drop(1).sorted // drop warmup
+      val med = ts(ts.size / 2)
+      println(f"QPROBE $n%-32s med=$med%.3f min=${ts.head}%.3f max=${ts.last}%.3f")
+      n -> med
+    }
+    println(f"QPROBE-TOTAL median-sum=${all.map(_._2).sum}%.2f over ${all.size} queries")
+    spark.stop()
+  }
+}

@@ -30,15 +30,14 @@ object StreamProbe {
     runAll() // warm codegen + staging
 
     for {
-      trigger <- Seq("availableNow", "once")
-      localMerge <- Seq("false", "true")
+      parts <- Seq("4", "8", "16")
+      rep <- Seq(1, 2)
     } {
-      spark.conf.set("spark.graft.stream.partitions", "8")
-      spark.conf.set("spark.graft.stream.trigger", trigger)
-      spark.conf.set("spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition", localMerge)
+      spark.conf.set("spark.graft.stream.partitions", parts)
+      spark.conf.set("spark.graft.stream.trigger", "once")
       val t = runAll()
       val total = t.values.sum
-      println(f"PROBE trig=$trigger%-13s localMerge=$localMerge%-5s total=$total%6.2f  " +
+      println(f"PROBE parts=$parts%-2s rep=$rep total=$total%6.2f  " +
         t.toSeq.sorted.map { case (n, s) => f"${n.stripPrefix("q6").take(12)}=$s%4.2f" }.mkString(" "))
     }
     spark.stop()
