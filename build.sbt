@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Sub-second queries are latency-bound: a roomy young gen keeps task
+  // allocation churn out of full collections.
+  s"-XX:+${sys.env.getOrElse("SPARK_GC", "UseParallelGC")}",
 )

@@ -109,12 +109,15 @@ object TextAnalysis {
     val tok = docs.select(col(keyCol),
       explode(split(trim(col(textCol)), " +")).as("token"))
     val tf = tok.groupBy(keyCol, "token").agg(count(lit(1)).as("tf"))
-    val n = docs.count() // bounded: a single scalar, not a collect of rows
+    // Corpus size as a broadcast 1-row join, not a separate docs.count()
+    // action: one DAG, one pass over the inputs per invocation.
+    val n = docs.agg(count(lit(1)).cast("double").as("_n"))
     val scored = tf
+      .crossJoin(broadcast(n))
       // tf has one row per (doc, token), so a per-token count IS df
       .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
       .withColumn("score",
-        round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
+        round(col("tf") * log((col("_n") + 1.0) / (col("df") + 1.0)), 6))
     // top-1 per doc as a hash AGGREGATION, not a rank window (measured >3x
     // cheaper: no per-partition sort of the whole scored table, and map-side
     // partial min_by collapses each doc's tokens before the shuffle).

@@ -89,8 +89,13 @@ object EventStreams {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions",
-      spark.conf.getOption("spark.graft.stream.partitions").getOrElse("8"))
+      spark.conf.getOption("spark.graft.stream.partitions").getOrElse("4"))
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // Throwaway-replay checkpoint hygiene: retain a single batch (nothing
+    // resumes from these checkpoints) and skip per-row state format
+    // validation (the schema is fixed by the plan that just built it).
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
+    spark.conf.set("spark.sql.streaming.stateStore.formatValidation.enabled", "false")
     // A bounded replay fits one microbatch, and Trigger.Once pays one less
     // offset-planning round than AvailableNow (~0.1 s on the measured
     // floor). A LIVE deployment would use AvailableNow/processing-time
@@ -120,7 +125,7 @@ object EventStreams {
       q.awaitTermination()
       // Probe hook: surface the engine's own per-phase timing breakdown.
       if (spark.conf.getOption("spark.graft.stream.debugProgress").contains("true"))
-        q.recentProgress.foreach(p => println(s"PROGRESS ${p.durationMs}"))
+        q.recentProgress.foreach(p => println(s"PROGRESS ${p.json}"))
       ckpt.foreach { dir => // best-effort scratch cleanup
         import scala.jdk.CollectionConverters._
         val s = java.nio.file.Files.walk(dir)
@@ -151,7 +156,7 @@ object EventStreams {
     val agg = readEvents(spark, dir)
       .groupBy(session_window(col("ts_utc"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"), col("n_events"))
+      .select(col("user_id")) // one row per session; the count itself stays in state
     runToMemory(spark, agg, "complete")
       .groupBy("user_id").agg(count(lit(1)).cast(LongType).as("n_sessions"))
       .orderBy("user_id")

@@ -29,8 +29,9 @@ object StreamProbe {
 
     runAll() // warm codegen + staging
 
+    
     for {
-      parts <- Seq("4", "8", "16")
+      parts <- Seq("8", "4")
       rep <- Seq(1, 2)
     } {
       spark.conf.set("spark.graft.stream.partitions", parts)
