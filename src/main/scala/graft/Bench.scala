@@ -15,6 +15,9 @@ object Bench {
       SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
+        // Shuffle/spill scratch on tmpfs when the host has one: the bench
+        // measures operator latency, not the local disk's fsync jitter.
+        .config("spark.local.dir", graft.streaming.EventStreams.scratchBase)
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
