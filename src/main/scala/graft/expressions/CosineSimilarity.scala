@@ -132,5 +132,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(cls.getName, name), builder))
     }
+    ext.injectFunction((FunctionIdentifier(LshBucket.name),
+      new ExpressionInfo(classOf[LshBucket].getName, LshBucket.name),
+      LshBucket.builder))
   }
 }

@@ -172,8 +172,7 @@ object Dedup {
                         minSim: Double = 0.9, nPlanes: Int = 8): DataFrame = {
     val cos = VectorFunctions.cosineNative(emb.sparkSession) _
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
-    val planes = graft.operators.Similarity.hyperplanes(nPlanes, dim)
-    val bucketed = graft.operators.Similarity.withLshBucket(emb, vecCol, planes)
+    val bucketed = graft.operators.Similarity.withLshBucket(emb, vecCol, nPlanes, dim)
     val a = bucketed.select(col(keyCol).as("a"), col(vecCol).as("va"), col("bucket"))
     val b = bucketed.select(col(keyCol).as("b"), col(vecCol).as("vb"), col("bucket"))
     a.join(b, Seq("bucket"))

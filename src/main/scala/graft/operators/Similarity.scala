@@ -45,13 +45,27 @@ object Similarity {
   }
 
   /** Fixed random hyperplanes: nPlanes × dim, seed-deterministic. */
-  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    graft.expressions.LshBucket.hyperplanes(nPlanes, dim, seed)
+
+  /** Adds `bucket` via the native [[graft.expressions.LshBucket]] codegen
+    * expression: one fused primitive loop per row, inlined into whole-stage
+    * codegen (the composed `zip_with`/`aggregate` form survives in
+    * [[withLshBucketComposed]] and a parity spec pins bit-identical ids).
+    */
+  def withLshBucket(df: DataFrame, vecCol: String, nPlanes: Int, dim: Int,
+                    seed: Long = 42L): DataFrame = {
+    graft.expressions.LshBucket.register(df.sparkSession)
+    df.withColumn("bucket", call_function(graft.expressions.LshBucket.name,
+      col(vecCol), lit(nPlanes), lit(dim), lit(seed.toInt)))
   }
 
-  /** Adds `bucket`: the sign-pattern integer of the vector's projections. */
-  def withLshBucket(df: DataFrame, vecCol: String, planes: Array[Array[Double]]): DataFrame = {
+  /** The composed higher-order-function form of [[withLshBucket]] — same
+    * fold order and double math, kept as the executable spec of the native
+    * expression's semantics.
+    */
+  def withLshBucketComposed(df: DataFrame, vecCol: String,
+                            planes: Array[Array[Double]]): DataFrame = {
     val bucket = planes.zipWithIndex.map { case (p, i) =>
       val lit_p = array(p.map(lit(_)).toIndexedSeq: _*)
       when(aggregate(zip_with(col(vecCol), lit_p, (x, w) => x.cast("double") * w),
@@ -76,10 +90,9 @@ object Similarity {
       (System.identityHashCode(queries.sparkSession),
         queries.queryExecution.logical.semanticHash(), vecCol),
       _ => Integer.valueOf(queries.select(size(col(vecCol))).head().getInt(0))).intValue)
-    val planes = hyperplanes(nPlanes, d)
-    val q = withLshBucket(queries, vecCol, planes)
+    val q = withLshBucket(queries, vecCol, nPlanes, d)
       .select(col(keyCol).as("q_id"), col(vecCol).as("qv"), col("bucket"))
-    val c = withLshBucket(corpus, vecCol, planes)
+    val c = withLshBucket(corpus, vecCol, nPlanes, d)
       .select(col(keyCol).as("n_id"), col(vecCol).as("nv"), col("bucket"))
     val cos = VectorFunctions.cosineNative(corpus.sparkSession) _
     val scored = c.join(broadcast(q), Seq("bucket"))

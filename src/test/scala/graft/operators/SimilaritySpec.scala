@@ -26,9 +26,9 @@ class SimilaritySpec extends AnyFunSuite {
     val t = graft.Tables(spark, graft.TestSpark.Sf0001)
     val emb = t.embeddings
     val planes = Similarity.hyperplanes(8, 64)
-    val b = Similarity.withLshBucket(emb, "embedding", planes)
-    // deterministic bucketing: same vector → same bucket on recompute
-    val b2 = Similarity.withLshBucket(emb, "embedding", planes)
+    val b = Similarity.withLshBucket(emb, "embedding", 8, 64)
+    // native codegen expression ≡ the composed zip_with/aggregate form
+    val b2 = Similarity.withLshBucketComposed(emb, "embedding", planes)
     val joined = b.select(col("vec_id"), col("bucket").as("b1"))
       .join(b2.select(col("vec_id"), col("bucket").as("b2")), "vec_id")
       .filter(col("b1") =!= col("b2")).count()
