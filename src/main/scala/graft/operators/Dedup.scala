@@ -143,6 +143,21 @@ object Dedup {
          size(array_union(col("ga"), col("gb"))).cast("double")).as("jaccard"))
   }
 
+  // ------------------------------------------------------- edit distance
+
+  /** Exact Levenshtein distance over a *bounded* candidate pair set — the
+    * character-level verification primitive of the fuzzy-dedup family
+    * (MinHash/SimHash block, edit distance verifies). All-pairs by
+    * construction, O(len²) per pair: at scale the pair source is LSH
+    * candidates, never a full cross join.
+    */
+  def levenshteinPairs(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val a = docs.select(col(keyCol).as("a"), col(textCol).as("ta"))
+    val b = docs.select(col(keyCol).as("b"), col(textCol).as("tb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"), levenshtein(col("ta"), col("tb")).as("dist"))
+  }
+
   // ------------------------------------------------ embedding cosine near-dup
 
   /** Near-duplicate pairs by embedding cosine over a bounded/blocked id set.
@@ -206,6 +221,9 @@ object Dedup {
     "q56_dedup_embedding_lsh" -> ((s, dir) =>
       embeddingLshPairs(Tables(s, dir).embeddings, "vec_id", "embedding", minSim = 0.3)
         .orderBy("a", "b")),
+    "q68_dedup_levenshtein" -> ((s, dir) =>
+      levenshteinPairs(Tables(s, dir).documents.filter(col("doc_id") <= 30), "doc_id", "text")
+        .orderBy("a", "b")),
   )
 
   /** Oracles where the semantics are SQL-expressible in DuckDB; the hash-based
@@ -226,6 +244,11 @@ object Dedup {
       """SELECT a.vec_id AS a, b.vec_id AS b, ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE a.vec_id <= 20 AND b.vec_id <= 20
+         ORDER BY a, b""",
+    "q68_dedup_levenshtein" ->
+      """SELECT a.doc_id AS a, b.doc_id AS b, levenshtein(a.text, b.text) AS dist
+         FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+         WHERE a.doc_id <= 30 AND b.doc_id <= 30
          ORDER BY a, b""",
   )
 }

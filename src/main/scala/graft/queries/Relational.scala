@@ -62,6 +62,9 @@ object Relational {
     "q38_in_subquery" -> q38InSubquery,
     "q39_correlated_subquery" -> q39CorrelatedSubquery,
     "q52_session_batch" -> q52SessionBatch,
+    "q57_percentile" -> q57Percentile,
+    "q58_grouping_sets" -> q58GroupingSets,
+    "q59_window_ntile" -> q59WindowNtile,
     "q65_pivot" -> q65Pivot,
     "q66_having" -> q66Having,
     "q67_array_agg" -> q67ArrayAgg,
@@ -170,7 +173,12 @@ object Relational {
       .join(t.orders, col("c_custkey") === col("o_custkey"))
       .select("o_orderkey")
     t.lineitem
-      .join(buildingOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      // SHUFFLE_HASH on the key side: a sort-merge semi would sort the whole
+      // fact table; hashing the (filtered, per-partition-bounded) key side
+      // keeps the fact pass sort-free at any scale. AQE may still upgrade to
+      // broadcast when the key side measures small.
+      .join(buildingOrders.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy(col("l_orderkey").as("o_orderkey"))
       .agg(sum(Exact.revenueTerm(col("l_extendedprice"), col("l_discount")))
         .cast("double").as("rev"))
@@ -438,6 +446,41 @@ object Relational {
       .na.fill(0L)
       .orderBy("user_id")
 
+  // Exact interpolated percentiles (median + p90) per group. The 4-decimal
+  // round collapses the one-ULP jitter in the interpolation fraction
+  // ((n-1)*p) across engines; the percentile itself is the exact sorted-rank
+  // interpolation in both.
+  private def q57Percentile: Q = (s, dir) =>
+    Tables(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  // GROUPING SETS — the general form rollup/cube specialize. One shuffle:
+  // Spark expands the sets map-side and aggregates the union in a single
+  // hash aggregation.
+  private def q58GroupingSets: Q = (s, dir) =>
+    Tables(s, dir).orders
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), Exact.dsum(col("o_totalprice")).as("total"))
+      .select(col("o_orderpriority").as("priority"),
+        col("o_orderstatus").as("status"), col("cnt"), col("total"))
+      .orderBy(col("priority").asc_nulls_first, col("status").asc_nulls_first)
+
+  // Distribution windows: equi-depth bucketing (ntile) + relative rank.
+  // (c_acctbal, c_custkey) is a total order, so both are deterministic.
+  private def q59WindowNtile: Q = (s, dir) => {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables(s, dir).customer
+      .select(col("c_custkey"), ntile(4).over(w).as("tile"),
+        round(percent_rank().over(w), 6).as("pr"))
+      .orderBy("c_custkey")
+  }
+
   // Post-aggregation filter (HAVING).
   private def q66Having: Q = (s, dir) =>
     Tables(s, dir).orders
@@ -539,6 +582,12 @@ object Relational {
       "SELECT c_custkey FROM customer WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1) ORDER BY c_custkey",
     "q39_correlated_subquery" ->
       "SELECT o_orderkey FROM orders o WHERE o_totalprice > (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) ORDER BY o_orderkey",
+    "q57_percentile" ->
+      "SELECT l_returnflag, ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50, ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q58_grouping_sets" ->
+      "SELECT o_orderpriority AS priority, o_orderstatus AS status, COUNT(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ()) ORDER BY priority ASC NULLS FIRST, status ASC NULLS FIRST",
+    "q59_window_ntile" ->
+      "SELECT c_custkey, NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS tile, ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pr FROM customer ORDER BY c_custkey",
     "q66_having" ->
       "SELECT o_custkey, COUNT(*) AS c, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey",
     "q67_array_agg" ->

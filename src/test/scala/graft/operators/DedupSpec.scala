@@ -75,6 +75,20 @@ class DedupSpec extends AnyFunSuite {
       s"planted duplicate not found: ${found.toSeq}")
   }
 
+  test("levenshtein pairs: zero distance iff identical, bounded by longer length") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "kitten"), (1L, "sitting"), (2L, "kitten"), (3L, ""),
+    ).toDF("doc_id", "text")
+    val out = Dedup.levenshteinPairs(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(out((0L, 1L)) == 3) // the classic kitten→sitting
+    assert(out((0L, 2L)) == 0) // identical texts
+    assert(out((0L, 3L)) == 6) // vs empty = full deletion
+    assert(out.forall { case (_, d) => d >= 0 && d <= 7 })
+  }
+
   test("embedding cosine pairs flag duplicate vectors") {
     val s = spark
     import s.implicits._
