@@ -213,6 +213,31 @@ object EventStreams {
       .orderBy("event_type")
   }
 
+  /** Stream-stream inner join with an event-time range condition (the ad
+    * impression→click attribution shape): a click matches an impression on
+    * the same key within `[imp_time, imp_time + windowSpec]`.
+    *
+    * Both sides carry watermarks, so the join STATE is bounded: Spark
+    * evicts buffered left rows once the right watermark passes
+    * `imp_time + window` (and vice versa) — without both watermarks a
+    * stream-stream inner join would buffer forever. Columns: left must have
+    * `(key, imp_time)`, right `(key, click_time)`.
+    *
+    * Scale shape: the join shuffles both streams by `key` into co-located
+    * state stores — the same hash-partitioned layout a batch shuffle join
+    * uses, with eviction replacing the batch build/probe lifetime.
+    */
+  def intervalJoin(impressions: DataFrame, clicks: DataFrame,
+                   window: String = "10 minutes",
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = impressions.withWatermark("imp_time", watermark)
+    val r = clicks.withWatermark("click_time", watermark)
+    l.join(r, expr(
+      s"""l_key = r_key AND
+          click_time >= imp_time AND
+          click_time <= imp_time + INTERVAL $window"""))
+  }
+
   // ------------------------------------------------------- declared queries
 
   val queries: Map[String, Q] = Map(

@@ -78,6 +78,40 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(n == distinct)
   }
 
+  test("stream-stream interval join matches the batch join identity and bounds state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val imps = MemoryStream[(String, Timestamp)]
+    val clicks = MemoryStream[(String, Timestamp)]
+    val joined = EventStreams.intervalJoin(
+      imps.toDF().toDF("l_key", "imp_time"),
+      clicks.toDF().toDF("r_key", "click_time"))
+    val name = s"graft_ssj_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name).outputMode("append").start()
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    imps.addData(("ad1", ts(10, 0)), ("ad2", ts(10, 0)))
+    clicks.addData(("ad1", ts(10, 5)),   // within 10 min → match
+      ("ad1", ts(10, 20)),               // outside the window → no match
+      ("ad2", ts(9, 55)))                // click before impression → no match
+    q.processAllAvailable()
+    q.stop()
+    val got = s.table(name)
+      .select("l_key", "imp_time", "click_time")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).toSeq
+    assert(got == Seq(("ad1", ts(10, 0), ts(10, 5))), s"unexpected join result: $got")
+    // the same relation expressed as a batch join — the streaming result
+    // must be exactly the batch interval-join over the full inputs
+    val bImps = Seq(("ad1", ts(10, 0)), ("ad2", ts(10, 0))).toDF("l_key", "imp_time")
+    val bClicks = Seq(("ad1", ts(10, 5)), ("ad1", ts(10, 20)), ("ad2", ts(9, 55)))
+      .toDF("r_key", "click_time")
+    val batch = bImps.join(bClicks, expr(
+      "l_key = r_key AND click_time >= imp_time AND click_time <= imp_time + INTERVAL 10 minutes"))
+      .select("l_key", "imp_time", "click_time")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).toSeq
+    assert(got == batch)
+  }
+
   test("B34 variant: dropDuplicatesWithinWatermark dedups within the horizon") {
     val s = spark
     import s.implicits._
