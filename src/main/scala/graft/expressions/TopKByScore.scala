@@ -1,0 +1,188 @@
+package graft.expressions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSession
+
+/** Bounded top-k as a distributive AGGREGATE (SURVEY §2.C: "partition-local
+  * top-k then global merge" as a `TypedImperativeAggregate`): each partition
+  * keeps a k-bounded heap of `(score, id)` pairs, partial heaps merge on the
+  * reduce side, and only `k` rows per group ever cross the wire.
+  *
+  * This is the 100 TB shape for per-group top-k. The rank-window
+  * alternative shuffles and sorts EVERY scored row by group before
+  * discarding all but k; here the shuffle payload is `groups × k` however
+  * large the scored input is.
+  *
+  * Ordering is total and engine-portable: higher score wins, ties break to
+  * the smaller id — identical to `ROW_NUMBER() OVER (ORDER BY score DESC,
+  * id)` ≤ k. Result: `array<struct<score:double, id:bigint>>` sorted best
+  * first (explode it with `posexplode` for 1-based ranks). Null scores/ids
+  * are skipped.
+  */
+case class TopKByScore(child: Expression, kExpr: Expression,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKByScore.Heap] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StructType(Array(a, b))
+        if a.dataType == DoubleType && b.dataType == LongType =>
+      if (kExpr.foldable && kExpr.dataType == IntegerType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be a literal int")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects struct<score:double,id:bigint>, got ${dt.simpleString}")
+  }
+
+  @transient private lazy val k = kExpr.eval().asInstanceOf[Int]
+
+  override def createAggregationBuffer(): TopKByScore.Heap = new TopKByScore.Heap(k)
+
+  override def update(buf: TopKByScore.Heap, input: InternalRow): TopKByScore.Heap = {
+    val v = child.eval(input)
+    if (v != null) {
+      val row = v.asInstanceOf[InternalRow]
+      if (!row.isNullAt(0) && !row.isNullAt(1))
+        buf.offer(row.getDouble(0), row.getLong(1))
+    }
+    buf
+  }
+
+  override def merge(buf: TopKByScore.Heap, other: TopKByScore.Heap): TopKByScore.Heap = {
+    other.foreach((s, id) => buf.offer(s, id))
+    buf
+  }
+
+  override def eval(buf: TopKByScore.Heap): Any = {
+    val sorted = buf.sortedBestFirst()
+    new GenericArrayData(sorted.map { case (s, id) =>
+      InternalRow(s, id)
+    })
+  }
+
+  override def serialize(buf: TopKByScore.Heap): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { (s, id) => out.writeDouble(s); out.writeLong(id) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKByScore.Heap = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new TopKByScore.Heap(k)
+    var i = 0
+    while (i < n) { buf.offer(in.readDouble(), in.readLong()); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("score", DoubleType), StructField("id", LongType))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = TopKByScore.name
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopKByScore =
+    copy(child = c(0), kExpr = c(1))
+  override def withNewMutableAggBufferOffset(offset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): TopKByScore =
+    copy(inputAggBufferOffset = offset)
+}
+
+object TopKByScore {
+  val name = "graft_topk"
+
+  /** k-bounded "keep the best" buffer: a binary min-heap whose head is the
+    * WORST kept entry (lowest score, largest id on ties), so a new candidate
+    * only displaces the head when it beats it.
+    */
+  final class Heap(k: Int) {
+    private var scores = new Array[Double](math.min(k, 16))
+    private var ids = new Array[Long](math.min(k, 16))
+    private var n = 0
+
+    def size: Int = n
+
+    /** a is worse than b (a should sit closer to the heap root). */
+    @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
+      sa < sb || (sa == sb && ia > ib)
+
+    def offer(s: Double, id: Long): Unit = {
+      if (n < k) {
+        if (n == scores.length) {
+          scores = java.util.Arrays.copyOf(scores, math.min(k, scores.length * 2))
+          ids = java.util.Arrays.copyOf(ids, math.min(k, ids.length * 2))
+        }
+        scores(n) = s; ids(n) = id; n += 1
+        siftUp(n - 1)
+      } else if (k > 0 && worse(scores(0), ids(0), s, id)) {
+        scores(0) = s; ids(0) = id
+        siftDown(0)
+      }
+    }
+
+    private def siftUp(start: Int): Unit = {
+      var i = start
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (worse(scores(i), ids(i), scores(p), ids(p))) {
+          swap(i, p); i = p
+        } else return
+      }
+    }
+
+    private def siftDown(start: Int): Unit = {
+      var i = start
+      while (true) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var w = i
+        if (l < n && worse(scores(l), ids(l), scores(w), ids(w))) w = l
+        if (r < n && worse(scores(r), ids(r), scores(w), ids(w))) w = r
+        if (w == i) return
+        swap(i, w); i = w
+      }
+    }
+
+    @inline private def swap(i: Int, j: Int): Unit = {
+      val ts = scores(i); scores(i) = scores(j); scores(j) = ts
+      val ti = ids(i); ids(i) = ids(j); ids(j) = ti
+    }
+
+    def foreach(f: (Double, Long) => Unit): Unit = {
+      var i = 0
+      while (i < n) { f(scores(i), ids(i)); i += 1 }
+    }
+
+    /** Best first: score desc, id asc on ties. */
+    def sortedBestFirst(): Array[(Double, Long)] = {
+      val arr = Array.tabulate(n)(i => (scores(i), ids(i)))
+      scala.util.Sorting.stableSort(arr,
+        (a: (Double, Long), b: (Double, Long)) =>
+          a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+      arr
+    }
+  }
+
+  private val info = new ExpressionInfo(classOf[TopKByScore].getName, name)
+
+  private[expressions] val builder: Seq[Expression] => Expression = { c =>
+    require(c.size == 2, s"$name expects (struct(score, id), k)")
+    TopKByScore(c.head, c(1))
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(name), info, builder)
+}

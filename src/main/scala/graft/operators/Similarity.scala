@@ -29,7 +29,15 @@ import graft.functions.VectorFunctions
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Exact top-k neighbors for each query vector (brute force baseline). */
+  /** Exact top-k neighbors for each query vector (brute force baseline).
+    *
+    * Ranking runs through the [[graft.expressions.TopKByScore]] bounded-heap
+    * aggregate (SURVEY §2.C's partition-local-top-k-then-merge): the corpus
+    * is scored partition-locally against the broadcast queries and only
+    * `queries × k` pairs leave each partition — a rank window here would
+    * shuffle + sort every scored pair. Tie order (score desc, id asc) is
+    * identical to `ROW_NUMBER() OVER (ORDER BY sim DESC, n_id)`.
+    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, keyCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(keyCol).as("q_id"), col(vecCol).as("qv"))
@@ -38,10 +46,23 @@ object Similarity {
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(cos(col("qv"), col("nv")), 6).as("sim"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("n_id"), col("sim"))
+    topKPerGroup(scored, "q_id", "sim", "n_id", k)
+  }
+
+  /** Per-group top-k via the bounded-heap aggregate; returns
+    * `(group, rnk, idCol, scoreCol)` rows, rank 1 = best.
+    */
+  private[operators] def topKPerGroup(scored: DataFrame, groupCol: String,
+                                      scoreCol: String, idCol: String,
+                                      k: Int): DataFrame = {
+    graft.expressions.TopKByScore.register(scored.sparkSession)
+    scored
+      .groupBy(groupCol)
+      .agg(call_function(graft.expressions.TopKByScore.name,
+        struct(col(scoreCol).cast("double"), col(idCol).cast("long")), lit(k)).as("_top"))
+      .select(col(groupCol), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col(groupCol), (col("_pos") + 1).cast("int").as("rnk"),
+        col("_t.id").as(idCol), col("_t.score").as(scoreCol))
   }
 
   /** Fixed random hyperplanes: nPlanes × dim, seed-deterministic. */
@@ -99,10 +120,7 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(cos(col("qv"), col("nv")), 6).as("sim"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("n_id"), col("sim"))
+    topKPerGroup(scored, "q_id", "sim", "n_id", k)
   }
 
   /** K-means (Lloyd) centroid refinement, all DataFrame ops, deterministic
@@ -202,13 +220,11 @@ object Similarity {
         .join(broadcast(cent))
         .select(col(idAs), col("cent_id"),
           round(cos(col(vecCol), col("cvec")), 6).as("s"))
-    val wCell = Window.partitionBy("c_id").orderBy(col("s").desc, col("cent_id"))
-    val cells = assignments(corpus, "c_id")
-      .withColumn("rn", row_number().over(wCell)).filter(col("rn") === 1)
+    // nearest-cell argmax + nprobe selection via the same bounded-heap
+    // aggregate (tie order s desc, cent_id asc — as a rank window would)
+    val cells = topKPerGroup(assignments(corpus, "c_id"), "c_id", "s", "cent_id", 1)
       .select(col("c_id"), col("cent_id"))
-    val wProbe = Window.partitionBy("q_id").orderBy(col("s").desc, col("cent_id"))
-    val probes = assignments(queries, "q_id")
-      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
+    val probes = topKPerGroup(assignments(queries, "q_id"), "q_id", "s", "cent_id", nprobe)
       .select(col("q_id"), col("cent_id"))
     val candidates = probes.join(cells, "cent_id")
       .filter(col("q_id") =!= col("c_id"))
@@ -219,10 +235,7 @@ object Similarity {
       .join(queries.select(col(keyCol).as("q_id"), col(vecCol).as("qv")), "q_id")
       .join(corpus.select(col(keyCol).as("n_id"), col(vecCol).as("nv")), "n_id")
       .select(col("q_id"), col("n_id"), round(cos(col("qv"), col("nv")), 6).as("sim"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("n_id"), col("sim"))
+    topKPerGroup(scored, "q_id", "sim", "n_id", k)
   }
 
   // ------------------------------------------------------- declared queries

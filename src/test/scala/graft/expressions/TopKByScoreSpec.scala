@@ -1,0 +1,60 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TopKByScoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def topk(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    TopKByScore.register(spark)
+    df.groupBy("g")
+      .agg(call_function(TopKByScore.name,
+        struct(col("s").cast("double"), col("id").cast("long")), lit(k)).as("t"))
+  }
+
+  test("keeps the k best per group with score-desc id-asc tie order, across partitions") {
+    val s = spark
+    import s.implicits._
+    // group 1: distinct scores; group 2: all-tied scores (order must be by id)
+    val rows = (1 to 100).map(i => (1L, i.toDouble, i.toLong)) ++
+      (1 to 50).map(i => (2L, 7.0, i.toLong))
+    // repartition(13) forces partial heaps + merges across many partitions
+    val df = rows.toDF("g", "s", "id").repartition(13)
+    val out = topk(df, 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(t => (t.getDouble(0), t.getLong(1)))).toMap
+    assert(out(1L) == Seq((100.0, 100L), (99.0, 99L), (98.0, 98L)))
+    assert(out(2L) == Seq((7.0, 1L), (7.0, 2L), (7.0, 3L)))
+  }
+
+  test("groups smaller than k return all rows, sorted; null scores are skipped") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some(2.0), 10L), (1L, None, 11L), (1L, Some(5.0), 12L))
+      .toDF("g", "s", "id")
+    val out = topk(df, 10).collect()
+      .map(r => r.getSeq[org.apache.spark.sql.Row](1).map(t => (t.getDouble(0), t.getLong(1))))
+    assert(out.head == Seq((5.0, 12L), (2.0, 10L)))
+  }
+
+  test("agrees with the rank-window formulation on a random-ish fixture") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 500).map { i =>
+      ((i % 7).toLong, math.sin(i * 2.39996).toDouble, i.toLong)
+    }
+    val df = rows.toDF("g", "s", "id").repartition(9)
+    val agg = topk(df, 5).select(col("g"), posexplode(col("t")).as(Seq("p", "t")))
+      .select(col("g"), (col("p") + 1).cast("long").as("rnk"), col("t.score"), col("t.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("s").desc, col("id"))
+    val win = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select(col("g"), col("rnk").cast("long"), col("s"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(agg == win)
+  }
+}
