@@ -28,7 +28,10 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       runOnce(fn) // warmup: codegen + JIT + file-footer caches
-      name -> runOnce(fn)
+      // median of 3 timed runs: single samples on a shared host carry
+      // multi-hundred-ms scheduler/IO jitter that is not the engine's
+      val ts = Seq(runOnce(fn), runOnce(fn), runOnce(fn)).sorted
+      name -> ts(1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
