@@ -52,4 +52,35 @@ object ScaleLayouts {
                     leftKey: String, rightKey: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable),
       col(leftKey) === col(rightKey))
+
+  /** Morton (Z-order) interleave of the low 16 bits of two non-negative int
+    * dimensions — bit i of `a` lands at position 2i, bit i of `b` at 2i+1.
+    * Pure integer arithmetic, stays inside whole-stage codegen. Callers with
+    * wider/skewed domains pass bucketized dims (day numbers, key mod N,
+    * rank tiles); the masking makes out-of-range inputs wrap rather than
+    * error, which is fine for a layout (not a semantics) decision.
+    */
+  def morton16(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    (0 until 16).map { i =>
+      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Writes `df` clustered on the Z-order curve of two dimensions: range-
+    * partitioned and sorted by the interleaved key, so every output file
+    * covers a small rectangle in (dim1, dim2) space. Parquet min/max stats
+    * then prune rowgroups for predicates on EITHER dimension — the
+    * multi-column generalization of single-key range layout, at the cost of
+    * one write-time sort (amortized over every later scan, like bucketing).
+    */
+  def writeZOrdered(df: DataFrame, dim1: String, dim2: String,
+                    nFiles: Int, path: String): Unit =
+    df.withColumn("_z", morton16(col(dim1), col(dim2)))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
 }
