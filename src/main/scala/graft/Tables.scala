@@ -91,6 +91,16 @@ object Tables {
   private def stageFileCount(bytes: Long): Int =
     math.min(32L, math.max(2L, bytes / (1L << 20))).toInt
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally s.close()
+    }
+  }
+
   /** Returns the path to read `name` from: the original single-file fixture
     * when it is small enough that one scan task is fine, else a staged
     * multi-file copy under [[scratchBase]] (written once per source
@@ -114,8 +124,21 @@ object Tables {
         case Some(k) => df.repartitionByRange(n, col(k))
         case None    => df.repartition(n)
       }
-      out.write.mode("overwrite").parquet(stage.toString)
-      Files.writeString(marker, sig) // "_"-prefixed: not listed as data
+      // Stage into a private temp dir, then publish with an atomic rename:
+      // concurrent JVMs (Verify + Bench, parallel test suites) must never
+      // observe a half-written layout or overwrite each other mid-read.
+      val tmp = Paths.get(s"$stage.tmp.${ProcessHandle.current().pid()}")
+      out.write.mode("overwrite").parquet(tmp.toString)
+      Files.writeString(tmp.resolve(marker.getFileName), sig) // "_"-prefixed: not data
+      try {
+        if (Files.exists(stage)) deleteRecursively(stage)
+        Files.move(tmp, stage, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException |
+             _: java.nio.file.AccessDeniedException =>
+          deleteRecursively(tmp) // a racing writer published first — use theirs
+      }
     }
     stage.toString
   }
