@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
 import graft.queries.Relational
 import graft.streaming.EventStreams
 
@@ -54,7 +54,8 @@ object SparkEntry {
       Similarity.queries ++
       TextAnalysis.queries ++
       Multimodal.queries) ++
-      EventStreams.queries // replays EXECUTE in fn — never cache these
+      Sketches.queries ++   // sketch build + probe EXECUTE in fn — never cache
+      EventStreams.queries  // replays EXECUTE in fn — never cache these
 
   /** Prepared-statement plan cache: the batch entries are pure plan
     * builders (no action runs until the caller executes the DataFrame), so
@@ -84,6 +85,7 @@ object SparkEntry {
       Dedup.oracles ++
       Similarity.oracles ++
       TextAnalysis.oracles ++
+      Sketches.oracles ++
       Multimodal.oracles ++
       EventStreams.oracles
 }
