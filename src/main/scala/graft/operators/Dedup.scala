@@ -186,7 +186,13 @@ object Dedup {
   def embeddingLshPairs(emb: DataFrame, keyCol: String, vecCol: String,
                         minSim: Double = 0.9, nPlanes: Int = 8): DataFrame = {
     val cos = VectorFunctions.cosineNative(emb.sparkSession) _
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    // dim discovery has no row to inspect on an empty corpus — degrade to
+    // the (empty) result rather than erroring the pipeline
+    val dim = emb.select(size(col(vecCol))).limit(1).collect().headOption match {
+      case Some(r) => r.getInt(0)
+      case None => return emb.select(col(keyCol).as("a"), col(keyCol).as("b"),
+        lit(0.0).as("sim")).limit(0)
+    }
     val bucketed = graft.operators.Similarity.withLshBucket(emb, vecCol, nPlanes, dim)
     val a = bucketed.select(col(keyCol).as("a"), col(vecCol).as("va"), col("bucket"))
     val b = bucketed.select(col(keyCol).as("b"), col(vecCol).as("vb"), col("bucket"))

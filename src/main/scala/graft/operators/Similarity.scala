@@ -106,11 +106,17 @@ object Similarity {
               vecCol: String, k: Int, nPlanes: Int = 8,
               dim: Option[Int] = None): DataFrame = {
     // one scalar job over the (small) query side, not the corpus; memoized
-    // per (session, query plan, column) like the IVF centroids
-    val d = dim.getOrElse(dimCache.computeIfAbsent(
+    // per (session, query plan, column) like the IVF centroids. An empty
+    // query set has no dim to discover — degrade to the (empty) result.
+    val probed = dim.orElse(Option(dimCache.computeIfAbsent(
       (System.identityHashCode(queries.sparkSession),
         queries.queryExecution.logical.semanticHash(), vecCol),
-      _ => Integer.valueOf(queries.select(size(col(vecCol))).head().getInt(0))).intValue)
+      _ => queries.select(size(col(vecCol))).limit(1).collect().headOption
+        .map(r => Integer.valueOf(r.getInt(0))).orNull)).map(_.intValue))
+    val d = probed.getOrElse {
+      return queries.select(col(keyCol).as("q_id"), lit(1).as("rnk"),
+        col(keyCol).as("n_id"), lit(0.0).as("sim")).limit(0)
+    }
     val q = withLshBucket(queries, vecCol, nPlanes, d)
       .select(col(keyCol).as("q_id"), col(vecCol).as("qv"), col("bucket"))
     val c = withLshBucket(corpus, vecCol, nPlanes, d)

@@ -31,14 +31,15 @@ object StreamProbe {
 
     
     for {
-      parts <- Seq("8", "4")
+      localMerge <- Seq("false", "true")
       rep <- Seq(1, 2)
     } {
-      spark.conf.set("spark.graft.stream.partitions", parts)
+      spark.conf.set("spark.graft.stream.partitions", "4")
       spark.conf.set("spark.graft.stream.trigger", "once")
+      spark.conf.set("spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition", localMerge)
       val t = runAll()
       val total = t.values.sum
-      println(f"PROBE parts=$parts%-2s rep=$rep total=$total%6.2f  " +
+      println(f"PROBE lm=$localMerge%-5s rep=$rep total=$total%6.2f  " +
         t.toSeq.sorted.map { case (n, s) => f"${n.stripPrefix("q6").take(12)}=$s%4.2f" }.mkString(" "))
     }
     spark.stop()

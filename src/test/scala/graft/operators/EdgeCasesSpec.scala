@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Degenerate-input behavior across the operator families: empty inputs,
+  * null/empty text, right-side-less as-of lookups. These shapes appear
+  * constantly in real corpora and must degrade to empty/null results, never
+  * to exceptions or fabricated rows.
+  */
+class EdgeCasesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("dedup pipelines return no pairs on an empty corpus") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minhashPairs(empty, "doc_id").count() == 0)
+    assert(Dedup.simhashPairs(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardPairs(empty, "doc_id", 3).count() == 0)
+    assert(Dedup.levenshteinPairs(empty, "doc_id", "text").count() == 0)
+  }
+
+  test("a single-document corpus yields no pairs") {
+    val s = spark
+    import s.implicits._
+    val one = Seq((1L, "only one document here")).toDF("doc_id", "text")
+    assert(Dedup.minhashPairs(one, "doc_id").count() == 0)
+    assert(Dedup.simhashPairs(one, "doc_id", "text").count() == 0)
+  }
+
+  test("empty and whitespace-only texts flow through text analysis without error") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "real text here")).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityFeatures(docs, "text").collect()
+    assert(out.length == 3)
+    val tok = docs.select(TextAnalysis.wsTokenCount(col("text")).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    // empty/blank text = zero tokens, not one empty token
+    assert(tok.take(2) == Seq(0L, 0L) && tok(2) == 3L, s"token counts: $tok")
+  }
+
+  test("as-of join with an empty right side keeps left rows with null value") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 100L), (2L, 200L)).toDF("k", "ts")
+    val right = Seq.empty[(Long, Long, Double, Long)].toDF("k", "ts", "v", "tb")
+    val out = AsOfJoin.leftAsOf(left, right, "k", "ts", "v", "tb")
+      .orderBy("k").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("asof_value"))))
+  }
+
+  test("embedding LSH pairs on an empty corpus return empty without a dim probe error") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // dim discovery has no first row to inspect — must degrade to empty, not throw
+    assert(Dedup.embeddingLshPairs(empty, "vec_id", "embedding").count() == 0)
+  }
+}
