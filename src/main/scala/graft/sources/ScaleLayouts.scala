@@ -53,6 +53,35 @@ object ScaleLayouts {
     spark.table(leftTable).join(spark.table(rightTable),
       col(leftKey) === col(rightKey))
 
+  /** Changed rows between two dated snapshots of the same table: full outer
+    * join on `keyCols`, change class from row-hash comparison. Both sides
+    * are partition-pruned scans (only the two named snapshot partitions are
+    * read, never the history), and the join shuffles on the natural key —
+    * the incremental-refresh primitive the reference's Modified-date skip
+    * (statline.py check_gcp_metadata) approximates at whole-table
+    * granularity.
+    *
+    * Returns `keyCols ++ (change: added|removed|changed)`; unchanged rows
+    * are filtered before the result leaves the join, so the output is
+    * proportional to the churn, not the table.
+    */
+  def snapshotDiff(spark: SparkSession, root: String, oldDate: LocalDate,
+                   newDate: LocalDate, keyCols: Seq[String]): DataFrame = {
+    val all = spark.read.parquet(root)
+    val dataCols = all.columns.filterNot(_ == "snapshot_date").toSeq
+    def side(d: LocalDate, tag: String) =
+      all.filter(col("snapshot_date") === d.format(fmt))
+        .select(keyCols.map(col) :+
+          hash(dataCols.map(col): _*).as(s"_h_$tag"): _*)
+    side(oldDate, "old").join(side(newDate, "new"), keyCols, "full_outer")
+      .withColumn("change",
+        when(col("_h_old").isNull, "added")
+          .when(col("_h_new").isNull, "removed")
+          .when(col("_h_old") =!= col("_h_new"), "changed"))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
+
   /** Morton (Z-order) interleave of the low 16 bits of two non-negative int
     * dimensions — bit i of `a` lands at position 2i, bit i of `b` at 2i+1.
     * Pure integer arithmetic, stays inside whole-stage codegen. Callers with

@@ -27,6 +27,26 @@ class ScaleLayoutsSpec extends AnyFunSuite {
     assert(latest.filter(col("n_name") =!= upper(col("n_name"))).count() == 0)
   }
 
+  test("snapshot diff classifies added/removed/changed rows and prunes history") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_diff").toString
+    val d1 = LocalDate.of(2024, 1, 1)
+    val d2 = LocalDate.of(2024, 2, 1)
+    val dMid = LocalDate.of(2024, 1, 15) // a third snapshot that must NOT be read
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "s", "v")
+    val v2 = Seq((1L, "a", 10.0), (2L, "B", 20.0), (4L, "d", 40.0)).toDF("id", "s", "v")
+    ScaleLayouts.writeSnapshot(v1, root, d1)
+    ScaleLayouts.writeSnapshot(v1.limit(1), root, dMid)
+    ScaleLayouts.writeSnapshot(v2, root, d2)
+    val diff = ScaleLayouts.snapshotDiff(spark, root, d1, d2, Seq("id"))
+    val got = diff.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"), s"$got")
+    // both scans are partition-pruned: the mid snapshot never enters a plan
+    val plan = diff.queryExecution.executedPlan.toString
+    assert(!plan.contains("20240115"), s"history partition not pruned:\n$plan")
+  }
+
   test("bucketed tables join with zero shuffle exchange") {
     val t = Tables(spark, TestSpark.Sf0001)
     ScaleLayouts.writeBucketed(t.orders, "orders_b", "o_custkey", 8)
