@@ -21,12 +21,19 @@ object Bench {
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Each timed run builds a FRESH plan and collects the result rows — the
+    // same work the DuckDB oracle pays per query (plan + execute + fetch).
+    // No plan cache here: re-executing a cached AQE plan reuses materialized
+    // shuffle stages and would report final-stage-only latency. `collect`,
+    // not `count`: count() rewraps the query in a new aggregate plan (often
+    // costlier than the query itself at this scale) and lets Catalyst drop
+    // the result-shaping work a real client consumes.
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      try { fn(spark, sfDir).collect() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.freshQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       runOnce(fn) // warmup: codegen + JIT + file-footer caches
       // median of 3 timed runs: single samples on a shared host carry
       // multi-hundred-ms scheduler/IO jitter that is not the engine's

@@ -57,6 +57,22 @@ object SparkEntry {
       Sketches.queries ++   // sketch build + probe EXECUTE in fn — never cache
       EventStreams.queries  // replays EXECUTE in fn — never cache these
 
+  /** The same surface with NO plan cache: every call builds a fresh plan.
+    * The bench measures through this so each timed run pays the full
+    * plan-build + optimize + execute pipeline — re-executing a cached AQE
+    * plan would silently REUSE its materialized shuffle stages and report
+    * final-stage-only latency.
+    */
+  def freshQueries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++
+      AsOfJoin.queries ++
+      Dedup.queries ++
+      Similarity.queries ++
+      TextAnalysis.queries ++
+      Multimodal.queries ++
+      Sketches.queries ++
+      EventStreams.queries
+
   /** Prepared-statement plan cache: the batch entries are pure plan
     * builders (no action runs until the caller executes the DataFrame), so
     * the analyzed logical plan can be built once per (session, query, input
