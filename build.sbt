@@ -27,7 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  // Sub-second queries are latency-bound: a roomy young gen keeps task
-  // allocation churn out of full collections.
-  s"-XX:+${sys.env.getOrElse("SPARK_GC", "UseParallelGC")}",
+  // Sub-second queries are latency-bound; measured on the full bench:
+  // G1 ~20.7s vs ParallelGC ~27-30s (multi-second full-GC outliers on
+  // random queries) vs ZGC ~41s (allocation stalls). G1's incremental
+  // collections keep per-query jitter bounded.
+  s"-XX:+${sys.env.getOrElse("SPARK_GC", "UseG1GC")}",
 )

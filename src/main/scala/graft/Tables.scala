@@ -85,11 +85,13 @@ object Tables {
     "events" -> "ts",
   )
 
-  /** ~1 MiB/file ≈ one rowgroup per file at fixture row widths; cap at 32
-    * (the local core count — on a cluster this would be executor slots).
+  /** ~64 KiB/file keeps even small-but-CPU-heavy tables (documents:
+    * per-row regex/signature work; embeddings: per-row vector math) wide
+    * enough that a scan engages most cores; cap at 32 (the local core
+    * count — on a cluster this would be executor slots).
     */
   private def stageFileCount(bytes: Long): Int =
-    math.min(32L, math.max(2L, bytes / (1L << 20))).toInt
+    math.min(32L, math.max(4L, bytes / (64L << 10))).toInt
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -112,7 +114,13 @@ object Tables {
     val src = Paths.get(s"$dir/$name.parquet")
     if (!Files.exists(src)) return src.toString // let the reader error out
     val bytes = Files.size(src)
-    if (bytes < (2L << 20)) return src.toString
+    // Below this a single scan task finishes faster than extra tasks launch —
+    // EXCEPT for per-row-CPU-heavy tables, which want full width even when
+    // tiny at rest (500 KiB of documents is minutes of signature math at
+    // 100 TB-densities; the ingest layout would be many files regardless).
+    val threshold = if (name == "documents" || name == "embeddings") 192L << 10
+      else 2L << 20
+    if (bytes < threshold) return src.toString
     val stage = Paths.get(scratchBase,
       s"graft_tbl_${Integer.toHexString(dir.hashCode)}_$name")
     val marker = stage.resolve("_graft_stage_marker")

@@ -135,7 +135,10 @@ object Dedup {
     val g = docs
       .filter(length(col("text")) >= n)
       .select(col(keyCol), shinglesExpr(n).as("g"))
-    val a = g.select(col(keyCol).as("a"), col("g").as("ga"))
+    // spread the streamed side: a filtered candidate set usually occupies a
+    // few input splits, which would serialize the O(pairs) verify work onto
+    // one or two tasks while the rest of the cluster idles
+    val a = spread(g.select(col(keyCol).as("a"), col("g").as("ga")))
     val b = g.select(col(keyCol).as("b"), col("g").as("gb"))
     a.join(b, col("a") < col("b"))
       .select(col("a"), col("b"),
@@ -152,7 +155,8 @@ object Dedup {
     * candidates, never a full cross join.
     */
   def levenshteinPairs(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
-    val a = docs.select(col(keyCol).as("a"), col(textCol).as("ta"))
+    // spread: each pair costs O(len²) DP — see ngramJaccardPairs
+    val a = spread(docs.select(col(keyCol).as("a"), col(textCol).as("ta")))
     val b = docs.select(col(keyCol).as("b"), col(textCol).as("tb"))
     a.join(b, col("a") < col("b"))
       .select(col("a"), col("b"), levenshtein(col("ta"), col("tb")).as("dist"))
@@ -167,7 +171,7 @@ object Dedup {
     */
   def embeddingCosinePairs(emb: DataFrame, keyCol: String, vecCol: String): DataFrame = {
     val cos = VectorFunctions.cosineNative(emb.sparkSession) _
-    val a = emb.select(col(keyCol).as("a"), col(vecCol).as("va"))
+    val a = spread(emb.select(col(keyCol).as("a"), col(vecCol).as("va")))
     val b = emb.select(col(keyCol).as("b"), col(vecCol).as("vb"))
     a.join(b, col("a") < col("b"))
       .select(col("a"), col("b"),

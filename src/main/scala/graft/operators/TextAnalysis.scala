@@ -6,16 +6,24 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.Tables
+import graft.expressions.TextStats
 
 /** Text-analysis operators for training-data pipelines (SURVEY §2.C):
   * language id (marker-n-gram heuristic), quality scoring, token counting,
-  * and document fingerprinting. All are pure column expressions — they
-  * inline into whole-stage codegen, prune to just the `text` column at the
-  * scan, and need zero shuffles (embarrassingly parallel per document).
+  * and document fingerprinting. All are per-document column expressions —
+  * they prune to just the `text` column at the scan and need zero shuffles
+  * (embarrassingly parallel per document).
   *
-  * Regex note: patterns deliberately avoid backslash classes (`\s`, `\w`)
-  * — bracket classes like `[ ]` and `[a-zA-Z]` mean the same thing in Java
-  * regex (Spark) and RE2 (DuckDB oracle) with no escape-layer ambiguity.
+  * The per-document feature math runs in the native single-pass
+  * [[graft.expressions.TextStats]] expressions (one fused loop per text,
+  * inside whole-stage codegen) — the composed-builtin regex formulations
+  * they replace are kept in scaladoc + the equivalence spec, and remain the
+  * DuckDB oracle definitions.
+  *
+  * Regex note (oracle side): patterns deliberately avoid backslash classes
+  * (`\s`, `\w`) — bracket classes like `[ ]` and `[a-zA-Z]` mean the same
+  * thing in Java regex (Spark) and RE2 (DuckDB) with no escape-layer
+  * ambiguity.
   */
 object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
@@ -69,15 +77,19 @@ object TextAnalysis {
 
   /** Quality features + a composite score in [0, 1]. All arithmetic is
     * exact-integer ratios rounded in scaled-integer space, so results are
-    * engine-portable at any scale factor.
+    * engine-portable at any scale factor. Feature counts come from ONE
+    * fused pass per text ([[TextStats]]); the oracle keeps the equivalent
+    * regex formulations.
     */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val nChars = length(t).cast(LongType)
-    val nWords = wsTokenCount(t)
-    val alpha = length(regexp_replace(t, "[^a-zA-Z]", "")).cast(LongType)
-    val punct = length(regexp_replace(t, "[^.,;:!?]", "")).cast(LongType)
-    df.withColumn("n_chars_calc", nChars)
+    val st = TextStats.statsCol(df.sparkSession)(col(textCol))
+    val withStats = df.withColumn("_st", st)
+    val nChars = col("_st")(TextStats.NChars)
+    val nWords = col("_st")(TextStats.WsTokens)
+    val alpha = col("_st")(TextStats.Alpha)
+    val punct = col("_st")(TextStats.Punct)
+    withStats
+      .withColumn("n_chars_calc", nChars)
       .withColumn("n_words", nWords)
       .withColumn("alpha_ratio", ratio4(alpha, nChars))
       .withColumn("punct_ratio", ratio4(punct, nChars))
@@ -85,6 +97,7 @@ object TextAnalysis {
       // least(n_words/50, 1) * alpha/n_chars == min(n_words,50)*alpha / (50*n_chars)
       .withColumn("quality_score",
         ratio4(least(nWords, lit(50L)) * alpha, lit(50L) * greatest(nChars, lit(1L))))
+      .drop("_st")
   }
 
   /** Polynomial rolling-hash fingerprint (base 31, mod 1e9+7) over the
@@ -136,9 +149,18 @@ object TextAnalysis {
       tfidfTopTerm(Tables(s, dir).documents, "doc_id", "text")
         .orderBy("doc_id")),
     "q47_text_langid" -> ((s, dir) => {
-      val (lang, best) = langId(col("text"))
+      // one fused marker scan per doc; argmax over the per-language counts
+      // (ties → first language in fixed order, 'und' when no hits)
+      val hits = TextStats.markerHitsCol(s)(col("text"))
+      val hitCols = TextStats.langs.indices.map(i => col("_h")(i))
+      val best = hitCols.reduce((a, b) => greatest(a, b))
+      val lang = TextStats.langs.zip(hitCols).foldRight(lit("und"): Column) {
+        case ((l, h), acc) => when(h === col("_best") && col("_best") > 0, l).otherwise(acc)
+      }
       Tables(s, dir).documents
-        .select(col("doc_id"), lang.as("pred_lang"), best.as("marker_hits"))
+        .withColumn("_h", hits)
+        .withColumn("_best", best)
+        .select(col("doc_id"), lang.as("pred_lang"), col("_best").as("marker_hits"))
         .orderBy("doc_id")
     }),
     "q48_text_quality" -> ((s, dir) =>
@@ -146,15 +168,18 @@ object TextAnalysis {
         .select("doc_id", "n_chars_calc", "n_words", "alpha_ratio",
           "punct_ratio", "avg_word_len", "quality_score")
         .orderBy("doc_id")),
-    "q49_text_tokens" -> ((s, dir) =>
+    "q49_text_tokens" -> ((s, dir) => {
+      val st = TextStats.statsCol(s)(col("text"))
       Tables(s, dir).documents
+        .withColumn("_st", st)
         .select(col("doc_id"),
-          wsTokenCount(col("text")).as("ws_tokens"),
-          bpeishTokenCount(col("text")).as("bpeish_tokens"))
-        .orderBy("doc_id")),
+          col("_st")(TextStats.WsTokens).as("ws_tokens"),
+          col("_st")(TextStats.BpeishTokens).as("bpeish_tokens"))
+        .orderBy("doc_id")
+    }),
     "q50_text_fingerprint" -> ((s, dir) =>
       Tables(s, dir).documents
-        .select(col("doc_id"), fingerprint("text").as("fp"))
+        .select(col("doc_id"), TextStats.fingerprintCol(s)(col("text")).as("fp"))
         .orderBy("doc_id")),
   )
 
