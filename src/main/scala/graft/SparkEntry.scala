@@ -35,6 +35,12 @@ object SparkEntry {
     // the default, which only merges empty/sub-minPartitionSize reads,
     // stays.)
     "spark.sql.session.timeZone" -> "UTC",
+    // The JVM-wide codegen class cache defaults to 100 entries; a workload
+    // that cycles through the full operator surface (Verify/Bench: 69
+    // queries x several codegen units each) evicts constantly and pays a
+    // Janino recompile (~50-100ms) per unit per query. Identical generated
+    // source should compile once per JVM.
+    "spark.sql.codegen.cache.maxEntries" -> "5000",
   )
 
   def configure(b: SparkSession.Builder): SparkSession.Builder =
@@ -42,7 +48,12 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
-    sessionConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
+    // Static confs (codegen cache size) only apply when set at session
+    // build time; on a caller-provided live session they are skipped.
+    sessionConfigs.foreach { case (k, v) =>
+      try spark.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => }
+    }
     Relational.queries("q11_star_join")(spark, "/root/testdata/sf0.001")
   }
 

@@ -121,7 +121,13 @@ object TextAnalysis {
     // and the extra shuffle of raw texts costs more than it buys)
     val tok = docs.select(col(keyCol),
       explode(split(trim(col(textCol)), " +")).as("token"))
-    val tf = tok.groupBy(keyCol, "token").agg(count(lit(1)).as("tf"))
+    // ONE token-major shuffle feeds both aggregations: HashPartitioning on
+    // `token` satisfies the (doc, token) grouping (a partitioning on a
+    // subset of the group keys co-locates every group), and the df window
+    // needs the same token clustering — so tf-agg and df-window run in the
+    // SAME stage with no second exchange.
+    val tf = tok.repartition(col("token"))
+      .groupBy(keyCol, "token").agg(count(lit(1)).as("tf"))
     // Corpus size as a broadcast 1-row join, not a separate docs.count()
     // action: one DAG, one pass over the inputs per invocation.
     val n = docs.agg(count(lit(1)).cast("double").as("_n"))

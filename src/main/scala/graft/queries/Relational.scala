@@ -186,17 +186,23 @@ object Relational {
       .limit(10)
   }
 
-  // B13: latest-snapshot / as-of semantics (reference gcpl.py:93-96) as a
-  // ranking window over event time.
-  private def q12AsofLatest: Q = (s, dir) => {
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts_us").desc, col("event_id").desc)
+  // B13: latest-snapshot / as-of semantics (reference gcpl.py:93-96):
+  // latest row per key. Declared as a max_by AGGREGATION, not a rank
+  // window: partial aggregation collapses each key map-side before the
+  // shuffle (no per-partition sort of the whole table), which is the only
+  // shape that survives when a key's history doesn't fit one partition.
+  // Identical to ROW_NUMBER() OVER (ORDER BY ts DESC, event_id DESC) = 1 —
+  // the oracle keeps that formulation; the ranking-window surface itself is
+  // certified by q17-q19/q59.
+  private def q12AsofLatest: Q = (s, dir) =>
     Tables(s, dir).eventsUs
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("user_id", "event_type", "value")
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("event_type"), col("value")),
+        struct(col("ts_us"), col("event_id"))).as("_latest"))
+      .select(col("user_id"), col("_latest.event_type").as("event_type"),
+        col("_latest.value").as("value"))
       .orderBy("user_id")
-  }
 
   // B14: TPC-H Q1-shaped hash aggregate with exact decimal sums.
   private def q13AggHash: Q = (s, dir) =>

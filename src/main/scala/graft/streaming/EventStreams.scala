@@ -30,6 +30,9 @@ object EventStreams {
 
   private val runId = new AtomicLong(0)
 
+  /** Memory-sink view names from prior replays, dropped on the next replay. */
+  private val staleSinks = scala.collection.mutable.Buffer.empty[String]
+
   /** Scratch root for replay staging + throwaway checkpoints: a tmpfs when
     * the host has one (offset/commit WAL and state-store delta files are
     * fsync-heavy small writes — RAM-backed beats disk), else the tmp dir.
@@ -79,7 +82,15 @@ object EventStreams {
     * and returns the materialized result.
     */
   def runToMemory(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    // Replay sinks are consumed immediately by the caller; earlier replays'
+    // memory tables would otherwise pin their rows for the session lifetime
+    // (a bench/verify run does dozens of replays).
+    staleSinks.synchronized {
+      staleSinks.foreach(spark.catalog.dropTempView(_))
+      staleSinks.clear()
+    }
     val name = s"graft_stream_${runId.incrementAndGet()}_${System.nanoTime()}"
+    staleSinks.synchronized { staleSinks += name }
     // Stateful operators allocate one state store per shuffle partition up
     // front; for these bounded replays a couple is plenty (a real cluster
     // deployment sizes this to its executor count instead). The trailing
@@ -96,6 +107,12 @@ object EventStreams {
     // validation (the schema is fixed by the plan that just built it).
     spark.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
     spark.conf.set("spark.sql.streaming.stateStore.formatValidation.enabled", "false")
+    // Each replay registers fresh state-store providers (new checkpoint);
+    // they accumulate in the provider cache for the session's lifetime, and
+    // the default 60s maintenance sweep would iterate and snapshot ALL of
+    // them mid-bench. Replays never resume, so maintenance is pure overhead.
+    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
+    spark.conf.set("spark.sql.streaming.stateStore.minDeltasForSnapshot", "1000")
     // A bounded replay fits one microbatch, and Trigger.Once pays one less
     // offset-planning round than AvailableNow (~0.1 s on the measured
     // floor). A LIVE deployment would use AvailableNow/processing-time
