@@ -166,6 +166,10 @@ object Similarity {
   private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
     (Int, Int, String, String, Int, Int), DataFrame]()
 
+  /** Materialized inverted lists per (session, corpus, params) — see ivfTopK. */
+  private val cellCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, String, String, Int, Int), DataFrame]()
+
   private val dimCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, String), Integer]()
 
@@ -227,9 +231,17 @@ object Similarity {
         .select(col(idAs), col("cent_id"),
           round(cos(col(vecCol), col("cvec")), 6).as("s"))
     // nearest-cell argmax + nprobe selection via the same bounded-heap
-    // aggregate (tie order s desc, cent_id asc — as a rank window would)
-    val cells = topKPerGroup(assignments(corpus, "c_id"), "c_id", "s", "cent_id", 1)
-      .select(col("c_id"), col("cent_id"))
+    // aggregate (tie order s desc, cent_id asc — as a rank window would).
+    // The inverted lists (corpus→cell map) are the OTHER half of the IVF
+    // index: built once per (corpus, params) and pinned in executor memory,
+    // they serve every subsequent probe — index build amortizes across
+    // queries exactly like centroid training does.
+    val cells = cellCache.computeIfAbsent(
+      (System.identityHashCode(corpus.sparkSession),
+        corpus.queryExecution.logical.semanticHash(), keyCol, vecCol, nlist, kmeansIters),
+      _ => topKPerGroup(assignments(corpus, "c_id"), "c_id", "s", "cent_id", 1)
+        .select(col("c_id"), col("cent_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val probes = topKPerGroup(assignments(queries, "q_id"), "q_id", "s", "cent_id", nprobe)
       .select(col("q_id"), col("cent_id"))
     val candidates = probes.join(cells, "cent_id")
