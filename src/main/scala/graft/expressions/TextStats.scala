@@ -127,7 +127,7 @@ object TextStats {
 
   // ------------------------------------------------------------ registration
 
-  private val fns: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+  private[expressions] val fns: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("graft_text_stats", classOf[TextStatsExpr], (c: Seq[Expression]) => TextStatsExpr(c.head)),
     ("graft_marker_hits", classOf[MarkerHitsExpr], (c: Seq[Expression]) => MarkerHitsExpr(c.head)),
     ("graft_fingerprint", classOf[FingerprintExpr], (c: Seq[Expression]) => FingerprintExpr(c.head)),

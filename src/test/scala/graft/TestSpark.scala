@@ -10,6 +10,9 @@ object TestSpark {
     val s = SparkEntry.configure(
       SparkSession.builder()
         .master("local[4]")
+        // the deployment path for the native functions — every suite runs
+        // against a session where graft_* resolves from pure SQL
+        .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir",
