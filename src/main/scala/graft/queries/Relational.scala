@@ -188,12 +188,15 @@ object Relational {
 
   // B13: latest-snapshot / as-of semantics (reference gcpl.py:93-96):
   // latest row per key. Declared as a max_by AGGREGATION, not a rank
-  // window: partial aggregation collapses each key map-side before the
-  // shuffle (no per-partition sort of the whole table), which is the only
+  // window: partial aggregation collapses each key to ONE row map-side, so
+  // the shuffle carries |keys| rows instead of the whole history — the
   // shape that survives when a key's history doesn't fit one partition.
-  // Identical to ROW_NUMBER() OVER (ORDER BY ts DESC, event_id DESC) = 1 —
-  // the oracle keeps that formulation; the ranking-window surface itself is
-  // certified by q17-q19/q59.
+  // (The struct buffer makes the partial agg sort-based — a map-local sort
+  // on the grouping key — which is still strictly cheaper than shuffling
+  // and sorting every event, the window formulation's cost.) Identical to
+  // ROW_NUMBER() OVER (ORDER BY ts DESC, event_id DESC) = 1 — the oracle
+  // keeps that formulation; the ranking-window surface itself is certified
+  // by q17-q19/q59.
   private def q12AsofLatest: Q = (s, dir) =>
     Tables(s, dir).eventsUs
       .groupBy("user_id")

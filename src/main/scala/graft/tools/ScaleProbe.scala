@@ -49,6 +49,31 @@ object ScaleProbe {
       li.select("l_orderkey", "l_extendedprice")
         .orderBy(col("l_extendedprice").desc).limit(10).count()
     }
+
+    // 10x documents (50k docs): the text-analysis family's scale-up — one
+    // fused TextStats pass + marker scan per doc, aggregated to one row so
+    // collect cost can't mask the scan cost.
+    val docsOut = "/tmp/graft_scale10/documents"
+    if (!new java.io.File(docsOut).exists()) {
+      val d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      (0 until 10).map(i => d.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+        .reduce(_ unionAll _)
+        .repartition(32).write.mode("overwrite").parquet(docsOut)
+    }
+    val docs = spark.read.parquet(docsOut)
+    time("text_stats_50k_docs") {
+      val st = graft.expressions.TextStats.statsCol(spark)(col("text"))
+      val mh = graft.expressions.TextStats.markerHitsCol(spark)(col("text"))
+      docs.select(st.as("st"), mh.as("mh"))
+        .agg(sum(element_at(col("st"), 3)).as("bpeish_total"),
+          sum(element_at(col("mh"), 1)).as("en_hits"))
+        .count()
+    }
+    time("minhash_bands_50k_docs") {
+      docs.select(graft.expressions.TextSignatures
+          .minhashBandsCol(spark)(col("text"), 5).as("b"))
+        .agg(sum(element_at(col("b"), 1))).count()
+    }
     spark.stop()
   }
 }
