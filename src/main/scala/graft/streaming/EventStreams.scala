@@ -216,11 +216,15 @@ object EventStreams {
       .orderBy("user_id")
   }
 
-  /** B34: stateful streaming dedup — replay every event twice, dedup on
-    * event_id in the stream, then count survivors per type batch-side.
+  /** B34: stateful streaming dedup — inject a duplicate of every event into
+    * the stream, dedup on event_id in the stream, then count survivors per
+    * type batch-side. (Duplication happens in-stream via a generator rather
+    * than a second file source: the dedup STATE does identical work either
+    * way, without paying a second source's offset/scan machinery.)
     */
   def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
-    val twice = readEvents(spark, dir).unionAll(readEvents(spark, dir))
+    val twice = readEvents(spark, dir)
+      .withColumn("_copy", explode(array(lit(1), lit(2))))
     // project BEFORE dropDuplicates: streaming dedup state keeps the whole
     // input row per key, so the projection decides the state size
     val deduped = twice.select("event_id", "event_type")
