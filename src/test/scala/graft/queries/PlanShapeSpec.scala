@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Pins the SCALE-critical physical shapes of reshaped queries: these are
+  * the properties that keep a plan viable at 100 TB (shuffle count, what
+  * gets broadcast, scan-level pushdown) — a regression here can stay
+  * value-correct while silently reverting to a shape that only works at
+  * fixture scale.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  private val dir = graft.TestSpark.Sf0001
+
+  private def initialPlan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+    p.collect(pf) ++ p.subqueries.flatMap(collectAll(_)(pf))
+
+  private def shuffles(df: DataFrame): Seq[ShuffleExchangeLike] =
+    collectAll(initialPlan(df)) { case s: ShuffleExchangeLike => s }
+
+  private def plan(name: String): DataFrame = SparkEntry.freshQueries(name)(spark, dir)
+
+  test("q12 latest-per-key: one data shuffle carrying one row per key (plus the output sort)") {
+    val df = plan("q12_asof_latest")
+    // aggregate exchange + final ORDER BY range exchange and nothing else —
+    // in particular NO full-history window shuffle
+    assert(shuffles(df).size == 2, initialPlan(df).toString)
+    // partial aggregation must sit below the exchange (map-side collapse)
+    val p = initialPlan(df).toString
+    assert(p.contains("partial_max_by") || p.toLowerCase.contains("partial"), p)
+  }
+
+  test("q53 tf-idf: two data shuffles (token-major, doc-major) plus the output sort") {
+    val df = plan("q53_text_tfidf")
+    // token repartition feeds BOTH the tf aggregate and the df window in one
+    // stage; then the per-doc top-term aggregate; then the final ORDER BY.
+    // (Scalar single-partition collapses — the corpus-count subplan — move
+    // O(partitions) rows, not data, and are excluded.)
+    val dataShuffles = shuffles(df).filterNot(
+      _.outputPartitioning.numPartitions == 1)
+    assert(dataShuffles.size == 3, initialPlan(df).toString)
+  }
+
+  test("q11 star join: fact side is never broadcast") {
+    val df = plan("q11_star_join")
+    val broadcasts = collectAll(initialPlan(df)) { case b: BroadcastExchangeLike => b }
+    // lineitem (the fact) must not appear under a broadcast exchange
+    broadcasts.foreach { b =>
+      val scans = collectAll(b) { case s: FileSourceScanExec => s }
+      scans.foreach { s =>
+        assert(!s.relation.location.rootPaths.exists(_.toString.contains("lineitem")),
+          s"fact table broadcast: $b")
+      }
+    }
+  }
+
+  test("q04 filter reaches the parquet scan as pushed filters") {
+    val df = plan("q04_filter")
+    val scans = collectAll(initialPlan(df)) { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    assert(scans.exists(_.metadata.get("PushedFilters").exists(_ != "[]")),
+      scans.map(_.metadata.get("PushedFilters")).mkString(", "))
+  }
+}
