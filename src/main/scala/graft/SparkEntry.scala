@@ -57,16 +57,24 @@ object SparkEntry {
     Relational.queries("q11_star_join")(spark, "/root/testdata/sf0.001")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    cached(Relational.queries ++
+  /** Pure plan builders — safe to memoize per (session, query, dir). */
+  private def planBuilderFamilies: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++
       AsOfJoin.queries ++
       Dedup.queries ++
       Similarity.queries ++
       TextAnalysis.queries ++
-      Multimodal.queries) ++
-      Sketches.queries ++   // sketch build + probe EXECUTE in fn — never cache
-      EventStreams.queries  // replays EXECUTE in fn — never cache these
+      Multimodal.queries
+
+  /** Entries whose builder EXECUTES work (sketch build + probe, streaming
+    * replays) — never cached.
+    */
+  private def executingFamilies: Map[String, (SparkSession, String) => DataFrame] =
+    Sketches.queries ++ EventStreams.queries
+
+  /** One entry per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    cached(planBuilderFamilies) ++ executingFamilies
 
   /** The same surface with NO plan cache: every call builds a fresh plan.
     * The bench measures through this so each timed run pays the full
@@ -75,14 +83,7 @@ object SparkEntry {
     * final-stage-only latency.
     */
   def freshQueries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++
-      AsOfJoin.queries ++
-      Dedup.queries ++
-      Similarity.queries ++
-      TextAnalysis.queries ++
-      Multimodal.queries ++
-      Sketches.queries ++
-      EventStreams.queries
+    planBuilderFamilies ++ executingFamilies
 
   /** Prepared-statement plan cache: the batch entries are pure plan
     * builders (no action runs until the caller executes the DataFrame), so

@@ -85,6 +85,11 @@ object Tables {
     "events" -> "ts",
   )
 
+  /** Tables whose per-ROW cost dwarfs their at-rest size (signature math,
+    * vector math): staged wide even when tiny, so scans engage most cores.
+    */
+  private val cpuHeavyTables = Set("documents", "embeddings")
+
   /** ~64 KiB/file keeps even small-but-CPU-heavy tables (documents:
     * per-row regex/signature work; embeddings: per-row vector math) wide
     * enough that a scan engages most cores; cap at 32 (the local core
@@ -118,8 +123,7 @@ object Tables {
     // EXCEPT for per-row-CPU-heavy tables, which want full width even when
     // tiny at rest (500 KiB of documents is minutes of signature math at
     // 100 TB-densities; the ingest layout would be many files regardless).
-    val threshold = if (name == "documents" || name == "embeddings") 192L << 10
-      else 2L << 20
+    val threshold = if (cpuHeavyTables(name)) 192L << 10 else 2L << 20
     if (bytes < threshold) return src.toString
     val stage = Paths.get(scratchBase,
       s"graft_tbl_${Integer.toHexString(dir.hashCode)}_$name")

@@ -108,13 +108,12 @@ object TextAnalysis {
   def fingerprint(textCol: String): Column =
     expr(s"aggregate(transform(split($textCol, ''), c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)")
 
-  /** TF-IDF over whitespace tokens: one explode, one hash aggregation, then
-    * document frequency as a count-window over the (doc, token) aggregate —
-    * the corpus is tokenized once, nothing joins against itself, and there
-    * is no driver-side vocabulary. Three narrow shuffles total
-    * ((doc,token) → token → doc). `ln` may differ in the last ULP across
-    * libm implementations, so ranking happens on the 6-decimal-rounded
-    * score (deterministic).
+  /** TF-IDF over whitespace tokens: the corpus is tokenized once, nothing
+    * joins against itself, and there is no driver-side vocabulary. TWO data
+    * shuffles total (token → doc): the token-major exchange feeds both the
+    * (doc, token) tf aggregate and the document-frequency window in one
+    * stage. `ln` may differ in the last ULP across libm implementations, so
+    * ranking happens on the 6-decimal-rounded score (deterministic).
     */
   def tfidfTopTerm(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
     // (no Inputs.spread here — measured: tokenization is not the bottleneck

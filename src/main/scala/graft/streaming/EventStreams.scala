@@ -30,8 +30,13 @@ object EventStreams {
 
   private val runId = new AtomicLong(0)
 
-  /** Memory-sink view names from prior replays, dropped on the next replay. */
-  private val staleSinks = scala.collection.mutable.Buffer.empty[String]
+  /** Memory-sink view names from prior replays, dropped on the next replay
+    * of the SAME session (keyed so one session never touches another's
+    * catalog). Replays are driven sequentially per session — Bench, Verify,
+    * and the specs all consume a replay's result before starting the next.
+    */
+  private val staleSinks =
+    new java.util.concurrent.ConcurrentHashMap[Int, scala.collection.mutable.Buffer[String]]()
 
   /** Scratch root for replay staging + throwaway checkpoints: a tmpfs when
     * the host has one (offset/commit WAL and state-store delta files are
@@ -85,12 +90,14 @@ object EventStreams {
     // Replay sinks are consumed immediately by the caller; earlier replays'
     // memory tables would otherwise pin their rows for the session lifetime
     // (a bench/verify run does dozens of replays).
-    staleSinks.synchronized {
-      staleSinks.foreach(spark.catalog.dropTempView(_))
-      staleSinks.clear()
+    val sessionSinks = staleSinks.computeIfAbsent(
+      System.identityHashCode(spark), _ => scala.collection.mutable.Buffer.empty[String])
+    sessionSinks.synchronized {
+      sessionSinks.foreach(spark.catalog.dropTempView(_))
+      sessionSinks.clear()
     }
     val name = s"graft_stream_${runId.incrementAndGet()}_${System.nanoTime()}"
-    staleSinks.synchronized { staleSinks += name }
+    sessionSinks.synchronized { sessionSinks += name }
     // Stateful operators allocate one state store per shuffle partition up
     // front; for these bounded replays a couple is plenty (a real cluster
     // deployment sizes this to its executor count instead). The trailing

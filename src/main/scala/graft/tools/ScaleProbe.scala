@@ -56,7 +56,7 @@ object ScaleProbe {
     val docsOut = "/tmp/graft_scale10/documents"
     if (!new java.io.File(docsOut).exists()) {
       val d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-      (0 until 10).map(i => d.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      (0 until 10).map(i => d.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
         .reduce(_ unionAll _)
         .repartition(32).write.mode("overwrite").parquet(docsOut)
     }
