@@ -16,6 +16,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
     val q = SparkEntry.queries
     val o = SparkEntry.oracleSql
     assert((o.keySet -- q.keySet).isEmpty, s"oracles without queries: ${o.keySet -- q.keySet}")
+    // the bench must measure exactly the certified surface
+    assert(SparkEntry.freshQueries.keySet == q.keySet)
     val allKeys = Seq(
       Relational.queries.keys, operators.Dedup.queries.keys,
       operators.Similarity.queries.keys, operators.TextAnalysis.queries.keys,
