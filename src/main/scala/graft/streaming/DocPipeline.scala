@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.TextStats
+
+/** The training-data cleaning pipeline as a STREAM (SURVEY §2.C meets
+  * B31-B34): documents arrive unbounded, each gets single-pass quality
+  * features, low-quality documents are dropped, and exact duplicates are
+  * removed by content fingerprint with bounded streaming state.
+  *
+  * The same transformation graph runs batch and streaming unchanged — the
+  * spec pins the streaming result to the batch identity. At 100 TB this is
+  * the shape of a continuous ingestion filter: per-document work is
+  * shuffle-free (TextStats is one fused scan-side pass), and the only
+  * stateful operator keys on the 8-byte fingerprint, so dedup state is
+  * bounded by distinct *content*, not stream length (add a watermark to
+  * bound it by time instead, as q61's event dedup demonstrates).
+  */
+object DocPipeline {
+
+  /** quality_score = min(n_words, 50) * alpha / (50 * n_chars), rounded to
+    * 4 decimals in scaled-integer space (TextAnalysis.qualityFeatures'
+    * composite, re-derived here from the raw stats array).
+    */
+  private def qualityScore(st: Column): Column = {
+    val nChars = st(TextStats.NChars)
+    val nWords = st(TextStats.WsTokens)
+    val alpha = st(TextStats.Alpha)
+    round(least(nWords, lit(50L)).cast("double") * alpha.cast("double") * 10000d /
+      (lit(50d) * greatest(nChars, lit(1L)).cast("double"))) / 10000d
+  }
+
+  /** The pipeline body — identical for batch and streaming inputs. */
+  def cleanDocs(docs: DataFrame, minQuality: Double): DataFrame = {
+    val spark = docs.sparkSession
+    docs
+      .withColumn("_st", TextStats.statsCol(spark)(col("text")))
+      .withColumn("quality_score", qualityScore(col("_st")))
+      .filter(col("quality_score") >= minQuality)
+      .withColumn("fp", TextStats.fingerprintCol(spark)(col("text")))
+      // keep ONE representative per distinct content; state is keyed by the
+      // 8-byte fingerprint only (projection decides state row width)
+      .select(col("doc_id"), col("fp"), col("quality_score"))
+      .dropDuplicates("fp")
+  }
+
+  /** Streaming run over a staged replay of the documents table; returns the
+    * materialized survivors. Batch identity: `cleanDocs(docs, q)` modulo
+    * which doc_id represents each duplicate-content group (streaming keeps
+    * the first *arrival*; batch keeps an arbitrary member — compare on the
+    * content fingerprint set, which is deterministic for both).
+    */
+  def cleanDocsStream(spark: SparkSession, dir: String, minQuality: Double): DataFrame = {
+    val schema = graft.Tables(spark, dir).table("documents").schema
+    val stageDir = java.nio.file.Paths.get(EventStreams.scratchBase,
+      s"graft_docs_stage_${Integer.toHexString(dir.hashCode)}")
+    val source = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val marker = stageDir.resolve("_graft_stage_marker")
+    val sig = s"${java.nio.file.Files.size(source)}:" +
+      s"${java.nio.file.Files.getLastModifiedTime(source).toMillis}:4"
+    if (!java.nio.file.Files.exists(marker) ||
+        java.nio.file.Files.readString(marker) != sig) {
+      spark.read.parquet(source.toString).repartition(4)
+        .write.mode("overwrite").parquet(stageDir.toString)
+      java.nio.file.Files.writeString(marker, sig)
+    }
+    val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
+    EventStreams.runToMemory(spark, cleanDocs(stream, minQuality), "append")
+  }
+}
