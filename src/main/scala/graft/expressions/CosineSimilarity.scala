@@ -135,5 +135,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier(LshBucket.name),
       new ExpressionInfo(classOf[LshBucket].getName, LshBucket.name),
       LshBucket.builder))
+    ext.injectFunction((FunctionIdentifier(TopKByScore.name),
+      new ExpressionInfo(classOf[TopKByScore].getName, TopKByScore.name),
+      TopKByScore.builder))
+    ext.injectFunction((FunctionIdentifier(ArgMaxText.name),
+      new ExpressionInfo(classOf[ArgMaxText].getName, ArgMaxText.name),
+      ArgMaxText.builder))
   }
 }

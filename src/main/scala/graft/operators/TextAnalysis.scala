@@ -136,14 +136,14 @@ object TextAnalysis {
       .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
       .withColumn("score",
         round(col("tf") * log((col("_n") + 1.0) / (col("df") + 1.0)), 6))
-    // top-1 per doc as a hash AGGREGATION, not a rank window (measured >3x
-    // cheaper: no per-partition sort of the whole scored table, and map-side
-    // partial min_by collapses each doc's tokens before the shuffle).
-    // Minimizing (-score, token) = max score with min-token tiebreak —
-    // identical to ROW_NUMBER() OVER (ORDER BY score DESC, token) = 1.
+    // top-1 per doc as a hash AGGREGATION, not a rank window: the native
+    // ArgMaxText aggregate (ObjectHashAggregate, two-field buffer) collapses
+    // each doc's tokens map-side and ships one (score, token) per doc —
+    // identical to ROW_NUMBER() OVER (ORDER BY score DESC, token) = 1, and
+    // unlike a struct-buffer min_by it needs NO sort in either agg phase.
     scored.groupBy(keyCol)
-      .agg(min_by(struct(col("token"), col("score")),
-        struct(negate(col("score")), col("token"))).as("_top"))
+      .agg(graft.expressions.ArgMaxText.argMaxTextCol(docs.sparkSession)(
+        struct(col("score"), col("token"))).as("_top"))
       .select(col(keyCol), col("_top.token").as("top_token"), col("_top.score").as("score"))
   }
 
