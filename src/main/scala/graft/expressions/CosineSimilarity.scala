@@ -141,5 +141,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier(ArgMaxText.name),
       new ExpressionInfo(classOf[ArgMaxText].getName, ArgMaxText.name),
       ArgMaxText.builder))
+    ext.injectFunction((FunctionIdentifier(LatestBy.name),
+      new ExpressionInfo(classOf[LatestBy].getName, LatestBy.name),
+      LatestBy.builder))
   }
 }

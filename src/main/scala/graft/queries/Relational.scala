@@ -187,22 +187,20 @@ object Relational {
   }
 
   // B13: latest-snapshot / as-of semantics (reference gcpl.py:93-96):
-  // latest row per key. Declared as a max_by AGGREGATION, not a rank
-  // window: partial aggregation collapses each key to ONE row map-side, so
-  // the shuffle carries |keys| rows instead of the whole history — the
-  // shape that survives when a key's history doesn't fit one partition.
-  // (The struct buffer makes the partial agg sort-based — a map-local sort
-  // on the grouping key — which is still strictly cheaper than shuffling
-  // and sorting every event, the window formulation's cost.) Identical to
-  // ROW_NUMBER() OVER (ORDER BY ts DESC, event_id DESC) = 1 — the oracle
-  // keeps that formulation; the ranking-window surface itself is certified
-  // by q17-q19/q59.
+  // latest row per key. Declared as the native LatestBy AGGREGATION
+  // (ObjectHashAggregate: no sorts in either phase), not a rank window:
+  // partial aggregation collapses each key to ONE row map-side, so the
+  // shuffle carries |keys| rows instead of the whole history — the shape
+  // that survives when a key's history doesn't fit one partition.
+  // Identical to ROW_NUMBER() OVER (ORDER BY ts DESC, event_id DESC) = 1 —
+  // the oracle keeps that formulation; the ranking-window surface itself is
+  // certified by q17-q19/q59.
   private def q12AsofLatest: Q = (s, dir) =>
     Tables(s, dir).eventsUs
       .groupBy("user_id")
-      .agg(max_by(
-        struct(col("event_type"), col("value")),
-        struct(col("ts_us"), col("event_id"))).as("_latest"))
+      .agg(graft.expressions.LatestBy.latestByCol(s)(
+        struct(col("ts_us"), col("event_id"),
+          struct(col("event_type"), col("value")))).as("_latest"))
       .select(col("user_id"), col("_latest.event_type").as("event_type"),
         col("_latest.value").as("value"))
       .orderBy("user_id")
