@@ -31,8 +31,9 @@ case class LatestBy(child: Expression,
     extends TypedImperativeAggregate[LatestBy.Best] {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StructType(Array(t, s, _))
-        if t.dataType == LongType && s.dataType == LongType =>
+    case StructType(Array(t, s, p))
+        if t.dataType == LongType && s.dataType == LongType &&
+          p.dataType.isInstanceOf[StructType] =>
       TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects struct<ts:bigint,seq:bigint,payload:struct<...>>, got ${dt.simpleString}")
