@@ -23,8 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * buffer runs in ObjectHashAggregate — hash probes, no sorts — and ships
   * one `(score, token)` pair per group per partition, the [[TopKByScore]]
   * shape with a text payload. At 100 TB this is the per-document argmax of
-  * the TF-IDF family; null scores/tokens are skipped; empty groups yield
-  * null.
+  * the TF-IDF family; null AND NaN scores are skipped (NaN is "no score" —
+  * the two declarative formulations this mirrors disagree with each other
+  * on NaN rank, and either choice would make results depend on arrival
+  * order); null tokens are skipped; empty groups yield null.
   */
 case class ArgMaxText(child: Expression,
                       mutableAggBufferOffset: Int = 0,
@@ -45,7 +47,7 @@ case class ArgMaxText(child: Expression,
     val v = child.eval(input)
     if (v != null) {
       val row = v.asInstanceOf[InternalRow]
-      if (!row.isNullAt(0) && !row.isNullAt(1))
+      if (!row.isNullAt(0) && !row.isNullAt(1) && !row.getDouble(0).isNaN)
         buf.offer(row.getDouble(0), row.getUTF8String(1))
     }
     buf

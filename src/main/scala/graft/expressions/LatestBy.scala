@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions.call_function
   * ObjectHashAggregate: hash probes, no sorts, one row per group per
   * partition on the wire, whatever the payload width. Ties break to the
   * larger `seq`, matching `ROW_NUMBER() OVER (ORDER BY ts DESC, seq DESC)
-  * = 1`. Null ts/seq rows are skipped; empty groups yield null.
+  * = 1`. Null ts/seq rows are skipped; a null payload on the winning row
+  * is returned as null (max_by semantics); empty groups yield null.
   */
 case class LatestBy(child: Expression,
                     mutableAggBufferOffset: Int = 0,
@@ -54,8 +55,12 @@ case class LatestBy(child: Expression,
         val ts = row.getLong(0)
         val seq = row.getLong(1)
         if (buf.wouldKeep(ts, seq)) {
-          val p = row.getStruct(2, payloadType.length)
-          buf.keep(ts, seq, payloadProj(p).copy())
+          // a null payload on the winning row is kept as null (the latest
+          // row IS the null-payload row — max_by semantics), and properly
+          // shadows older rows with real payloads
+          if (row.isNullAt(2)) buf.keep(ts, seq, null)
+          else buf.keep(ts, seq,
+            payloadProj(row.getStruct(2, payloadType.length)).copy())
         }
       }
     }
@@ -77,9 +82,12 @@ case class LatestBy(child: Expression,
     if (buf.nonEmpty) {
       out.writeBoolean(true)
       out.writeLong(buf.ts); out.writeLong(buf.seq)
-      val bytes = buf.payload.getBytes
-      out.writeInt(bytes.length)
-      out.write(bytes)
+      if (buf.payload == null) out.writeInt(-1)
+      else {
+        val bytes = buf.payload.getBytes
+        out.writeInt(bytes.length)
+        out.write(bytes)
+      }
     } else out.writeBoolean(false)
     out.flush()
     bos.toByteArray
@@ -90,11 +98,15 @@ case class LatestBy(child: Expression,
     val buf = new LatestBy.Best
     if (in.readBoolean()) {
       val ts = in.readLong(); val seq = in.readLong()
-      val arr = new Array[Byte](in.readInt())
-      in.readFully(arr)
-      val row = new UnsafeRow(payloadType.length)
-      row.pointTo(arr, arr.length)
-      buf.keep(ts, seq, row)
+      val len = in.readInt()
+      if (len < 0) buf.keep(ts, seq, null)
+      else {
+        val arr = new Array[Byte](len)
+        in.readFully(arr)
+        val row = new UnsafeRow(payloadType.length)
+        row.pointTo(arr, arr.length)
+        buf.keep(ts, seq, row)
+      }
     }
     buf
   }
@@ -114,18 +126,24 @@ case class LatestBy(child: Expression,
 object LatestBy {
   val name = "graft_latest_by"
 
-  /** "Best so far": (ts, seq) max with a pinned UnsafeRow payload copy. */
+  /** "Best so far": (ts, seq) max with a pinned UnsafeRow payload copy.
+    * `payload` may be null while set (the winning row carried a null
+    * payload struct), so emptiness is tracked separately.
+    */
   final class Best {
     var ts: Long = 0L
     var seq: Long = 0L
     var payload: UnsafeRow = _
+    private var isSet = false
 
-    def nonEmpty: Boolean = payload != null
+    def nonEmpty: Boolean = isSet
 
     def wouldKeep(t: Long, s: Long): Boolean =
-      payload == null || t > ts || (t == ts && s > seq)
+      !isSet || t > ts || (t == ts && s > seq)
 
-    def keep(t: Long, s: Long, p: UnsafeRow): Unit = { ts = t; seq = s; payload = p }
+    def keep(t: Long, s: Long, p: UnsafeRow): Unit = {
+      ts = t; seq = s; payload = p; isSet = true
+    }
   }
 
   private val info = new ExpressionInfo(classOf[LatestBy].getName, name)

@@ -33,6 +33,26 @@ class ArgMaxTextSpec extends AnyFunSuite {
       s"native=${native.collect().toSeq} legacy=${legacy.collect().toSeq}")
   }
 
+  test("NaN scores are skipped deterministically regardless of arrival order") {
+    val s = spark
+    import s.implicits._
+    // both arrival orders: a NaN row must never shadow a real score
+    Seq(
+      Seq((1L, "nanrow", Double.NaN), (1L, "real", 2.0)),
+      Seq((1L, "real", 2.0), (1L, "nanrow", Double.NaN)),
+    ).foreach { rows =>
+      val out = rows.toDF("g", "token", "score").coalesce(1)
+        .groupBy("g").agg(argMax(struct(col("score"), col("token"))).as("t"))
+        .select(col("t.token")).collect().head.getString(0)
+      assert(out == "real", s"order $rows gave $out")
+    }
+    // all-NaN group = no scores at all
+    val allNaN = Seq((1L, "x", Double.NaN)).toDF("g", "token", "score")
+      .groupBy("g").agg(argMax(struct(col("score"), col("token"))).as("t"))
+      .select(col("t.token")).collect().head
+    assert(allNaN.isNullAt(0))
+  }
+
   test("skips null fields and yields null for empty groups") {
     val s = spark
     import s.implicits._

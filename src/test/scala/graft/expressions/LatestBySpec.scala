@@ -39,6 +39,23 @@ class LatestBySpec extends AnyFunSuite {
       s"native=${native.collect().toSeq} legacy=${legacy.collect().toSeq}")
   }
 
+  test("a null payload struct on the winning row is kept as null, not a crash") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, 1L, 1L, Some("older-real")),
+      (1L, 9L, 1L, None), // latest row carries a NULL payload → result null
+      (2L, 5L, 1L, Some("kept")),
+    ).toDF("g", "ts", "seq", "a")
+    val out = df.groupBy("g")
+      .agg(latest(struct(col("ts"), col("seq"),
+        when(col("a").isNotNull, struct(col("a"))).otherwise(lit(null)))).as("p"))
+      .select(col("g"), col("p.a").as("a"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).isEmpty, "null payload on the latest row must win as null")
+    assert(out(2L).contains("kept"))
+  }
+
   test("matches the rank-window latest on the events fixture") {
     val e = graft.Tables(spark, graft.TestSpark.Sf0001).eventsUs
     val native = e.groupBy("user_id")
