@@ -50,7 +50,10 @@ case class TopKByScore(child: Expression, kExpr: Expression,
     val v = child.eval(input)
     if (v != null) {
       val row = v.asInstanceOf[InternalRow]
-      if (!row.isNullAt(0) && !row.isNullAt(1))
+      // NaN scores skipped like nulls: the heap's primitive comparisons
+      // would otherwise make a first-arriving NaN undisplaceable, and the
+      // result partitioning-dependent (see ArgMaxText)
+      if (!row.isNullAt(0) && !row.isNullAt(1) && !row.getDouble(0).isNaN)
         buf.offer(row.getDouble(0), row.getLong(1))
     }
     buf

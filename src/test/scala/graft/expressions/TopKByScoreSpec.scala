@@ -40,6 +40,20 @@ class TopKByScoreSpec extends AnyFunSuite {
     assert(out.head == Seq((5.0, 12L), (2.0, 10L)))
   }
 
+  test("NaN scores never enter the heap, in any arrival order") {
+    val s = spark
+    import s.implicits._
+    Seq(
+      Seq((1L, Double.NaN, 9L), (1L, 2.0, 1L), (1L, 1.0, 2L)),
+      Seq((1L, 2.0, 1L), (1L, 1.0, 2L), (1L, Double.NaN, 9L)),
+    ).foreach { rows =>
+      val ids = topk(rows.toDF("g", "s", "id").coalesce(1), 2)
+        .select(explode(col("t")).as("t")).select(col("t.id"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(1L, 2L), s"order $rows gave $ids")
+    }
+  }
+
   test("agrees with the rank-window formulation on a random-ish fixture") {
     val s = spark
     import s.implicits._
