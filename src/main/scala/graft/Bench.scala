@@ -3,9 +3,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: one JSON line with per-query steady-state latency.
   *
-  * Each query runs twice and the second run is reported: the first run pays
-  * one-time JVM/codegen/JIT warmup that a long-lived cluster amortizes away,
-  * and steady-state latency is what the engine's operators actually cost.
+  * Per query: one untimed warmup (JVM/codegen/JIT costs a long-lived
+  * cluster amortizes away), then the MIN of 3 timed fresh-plan collect()
+  * runs — see the inline notes and README "Bench methodology" for why
+  * fresh+collect+min is the honest measurement on this host.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
