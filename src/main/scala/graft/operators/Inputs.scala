@@ -11,6 +11,11 @@ private[graft] object Inputs {
     * otherwise run on one thread. At scale the input already has thousands
     * of splits and this is a no-op; when it does fire, it shuffles only the
     * raw inputs once.
+    *
+    * Caveat: the split count comes from `df.rdd`, which EXECUTES any
+    * shuffle stages already in the plan (AQE materializes stages when the
+    * RDD is built). Callers pass scan/filter/project inputs — exchange-free
+    * by construction; keep it that way.
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
