@@ -92,11 +92,15 @@ object Tables {
 
   /** ~64 KiB/file keeps even small-but-CPU-heavy tables (documents:
     * per-row regex/signature work; embeddings: per-row vector math) wide
-    * enough that a scan engages most cores; cap at 32 (the local core
-    * count — on a cluster this would be executor slots).
+    * enough that a scan engages most cores. Cap at 16: at fixture row
+    * counts per-task scheduling overhead crosses per-task compute well
+    * before 32 tasks (measured ~8-20% faster fresh-plan latency at 16 vs
+    * 32 across scan/join/agg/window shapes, q13's 600k-row aggregate
+    * included); on a cluster this cap would be executor slots, and the 10x
+    * ScaleProbe corpus keeps its own 32-file layout.
     */
   private def stageFileCount(bytes: Long): Int =
-    math.min(32L, math.max(4L, bytes / (64L << 10))).toInt
+    math.min(16L, math.max(4L, bytes / (64L << 10))).toInt
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
