@@ -75,6 +75,18 @@ object TextAnalysis {
   private def ratio4(num: Column, den: Column): Column =
     round(num.cast("double") * 10000d / greatest(den, lit(1L)).cast("double")) / 10000d
 
+  /** The composite quality score from a TextStats array — THE definition of
+    * document quality for both the batch features (qualityFeatures) and the
+    * streaming cleaning pipeline (DocPipeline): min(n_words, 50) * alpha /
+    * (50 * n_chars), rounded to 4 decimals in scaled-integer space.
+    */
+  def qualityScoreFromStats(st: Column): Column = {
+    val nChars = st(TextStats.NChars)
+    val nWords = st(TextStats.WsTokens)
+    val alpha = st(TextStats.Alpha)
+    ratio4(least(nWords, lit(50L)) * alpha, lit(50L) * greatest(nChars, lit(1L)))
+  }
+
   /** Quality features + a composite score in [0, 1]. All arithmetic is
     * exact-integer ratios rounded in scaled-integer space, so results are
     * engine-portable at any scale factor. Feature counts come from ONE
@@ -95,8 +107,7 @@ object TextAnalysis {
       .withColumn("punct_ratio", ratio4(punct, nChars))
       .withColumn("avg_word_len", ratio4(nChars - (nWords - lit(1L)), nWords))
       // least(n_words/50, 1) * alpha/n_chars == min(n_words,50)*alpha / (50*n_chars)
-      .withColumn("quality_score",
-        ratio4(least(nWords, lit(50L)) * alpha, lit(50L) * greatest(nChars, lit(1L))))
+      .withColumn("quality_score", qualityScoreFromStats(col("_st")))
       .drop("_st")
   }
 

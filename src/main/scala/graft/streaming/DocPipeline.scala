@@ -20,24 +20,16 @@ import graft.expressions.TextStats
   */
 object DocPipeline {
 
-  /** quality_score = min(n_words, 50) * alpha / (50 * n_chars), rounded to
-    * 4 decimals in scaled-integer space (TextAnalysis.qualityFeatures'
-    * composite, re-derived here from the raw stats array).
+  /** The pipeline body — identical for batch and streaming inputs. The
+    * quality gate is THE engine quality definition
+    * ([[graft.operators.TextAnalysis.qualityScoreFromStats]]), not a copy.
     */
-  private def qualityScore(st: Column): Column = {
-    val nChars = st(TextStats.NChars)
-    val nWords = st(TextStats.WsTokens)
-    val alpha = st(TextStats.Alpha)
-    round(least(nWords, lit(50L)).cast("double") * alpha.cast("double") * 10000d /
-      (lit(50d) * greatest(nChars, lit(1L)).cast("double"))) / 10000d
-  }
-
-  /** The pipeline body — identical for batch and streaming inputs. */
   def cleanDocs(docs: DataFrame, minQuality: Double): DataFrame = {
     val spark = docs.sparkSession
     docs
       .withColumn("_st", TextStats.statsCol(spark)(col("text")))
-      .withColumn("quality_score", qualityScore(col("_st")))
+      .withColumn("quality_score",
+        graft.operators.TextAnalysis.qualityScoreFromStats(col("_st")))
       .filter(col("quality_score") >= minQuality)
       .withColumn("fp", TextStats.fingerprintCol(spark)(col("text")))
       // keep ONE representative per distinct content; state is keyed by the
@@ -54,19 +46,9 @@ object DocPipeline {
     */
   def cleanDocsStream(spark: SparkSession, dir: String, minQuality: Double): DataFrame = {
     val schema = graft.Tables(spark, dir).table("documents").schema
-    val stageDir = java.nio.file.Paths.get(EventStreams.scratchBase,
-      s"graft_docs_stage_${Integer.toHexString(dir.hashCode)}")
-    val source = java.nio.file.Paths.get(s"$dir/documents.parquet")
-    val marker = stageDir.resolve("_graft_stage_marker")
-    val sig = s"${java.nio.file.Files.size(source)}:" +
-      s"${java.nio.file.Files.getLastModifiedTime(source).toMillis}:4"
-    if (!java.nio.file.Files.exists(marker) ||
-        java.nio.file.Files.readString(marker) != sig) {
-      spark.read.parquet(source.toString).repartition(4)
-        .write.mode("overwrite").parquet(stageDir.toString)
-      java.nio.file.Files.writeString(marker, sig)
-    }
-    val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
+    val stageDir = ReplayStage.stage(spark, s"$dir/documents.parquet",
+      s"graft_docs_stage_${Integer.toHexString(dir.hashCode)}", n = 4)
+    val stream = spark.readStream.schema(schema).parquet(stageDir)
     EventStreams.runToMemory(spark, cleanDocs(stream, minQuality), "append")
   }
 }

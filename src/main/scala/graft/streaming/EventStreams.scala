@@ -31,12 +31,14 @@ object EventStreams {
   private val runId = new AtomicLong(0)
 
   /** Memory-sink view names from prior replays, dropped on the next replay
-    * of the SAME session (keyed so one session never touches another's
-    * catalog). Replays are driven sequentially per session — Bench, Verify,
-    * and the specs all consume a replay's result before starting the next.
+    * of the SAME session (keyed by the session OBJECT so distinct sessions
+    * can never collide; weak keys let a closed session's entry go with it).
+    * Replays are driven sequentially per session — Bench, Verify, and the
+    * specs all consume a replay's result before starting the next.
     */
   private val staleSinks =
-    new java.util.concurrent.ConcurrentHashMap[Int, scala.collection.mutable.Buffer[String]]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Buffer[String]]())
 
   /** Scratch root for replay staging + throwaway checkpoints: a tmpfs when
     * the host has one (offset/commit WAL and state-store delta files are
@@ -60,20 +62,9 @@ object EventStreams {
     // parquet is a single input split — a single-threaded scan at the head
     // of every replay. (Row order is irrelevant: every streaming query here
     // aggregates or dedups, and all checks sort.)
-    val stageDir = java.nio.file.Paths.get(scratchBase,
-      s"graft_events_stage_${Integer.toHexString(dir.hashCode)}")
-    val source = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val marker = stageDir.resolve("_graft_stage_marker")
-    val sig = s"${java.nio.file.Files.size(source)}:" +
-      s"${java.nio.file.Files.getLastModifiedTime(source).toMillis}:8"
-    // restage when missing OR stale (source regenerated since staging)
-    if (!java.nio.file.Files.exists(marker) ||
-        java.nio.file.Files.readString(marker) != sig) {
-      spark.read.parquet(source.toString).repartition(8)
-        .write.mode("overwrite").parquet(stageDir.toString)
-      java.nio.file.Files.writeString(marker, sig) // "_"-prefixed: not listed as data
-    }
-    val raw = spark.readStream.schema(schema).parquet(stageDir.toString)
+    val stageDir = ReplayStage.stage(spark, s"$dir/events.parquet",
+      s"graft_events_stage_${Integer.toHexString(dir.hashCode)}", n = 8)
+    val raw = spark.readStream.schema(schema).parquet(stageDir)
     val tsUs = schema("ts").dataType match {
       case LongType => expr("ts div 1000")
       case _        => unix_micros(col("ts").cast(TimestampType))
@@ -91,7 +82,7 @@ object EventStreams {
     // memory tables would otherwise pin their rows for the session lifetime
     // (a bench/verify run does dozens of replays).
     val sessionSinks = staleSinks.computeIfAbsent(
-      System.identityHashCode(spark), _ => scala.collection.mutable.Buffer.empty[String])
+      spark, _ => scala.collection.mutable.Buffer.empty[String])
     sessionSinks.synchronized {
       sessionSinks.foreach(spark.catalog.dropTempView(_))
       sessionSinks.clear()

@@ -25,7 +25,9 @@ class PlanShapeSpec extends AnyFunSuite {
     }
 
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
-    p.collect(pf) ++ p.subqueries.flatMap(collectAll(_)(pf))
+    // subqueriesAll: subqueries attached to ANY node in the tree, not just
+    // the root — a shuffle inside a mid-tree scalar subquery must count
+    p.collect(pf) ++ p.subqueriesAll.flatMap(_.collect(pf))
 
   private def shuffles(df: DataFrame): Seq[ShuffleExchangeLike] =
     collectAll(initialPlan(df)) { case s: ShuffleExchangeLike => s }
@@ -37,9 +39,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // aggregate exchange + final ORDER BY range exchange and nothing else —
     // in particular NO full-history window shuffle
     assert(shuffles(df).size == 2, initialPlan(df).toString)
-    // partial aggregation must sit below the exchange (map-side collapse)
+    // the PARTIAL LatestBy aggregate must sit below the exchange (map-side
+    // collapse): its mode label is specific to this aggregate, so the pin
+    // cannot be satisfied by an unrelated "partial" elsewhere in the plan
     val p = initialPlan(df).toString
-    assert(p.contains("partial_max_by") || p.toLowerCase.contains("partial"), p)
+    assert(p.contains("partial_graft_latest_by"), p)
   }
 
   test("q53 tf-idf: two data shuffles (token-major, doc-major) plus the output sort") {

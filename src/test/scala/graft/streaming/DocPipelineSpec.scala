@@ -36,7 +36,9 @@ class DocPipelineSpec extends AnyFunSuite {
     // and the gate is consistent with TextAnalysis's composite score
     val scored = graft.operators.TextAnalysis
       .qualityFeatures(graft.Tables(spark, dir).documents, "text")
-    val expected = scored.filter(col("quality_score") >= minQ)
+    val survivors = scored.filter(col("quality_score") >= minQ)
+    assert(survivors.count() > 0, "fixture/threshold leaves no survivors — gate untestable")
+    val expected = survivors
       .select(min(col("quality_score"))).collect().head.getDouble(0)
     val got = cleaned.select(min(col("quality_score"))).collect().head.getDouble(0)
     assert(got == expected)
