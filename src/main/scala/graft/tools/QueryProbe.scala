@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 import graft.SparkEntry
 
-/** Scratch probe: median-of-N per-query latency (the bench reports a single
-  * second run, which is noisy on a shared host; medians make optimization
-  * deltas trustworthy). Args: [reps] [substring filters...].
+/** Scratch probe: median-of-N per-query latency in the BENCH's measurement
+  * mode (fresh plan + collect per rep) — medians over more reps than the
+  * bench's min-of-3 make optimization deltas trustworthy on a noisy host.
+  * Args: [reps] [substring filters...].
   */
 object QueryProbe {
   def main(args: Array[String]): Unit = {
@@ -21,13 +22,13 @@ object QueryProbe {
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = SparkEntry.freshQueries.keys.toSeq.sorted
       .filter(n => filters.isEmpty || filters.exists(n.contains))
     val all = names.map { n =>
-      val fn = SparkEntry.queries(n)
+      val fn = SparkEntry.freshQueries(n)
       val ts = (1 to (reps + 1)).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        fn(spark, sfDir).collect()
         (System.nanoTime() - t0) / 1e9
       }.drop(1).sorted // drop warmup
       val med = ts(ts.size / 2)
