@@ -55,7 +55,14 @@ object IngestCli {
         case "--third-party" => thirdParty = true; i += 1
         case "--force" => force = true; i += 1
         case "--replay" => replay = Some(args(i + 1)); i += 2
-        case other => sys.error(s"unknown argument: $other (expected --id/--config/--root/--endpoint/--source/--third-party/--force/--replay)")
+        case "--help" | "-h" =>
+          println("""usage: graft.IngestCli --id <dataset> [--id <dataset> ...] --root <dir>
+                    |  [--config datasets.toml] [--endpoint local|store|catalog]
+                    |  [--source cbs] [--third-party] [--force] [--replay index.json]
+                    |--id flags win over --config's `ids = [...]` list; --replay
+                    |serves recorded responses instead of the network.""".stripMargin)
+          return
+        case other => sys.error(s"unknown argument: $other (expected --id/--config/--root/--endpoint/--source/--third-party/--force/--replay/--help)")
       }
     }
     // explicit --id flags win over the config file (cli.py:56-62)
