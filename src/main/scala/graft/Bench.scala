@@ -32,19 +32,24 @@ object Bench {
     // exception: ANN index halves — IVF centroids + inverted lists — are
     // built once per corpus and amortized across runs, the way an ANN index
     // is meant to be used; everything else re-executes fully.)
-    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def runOnce(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).collect() } catch { case _: Throwable => return -1.0 }
+      try { fn(spark, sfDir).collect() } catch {
+        case e: Throwable => // surface the first failure, don't just emit -1.0
+          System.err.println(s"BENCHFAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.freshQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      runOnce(fn) // warmup: codegen + JIT + file-footer caches
+      runOnce(name, fn) // warmup: codegen + JIT + file-footer caches
       // MIN of 3 timed runs: this host is a shared VM where random queries
       // see 2-10x multi-second interference spikes run-to-run; the least-
       // interfered run is the engine's actual cost. Nothing carries over
       // between runs that would flatter min: every run builds a fresh plan
       // and executes the full pipeline.
-      val ts = Seq(runOnce(fn), runOnce(fn), runOnce(fn))
+      val ts = Seq(runOnce(name, fn), runOnce(name, fn), runOnce(name, fn))
       if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
         System.err.println(f"BENCHDBG $name%-32s ${ts.map(t => f"$t%.3f").mkString(" ")} @${System.currentTimeMillis() / 1000 % 10000}")
       // JMH-style hygiene between queries (untimed): collect the previous

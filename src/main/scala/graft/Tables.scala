@@ -27,9 +27,15 @@ final case class Tables(spark: SparkSession, dir: String) {
     * `NdjsonToParquet` writes a file per fetched page) naturally produces
     * many files; staging reproduces that layout once per fixture.
     */
-  def table(name: String): DataFrame =
-    Tables.cache.computeIfAbsent((System.identityHashCode(spark), dir, name),
-      _ => spark.read.parquet(Tables.stagedPath(spark, dir, name)))
+  def table(name: String): DataFrame = {
+    // Resolve the (sig-suffixed) staged path FIRST and key the cache on it:
+    // a fixture regenerated in place changes the signature, so it gets a
+    // fresh staged layout AND a fresh cached DataFrame — the stale entry for
+    // the old path simply goes unreferenced.
+    val path = Tables.stagedPath(spark, dir, name)
+    Tables.cache.computeIfAbsent((System.identityHashCode(spark), path),
+      _ => spark.read.parquet(path))
+  }
 
   def region: DataFrame = table("region")
   def nation: DataFrame = table("nation")
@@ -61,7 +67,7 @@ final case class Tables(spark: SparkSession, dir: String) {
 
 object Tables {
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
 
   /** Scratch root for staged table layouts: a tmpfs when the host has one,
     * else the JVM tmp dir. Staged copies are derived data — rebuildable from
@@ -114,9 +120,14 @@ object Tables {
 
   /** Returns the path to read `name` from: the original single-file fixture
     * when it is small enough that one scan task is fine, else a staged
-    * multi-file copy under [[scratchBase]] (written once per source
-    * signature; concurrent sessions agree on the path and the marker makes
-    * re-staging idempotent).
+    * multi-file copy under [[scratchBase]].
+    *
+    * The staged directory name embeds the source signature
+    * (`size:mtime:fileCount`), so publishing NEVER deletes a layout another
+    * JVM may be mid-scan on: a regenerated fixture stages into a NEW
+    * directory, concurrent same-sig writers race on an atomic rename (the
+    * loser discards its temp copy and reads the winner's), and superseded
+    * signatures are dropped best-effort only after the new one is live.
     */
   private def stagedPath(spark: SparkSession, dir: String, name: String): String = {
     import java.nio.file.{Files, Paths}
@@ -129,12 +140,12 @@ object Tables {
     // 100 TB-densities; the ingest layout would be many files regardless).
     val threshold = if (cpuHeavyTables(name)) 192L << 10 else 2L << 20
     if (bytes < threshold) return src.toString
-    val stage = Paths.get(scratchBase,
-      s"graft_tbl_${Integer.toHexString(dir.hashCode)}_$name")
-    val marker = stage.resolve("_graft_stage_marker")
     val n = stageFileCount(bytes)
     val sig = s"$bytes:${Files.getLastModifiedTime(src).toMillis}:$n"
-    if (!Files.exists(marker) || Files.readString(marker) != sig) {
+    val baseName = s"graft_tbl_${Integer.toHexString(dir.hashCode)}_$name"
+    val stage = Paths.get(scratchBase,
+      s"$baseName.${Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))}")
+    if (!Files.exists(stage)) {
       val df = spark.read.parquet(src.toString)
       val out = stageKeys.get(name).filter(df.columns.contains) match {
         case Some(k) => df.repartitionByRange(n, col(k))
@@ -145,16 +156,24 @@ object Tables {
       // observe a half-written layout or overwrite each other mid-read.
       val tmp = Paths.get(s"$stage.tmp.${ProcessHandle.current().pid()}")
       out.write.mode("overwrite").parquet(tmp.toString)
-      Files.writeString(tmp.resolve(marker.getFileName), sig) // "_"-prefixed: not data
-      try {
-        if (Files.exists(stage)) deleteRecursively(stage)
-        Files.move(tmp, stage, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      } catch {
+      try Files.move(tmp, stage, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
         case _: java.nio.file.FileAlreadyExistsException |
              _: java.nio.file.DirectoryNotEmptyException |
              _: java.nio.file.AccessDeniedException =>
           deleteRecursively(tmp) // a racing writer published first — use theirs
       }
+      // drop superseded signatures (fixture regenerated in place); skip
+      // in-flight ".tmp.<pid>" dirs — those belong to a racing writer
+      import scala.jdk.CollectionConverters._
+      val siblings = Files.list(Paths.get(scratchBase))
+      try siblings.iterator().asScala
+        .filter { p =>
+          val fn = p.getFileName.toString
+          fn.startsWith(s"$baseName.") && !fn.contains(".tmp.") && p != stage
+        }
+        .foreach(p => try deleteRecursively(p) catch { case _: Exception => () })
+      finally siblings.close()
     }
     stage.toString
   }

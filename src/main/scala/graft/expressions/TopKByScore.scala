@@ -52,7 +52,10 @@ case class TopKByScore(child: Expression, kExpr: Expression,
       val row = v.asInstanceOf[InternalRow]
       // NaN scores skipped like nulls: the heap's primitive comparisons
       // would otherwise make a first-arriving NaN undisplaceable, and the
-      // result partitioning-dependent (see ArgMaxText)
+      // result partitioning-dependent (see ArgMaxText). This is a declared
+      // divergence from ROW_NUMBER formulations (which order NaN
+      // deterministically); unreachable in the oracled similarity queries —
+      // no fixture vector is zero-norm, pinned by FixtureContractSpec.
       if (!row.isNullAt(0) && !row.isNullAt(1) && !row.getDouble(0).isNaN)
         buf.offer(row.getDouble(0), row.getLong(1))
     }

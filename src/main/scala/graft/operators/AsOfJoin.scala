@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Present._
 
 /** As-of join: for each left row, the latest right row with
   * `right.ts <= left.ts` within the same key — the temporal-lookup operator
@@ -62,7 +63,7 @@ object AsOfJoin {
         .select("user_id", "ts_us", "value", "event_id")
       leftAsOf(e, signups, "user_id", "ts_us", "value", "event_id")
         .select(col("event_id"), col("asof_value"))
-        .orderBy("event_id")
+        .presented("event_id")
     }),
   )
 

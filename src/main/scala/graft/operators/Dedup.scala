@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
+import graft.Present._
 import graft.Tables
 import graft.expressions.TextSignatures
 import graft.functions.VectorFunctions
@@ -211,36 +212,54 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> ((s, dir) =>
       exact(Tables(s, dir).documents, "text", "doc_id")
-        .select("doc_id", "dup_count").orderBy("doc_id")),
+        .select("doc_id", "dup_count").presented("doc_id")),
     "q41_dedup_minhash" -> ((s, dir) =>
       minhashPairs(Tables(s, dir).documents, "doc_id", k = 5, jaccardThreshold = 0.5)
-        .orderBy("a", "b")),
+        .presented("a", "b")),
     "q42_dedup_simhash" -> ((s, dir) =>
       simhashPairs(Tables(s, dir).documents, "doc_id", "text", maxDist = 3)
-        .orderBy("a", "b")),
+        .presented("a", "b")),
     "q43_dedup_ngram_jaccard" -> ((s, dir) =>
       ngramJaccardPairs(Tables(s, dir).documents.filter(col("doc_id") <= 40), "doc_id", 3)
         .filter(col("jaccard") >= 0.1)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy("a", "b")),
+        .presented("a", "b")),
     "q44_dedup_embedding_cosine" -> ((s, dir) =>
       embeddingCosinePairs(Tables(s, dir).embeddings.filter(col("vec_id") <= 20), "vec_id", "embedding")
-        .orderBy("a", "b")),
-    // full corpus, LSH-blocked (the 100 TB shape): engine-seeded buckets →
-    // rows-only check; recall + plan-shape invariants in DedupSpec.
+        .presented("a", "b")),
+    // full corpus, LSH-blocked (the 100 TB shape): engine-seeded buckets,
+    // certified against a committed independent-recompute golden (see
+    // oracles below); recall + plan-shape invariants in DedupSpec.
     "q56_dedup_embedding_lsh" -> ((s, dir) =>
       embeddingLshPairs(Tables(s, dir).embeddings, "vec_id", "embedding", minSim = 0.3)
-        .orderBy("a", "b")),
+        .presented("a", "b")),
     "q68_dedup_levenshtein" -> ((s, dir) =>
       levenshteinPairs(Tables(s, dir).documents.filter(col("doc_id") <= 30), "doc_id", "text")
-        .orderBy("a", "b")),
+        .presented("a", "b")),
   )
 
-  /** Oracles where the semantics are SQL-expressible in DuckDB; the hash-based
-    * LSH variants (q41, q42) are engine-hash-dependent → rows-only checks,
-    * with invariants covered by ScalaTest specs instead.
+  /** Oracles: the SQL-expressible semantics run directly in DuckDB; the
+    * hash-seeded variants (q41, q42, q56) compare against COMMITTED GOLDENS
+    * recomputed by an independent plain-Python implementation of the same
+    * published algorithms (`tools/gen_lsh_goldens.py` — murmur3,
+    * java.util.Random, banding, sign-projection; the reference repo's
+    * golden-fixture pattern). One golden file serves every scale factor:
+    * each row carries an exact integer `corpus_tag` of its input table and
+    * the oracle selects the rows whose tag matches the corpus at hand.
     */
   val oracles: Map[String, String] = Map(
+    "q41_dedup_minhash" ->
+      """SELECT a, b, jaccard FROM read_parquet('/root/repo/goldens/q41_dedup_minhash.parquet')
+         WHERE corpus_tag = (SELECT SUM(strlen(text) * (doc_id + 1)) FROM documents)
+         ORDER BY a, b""",
+    "q42_dedup_simhash" ->
+      """SELECT a, b, hamming FROM read_parquet('/root/repo/goldens/q42_dedup_simhash.parquet')
+         WHERE corpus_tag = (SELECT SUM(strlen(text) * (doc_id + 1)) FROM documents)
+         ORDER BY a, b""",
+    "q56_dedup_embedding_lsh" ->
+      """SELECT a, b, sim FROM read_parquet('/root/repo/goldens/q56_dedup_embedding_lsh.parquet')
+         WHERE corpus_tag = (SELECT SUM((vec_id + 1) * CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1048576) AS BIGINT)) FROM embeddings)
+         ORDER BY a, b""",
     "q40_dedup_exact" ->
       "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM documents GROUP BY text ORDER BY doc_id",
     "q43_dedup_ngram_jaccard" ->

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
+import graft.Present._
 import graft.Tables
 
 /** Multimodal-column plumbing (SURVEY §2.C): media payloads travel as opaque
@@ -127,10 +128,14 @@ object Multimodal {
         .select(col("doc_id"), col("n_bytes"),
           (lit(64) + col("n_bytes") % 577).cast(LongType).as("fake_width"),
           (lit(64) + (col("n_bytes") * 31) % 417).cast(LongType).as("fake_height"))
-        .orderBy("doc_id")),
-    // Full decode path through mapPartitions — stub semantics ⇒ rows-only.
+        .presented("doc_id")),
+    // Full decode path through mapPartitions. The STUB decode is pure
+    // arithmetic on the payload bytes (checksum = q50's rolling hash;
+    // width/height/n_frames derived from length + checksum), so it has a
+    // value-exact DuckDB oracle below — the mapPartitions plumbing is what
+    // the query certifies.
     "q54_multimodal_decode" -> ((s, dir) =>
-      decodeAssets(s, Tables(s, dir).documents).toDF().orderBy("doc_id")),
+      decodeAssets(s, Tables(s, dir).documents).toDF().presented("doc_id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -139,5 +144,25 @@ object Multimodal {
                 CAST(64 + strlen(text) % 577 AS BIGINT) AS fake_width,
                 CAST(64 + (strlen(text) * 31) % 417 AS BIGINT) AS fake_height
          FROM documents ORDER BY doc_id""",
+    // Mirrors StubDecoder.decode exactly: checksum is the same base-31
+    // rolling hash as q50's fingerprint over the payload bytes, and the
+    // remaining fields are arithmetic on byte length + checksum. Byte access
+    // in DuckDB goes through ord() per character — identical to UTF-8 bytes
+    // because the documents fixture is pure ASCII (strlen == length for
+    // every row, all SFs); a non-ASCII fixture would fail this oracle
+    // loudly, not silently.
+    "q54_multimodal_decode" ->
+      """SELECT doc_id,
+                CAST(strlen(text) AS BIGINT) AS n_bytes,
+                CAST(64 + strlen(text) % 577 AS INTEGER) AS width,
+                CAST(64 + (strlen(text) * 31) % 417 AS INTEGER) AS height,
+                CAST(1 + checksum % 7 AS INTEGER) AS n_frames,
+                checksum
+         FROM (SELECT doc_id, text,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+                        (acc, c) -> (acc * 31 + c) % 1000000007) AS checksum
+               FROM documents) d
+         ORDER BY doc_id""",
   )
 }

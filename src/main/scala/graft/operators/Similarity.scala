@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Present._
 import graft.Tables
 import graft.functions.VectorFunctions
 
@@ -106,11 +107,10 @@ object Similarity {
               vecCol: String, k: Int, nPlanes: Int = 8,
               dim: Option[Int] = None): DataFrame = {
     // one scalar job over the (small) query side, not the corpus; memoized
-    // per (session, query plan, column) like the IVF centroids. An empty
+    // per (query identity, column) like the IVF centroids. An empty
     // query set has no dim to discover — degrade to the (empty) result.
     val probed = dim.orElse(Option(dimCache.computeIfAbsent(
-      (System.identityHashCode(queries.sparkSession),
-        queries.queryExecution.logical.semanticHash(), vecCol),
+      (indexKey(queries), vecCol),
       _ => queries.select(size(col(vecCol))).limit(1).collect().headOption
         .map(r => Integer.valueOf(r.getInt(0))).orNull)).map(_.intValue))
     val d = probed.getOrElse {
@@ -156,22 +156,43 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, keyCol: String, vecCol: String,
                       nlist: Int = 16, iters: Int = 2): DataFrame =
     // An IVF index is trained once and probed many times; memoizing on the
-    // corpus' SEMANTIC plan hash (+ params) is the index registry. Training
-    // is fully deterministic, so a cache hit is exact, not approximate.
+    // corpus' identity (+ params) is the index registry. Training is fully
+    // deterministic, so a cache hit is exact, not approximate.
     centroidCache.computeIfAbsent(
-      (System.identityHashCode(corpus.sparkSession),
-        corpus.queryExecution.logical.semanticHash(), keyCol, vecCol, nlist, iters),
+      (indexKey(corpus), keyCol, vecCol, nlist, iters),
       _ => trainCentroids(corpus, keyCol, vecCol, nlist, iters))
 
-  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Int, String, String, Int, Int), DataFrame]()
+  /** Cache identity of an index input: session + semantic plan + the
+    * on-disk signature of its file inputs. The data signature is what keeps
+    * a long-lived session honest — a corpus file regenerated in place keeps
+    * its plan hash, but not its size/mtime (see [[Inputs.dataSignature]]).
+    */
+  private def indexKey(df: DataFrame): (Int, Int, Long) =
+    (System.identityHashCode(df.sparkSession),
+      df.queryExecution.logical.semanticHash(), Inputs.dataSignature(df))
 
-  /** Materialized inverted lists per (session, corpus, params) — see ivfTopK. */
-  private val cellCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Int, String, String, Int, Int), DataFrame]()
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    ((Int, Int, Long), String, String, Int, Int), DataFrame]()
+
+  /** Materialized inverted lists per (corpus identity, params) — see
+    * ivfTopK. Access-ordered and BOUNDED: distinct corpora would otherwise
+    * accumulate pinned executor storage without limit, so the eldest entry
+    * is unpersisted and dropped once the cache passes `maxCachedCellSets`.
+    */
+  private val maxCachedCellSets = 8
+  private val cellCache = new java.util.LinkedHashMap[
+      ((Int, Int, Long), String, String, Int, Int), DataFrame](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[((Int, Int, Long), String, String, Int, Int), DataFrame])
+        : Boolean =
+      size > maxCachedCellSets && {
+        try e.getValue.unpersist(blocking = false) catch { case _: Exception => () }
+        true
+      }
+  }
 
   private val dimCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, String), Integer]()
+    new java.util.concurrent.ConcurrentHashMap[((Int, Int, Long), String), Integer]()
 
   private def trainCentroids(corpus: DataFrame, keyCol: String, vecCol: String,
                              nlist: Int, iters: Int): DataFrame = {
@@ -236,12 +257,16 @@ object Similarity {
     // index: built once per (corpus, params) and pinned in executor memory,
     // they serve every subsequent probe — index build amortizes across
     // queries exactly like centroid training does.
-    val cells = cellCache.computeIfAbsent(
-      (System.identityHashCode(corpus.sparkSession),
-        corpus.queryExecution.logical.semanticHash(), keyCol, vecCol, nlist, kmeansIters),
-      _ => topKPerGroup(assignments(corpus, "c_id"), "c_id", "s", "cent_id", 1)
-        .select(col("c_id"), col("cent_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cells = cellCache.synchronized {
+      val key = (indexKey(corpus), keyCol, vecCol, nlist, kmeansIters)
+      Option(cellCache.get(key)).getOrElse {
+        val built = topKPerGroup(assignments(corpus, "c_id"), "c_id", "s", "cent_id", 1)
+          .select(col("c_id"), col("cent_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cellCache.put(key, built)
+        built
+      }
+    }
     val probes = topKPerGroup(assignments(queries, "q_id"), "q_id", "s", "cent_id", nprobe)
       .select(col("q_id"), col("cent_id"))
     val candidates = probes.join(cells, "cent_id")
@@ -262,22 +287,30 @@ object Similarity {
     "q45_similarity_topk" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
       bruteForceTopK(emb.filter(col("vec_id") <= 5), emb, "vec_id", "embedding", k = 3)
-        .orderBy("q_id", "rnk")
+        .presented("q_id", "rnk")
     }),
-    // Engine-seeded bucketing → rows-only check; recall asserted in specs.
+    // Engine-seeded bucketing, certified against a committed
+    // independent-recompute golden (see oracles); recall asserted in specs.
     "q46_similarity_lsh" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
       lshTopK(emb.filter(col("vec_id") <= 5), emb, "vec_id", "embedding", k = 3)
-        .orderBy("q_id", "rnk")
+        .presented("q_id", "rnk")
     }),
     "q55_similarity_ivf" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
       ivfTopK(emb.filter(col("vec_id") <= 5), emb, "vec_id", "embedding", k = 3)
-        .orderBy("q_id", "rnk")
+        .presented("q_id", "rnk")
     }),
   )
 
   val oracles: Map[String, String] = Map(
+    // Seeded-hash query certified against a committed golden recomputed by
+    // an independent Python implementation (tools/gen_lsh_goldens.py); the
+    // corpus_tag row filter picks the scale factor — see Dedup.oracles.
+    "q46_similarity_lsh" ->
+      """SELECT q_id, rnk, n_id, sim FROM read_parquet('/root/repo/goldens/q46_similarity_lsh.parquet')
+         WHERE corpus_tag = (SELECT SUM((vec_id + 1) * CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1048576) AS BIGINT)) FROM embeddings)
+         ORDER BY q_id, rnk""",
     "q45_similarity_topk" ->
       """SELECT q_id, rnk, n_id, sim FROM (
            SELECT q.vec_id AS q_id, c.vec_id AS n_id,

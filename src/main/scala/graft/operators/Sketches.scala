@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.CountMinSketch
 
+import graft.Present._
 import graft.Tables
 
 /** Sketch aggregates: sublinear-state summaries for heavy-hitter style
@@ -48,7 +49,7 @@ object Sketches {
   val queries: Map[String, Q] = Map(
     "q69_sketch_cms" -> ((s, dir) =>
       cmsEstimates(Tables(s, dir).lineitem, "l_suppkey", (1L to 20L).toSeq)
-        .orderBy("l_suppkey")),
+        .presented("l_suppkey")),
   )
 
   val oracles: Map[String, String] = Map.empty

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
+import graft.Present._
 import graft.Tables
 import graft.expressions.TextStats
 
@@ -163,7 +164,7 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "q53_text_tfidf" -> ((s, dir) =>
       tfidfTopTerm(Tables(s, dir).documents, "doc_id", "text")
-        .orderBy("doc_id")),
+        .presented("doc_id")),
     "q47_text_langid" -> ((s, dir) => {
       // one fused marker scan per doc; argmax over the per-language counts
       // (ties → first language in fixed order, 'und' when no hits)
@@ -177,13 +178,13 @@ object TextAnalysis {
         .withColumn("_h", hits)
         .withColumn("_best", best)
         .select(col("doc_id"), lang.as("pred_lang"), col("_best").as("marker_hits"))
-        .orderBy("doc_id")
+        .presented("doc_id")
     }),
     "q48_text_quality" -> ((s, dir) =>
       qualityFeatures(Tables(s, dir).documents, "text")
         .select("doc_id", "n_chars_calc", "n_words", "alpha_ratio",
           "punct_ratio", "avg_word_len", "quality_score")
-        .orderBy("doc_id")),
+        .presented("doc_id")),
     "q49_text_tokens" -> ((s, dir) => {
       val st = TextStats.statsCol(s)(col("text"))
       Tables(s, dir).documents
@@ -191,12 +192,12 @@ object TextAnalysis {
         .select(col("doc_id"),
           col("_st")(TextStats.WsTokens).as("ws_tokens"),
           col("_st")(TextStats.BpeishTokens).as("bpeish_tokens"))
-        .orderBy("doc_id")
+        .presented("doc_id")
     }),
     "q50_text_fingerprint" -> ((s, dir) =>
       Tables(s, dir).documents
         .select(col("doc_id"), TextStats.fingerprintCol(s)(col("text")).as("fp"))
-        .orderBy("doc_id")),
+        .presented("doc_id")),
   )
 
   val oracles: Map[String, String] = Map(

@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
+import graft.Present._
+
 /** Structured Streaming surface over the `events` table (SURVEY B31–B34).
   *
   * Streams are file-source replays of the fixture parquet: `readStream` →
@@ -76,8 +78,17 @@ object EventStreams {
 
   /** Runs a (bounded) streaming DataFrame to completion into a memory sink
     * and returns the materialized result.
+    *
+    * @param availableNow force Trigger.AvailableNow regardless of the
+    *   session trigger conf — required when the source paces batches
+    *   (maxFilesPerTrigger) and Trigger.Once would collapse them into one.
+    * @param noDataBatch keep the trailing no-data microbatch — required for
+    *   APPEND-mode event-time queries, where windows closed by the LAST data
+    *   batch's watermark only flush in one further batch.
     */
-  def runToMemory(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
+  def runToMemory(spark: SparkSession, df: DataFrame, mode: String,
+                  availableNow: Boolean = false,
+                  noDataBatch: Boolean = false): DataFrame = {
     // Replay sinks are consumed immediately by the caller; earlier replays'
     // memory tables would otherwise pin their rows for the session lifetime
     // (a bench/verify run does dozens of replays).
@@ -99,7 +110,7 @@ object EventStreams {
     val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions",
       spark.conf.getOption("spark.graft.stream.partitions").getOrElse("4"))
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatch.toString)
     // Throwaway-replay checkpoint hygiene: retain a single batch (nothing
     // resumes from these checkpoints) and skip per-row state format
     // validation (the schema is fixed by the plan that just built it).
@@ -115,10 +126,12 @@ object EventStreams {
     // offset-planning round than AvailableNow (~0.1 s on the measured
     // floor). A LIVE deployment would use AvailableNow/processing-time
     // triggers — selectable via spark.graft.stream.trigger.
-    val trigger = spark.conf.getOption("spark.graft.stream.trigger").getOrElse("once") match {
-      case "once" => Trigger.Once(): @annotation.nowarn("cat=deprecation")
-      case _ => Trigger.AvailableNow()
-    }
+    val trigger =
+      if (availableNow) Trigger.AvailableNow()
+      else spark.conf.getOption("spark.graft.stream.trigger").getOrElse("once") match {
+        case "once" => Trigger.Once(): @annotation.nowarn("cat=deprecation")
+        case _ => Trigger.AvailableNow()
+      }
     try {
       val writer = df.writeStream
         .format("memory")
@@ -163,7 +176,7 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
       .select(unix_micros(col("window.start")).as("bucket_us"), col("event_type"), col("cnt"))
     runToMemory(spark, agg, "complete")
-      .orderBy("bucket_us", "event_type")
+      .presented("bucket_us", "event_type")
   }
 
   /** B33: session windows (30-minute gap) per user → sessions per user. */
@@ -174,7 +187,7 @@ object EventStreams {
       .select(col("user_id")) // one row per session; the count itself stays in state
     runToMemory(spark, agg, "complete")
       .groupBy("user_id").agg(count(lit(1)).cast(LongType).as("n_sessions"))
-      .orderBy("user_id")
+      .presented("user_id")
   }
 
   /** B31: sliding 1-hour windows every 30 minutes — each event lands in two
@@ -186,7 +199,7 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
       .select(unix_micros(col("window.start")).as("bucket_us"), col("event_type"), col("cnt"))
     runToMemory(spark, agg, "complete")
-      .orderBy("bucket_us", "event_type")
+      .presented("bucket_us", "event_type")
   }
 
   /** Custom keyed state (the `mapGroupsWithState` surface): a per-user
@@ -211,7 +224,111 @@ object EventStreams {
       .toDF("user_id", "n")
     runToMemory(spark, updates, "update")
       .groupBy("user_id").agg(max("n").as("n"))
-      .orderBy("user_id")
+      .presented("user_id")
+  }
+
+  /** B32 with a hard CORRECTNESS row: watermark late-data DROP over a
+    * crafted THREE-batch replay whose batch split — and therefore the exact
+    * drop set — is a deterministic function of the data, so a DuckDB oracle
+    * can reconstruct it:
+    *
+    *  - batch 1 (file A): every event EXCEPT the "late set"
+    *    (`event_id % 97 == 0`) and the 2-hour tail (`ts_us >= max - 2h`);
+    *  - batch 2 (file B): the tail — fresh on-time rows that advance the
+    *    watermark to its final value;
+    *  - batch 3 (file C): the late set — genuinely late rows arriving well
+    *    after their windows closed.
+    *
+    * Protocol (MEASURED on this Spark, pinned by the spec suite): in batch N
+    * the late-input filter evaluates against the watermark that was current
+    * during batch N-1, while end-of-batch EVICTION/emission uses the current
+    * one — which is why the late file must arrive two batches after the
+    * on-time bulk for its drop set to be `wmA = max(fileA) - 10min`. In
+    * APPEND mode: batch-3 rows whose hour window closed at or below `wmA`
+    * are DROPPED; windows closed by the final watermark
+    * (`max(all) - 10min`) are emitted, counting late SURVIVORS where the
+    * window was still open. (No watermark value lands exactly on an hour
+    * boundary at any fixture SF, so the boundary comparator is not
+    * load-bearing.) The oracle recomputes all of this in SQL.
+    */
+  def lateDropCounts(spark: SparkSession, dir: String): DataFrame = {
+    val stageDir = stageLateReplay(spark, dir)
+    val src = spark.readStream
+      .schema("ts_us BIGINT")
+      .option("maxFilesPerTrigger", "1") // one staged file per microbatch
+      .parquet(stageDir)
+    val agg = src.withColumn("ts_utc", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_utc", "10 minutes")
+      .groupBy(window(col("ts_utc"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("bucket_us"), col("cnt"))
+    runToMemory(spark, agg, "append", availableNow = true, noDataBatch = true)
+      .presented("bucket_us")
+  }
+
+  /** Stages the two-file late-drop replay (batch order fixed by mtime);
+    * sig-suffixed dir, atomic publish — same discipline as [[ReplayStage]].
+    */
+  private def stageLateReplay(spark: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val srcFile = Paths.get(s"$dir/events.parquet")
+    require(Files.exists(srcFile), s"replay source missing: $srcFile")
+    // "v2": the sig embeds the RECIPE version too — changing the batch
+    // construction must invalidate previously staged layouts
+    val sig = s"latedrop-v2:${Files.size(srcFile)}:${Files.getLastModifiedTime(srcFile).toMillis}"
+    val baseName = s"graft_latedrop_${Integer.toHexString(dir.hashCode)}"
+    val stage = Paths.get(scratchBase,
+      s"$baseName.${Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))}")
+    if (!Files.exists(stage)) {
+      val ev = graft.Tables(spark, dir).eventsUs.select(col("event_id"), col("ts_us"))
+      val mx = ev.agg(max("ts_us")).head().getLong(0) // bounded: one scalar
+      val isTail = col("ts_us") >= mx - 7200000000L
+      val isLate = (col("event_id") % 97 === 0) && !isTail
+      val tmp = Paths.get(s"$stage.tmp.${ProcessHandle.current().pid()}")
+      Files.createDirectories(tmp)
+      def writeOne(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val scratch = tmp.resolve(s"_write_$name")
+        df.select("ts_us").coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+        val part = Files.list(scratch).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written under $scratch"))
+        Files.move(part, tmp.resolve(name))
+        deleteRecursively(scratch)
+        Files.setLastModifiedTime(tmp.resolve(name),
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      }
+      val t0 = System.currentTimeMillis() - 180000
+      writeOne(ev.filter(!isTail && !isLate), "batch-0.parquet", t0)
+      writeOne(ev.filter(isTail), "batch-1.parquet", t0 + 60000)
+      writeOne(ev.filter(isLate), "batch-2.parquet", t0 + 120000)
+      try Files.move(tmp, stage, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException |
+             _: java.nio.file.AccessDeniedException =>
+          deleteRecursively(tmp) // a racing writer published first — use theirs
+      }
+      val siblings = Files.list(Paths.get(scratchBase))
+      try siblings.iterator().asScala
+        .filter { p =>
+          val fn = p.getFileName.toString
+          fn.startsWith(s"$baseName.") && !fn.contains(".tmp.") && p != stage
+        }
+        .foreach(p => try deleteRecursively(p) catch { case _: Exception => () })
+      finally siblings.close()
+    }
+    stage.toString
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally s.close()
+    }
   }
 
   /** B34: stateful streaming dedup — inject a duplicate of every event into
@@ -229,7 +346,7 @@ object EventStreams {
       .dropDuplicates("event_id")
     runToMemory(spark, deduped, "append")
       .groupBy("event_type").agg(count(lit(1)).as("n"))
-      .orderBy("event_type")
+      .presented("event_type")
   }
 
   /** Stream-stream inner join with an event-time range condition (the ad
@@ -265,6 +382,7 @@ object EventStreams {
     "q62_stream_session" -> ((s, dir) => sessionCounts(s, dir)),
     "q63_stream_sliding" -> ((s, dir) => slidingCounts(s, dir)),
     "q64_stream_stateful_count" -> ((s, dir) => statefulUserCounts(s, dir)),
+    "q70_stream_late_drop" -> ((s, dir) => lateDropCounts(s, dir)),
   )
 
   /** All three streaming results are deterministic aggregates of the bounded
@@ -293,5 +411,21 @@ object EventStreams {
                         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
                  FROM events) g) h
          GROUP BY user_id ORDER BY user_id""",
+    // B32: reconstructs the two-batch replay's exact watermark protocol —
+    // batch split by (event_id % 97, 2h tail), wm1 = max(batch1) - 10min
+    // drops batch-2 rows whose hour window closed below it, and only windows
+    // closed by the final watermark (max(all) - 10min) are emitted.
+    "q70_stream_late_drop" ->
+      """WITH t AS (SELECT event_id, epoch_us(ts) AS ts_us,
+                           (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us FROM events),
+              m AS (SELECT max(ts_us) AS mx FROM t),
+              s AS (SELECT t.*, (event_id % 97 = 0 OR ts_us >= (SELECT mx - 7200000000 FROM m)) AS b2 FROM t),
+              w1 AS (SELECT max(ts_us) - 600000000 AS v FROM s WHERE NOT b2),
+              w2 AS (SELECT mx - 600000000 AS v FROM m)
+         SELECT bucket_us, COUNT(*) AS cnt
+         FROM s
+         WHERE (NOT b2 OR bucket_us + 3600000000 > (SELECT v FROM w1))
+           AND bucket_us + 3600000000 <= (SELECT v FROM w2)
+         GROUP BY bucket_us ORDER BY bucket_us""",
   )
 }

@@ -8,36 +8,55 @@ import org.apache.spark.sql.SparkSession
   * replays — the one stager behind EventStreams and DocPipeline (Tables has
   * its own richer variant with range-cluster keys).
   *
-  * Publication is ATOMIC (write to a private pid-suffixed temp dir, then
-  * rename): concurrent JVMs — spec runs racing a verify/bench run — must
-  * never list a half-written layout; a racing writer that loses the rename
-  * simply uses the winner's copy. The marker records `size:mtime:n`, so a
-  * regenerated fixture restages automatically.
+  * The published directory name embeds the source signature
+  * (`size:mtime:n`), so publication NEVER deletes a live layout: a new
+  * signature lands in a new directory, and concurrent readers of the old one
+  * are untouched. Within one signature, publication is atomic (write to a
+  * private pid-suffixed temp dir, then rename); a racing writer that loses
+  * the rename simply uses the winner's copy. Superseded signatures are
+  * cleaned up best-effort AFTER the new one is live — that only happens when
+  * the fixture itself was regenerated, not on every publish.
   */
 private[streaming] object ReplayStage {
 
   def stage(spark: SparkSession, sourceFile: String, stageName: String, n: Int): String = {
     val source = Paths.get(sourceFile)
     require(Files.exists(source), s"replay source missing: $sourceFile")
-    val stageDir = Paths.get(EventStreams.scratchBase, stageName)
-    val marker = stageDir.resolve("_graft_stage_marker")
     val sig = s"${Files.size(source)}:${Files.getLastModifiedTime(source).toMillis}:$n"
-    if (!Files.exists(marker) || Files.readString(marker) != sig) {
+    val stageDir = Paths.get(EventStreams.scratchBase,
+      s"$stageName.${Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))}")
+    if (!Files.exists(stageDir)) {
       val tmp = Paths.get(s"$stageDir.tmp.${ProcessHandle.current().pid()}")
       spark.read.parquet(source.toString).repartition(n)
         .write.mode("overwrite").parquet(tmp.toString)
-      Files.writeString(tmp.resolve(marker.getFileName), sig)
-      try {
-        if (Files.exists(stageDir)) deleteRecursively(stageDir)
-        Files.move(tmp, stageDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      } catch {
+      try Files.move(tmp, stageDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
         case _: java.nio.file.FileAlreadyExistsException |
              _: java.nio.file.DirectoryNotEmptyException |
              _: java.nio.file.AccessDeniedException =>
           deleteRecursively(tmp) // a racing writer published first — use theirs
       }
+      dropSupersededSignatures(stageName, stageDir)
     }
     stageDir.toString
+  }
+
+  /** Removes stale sig-dirs of the same stage name (the fixture was
+    * regenerated in place). Best effort: a still-running reader of a stale
+    * layout only exists if the fixture changed mid-run.
+    */
+  private def dropSupersededSignatures(stageName: String, keep: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val base = Paths.get(EventStreams.scratchBase)
+    val s = Files.list(base)
+    try s.iterator().asScala
+      .filter { p =>
+        val fn = p.getFileName.toString
+        // never touch in-flight ".tmp.<pid>" dirs — they belong to a writer
+        fn.startsWith(s"$stageName.") && !fn.contains(".tmp.") && p != keep
+      }
+      .foreach(p => try deleteRecursively(p) catch { case _: Exception => () })
+    finally s.close()
   }
 
   private def deleteRecursively(p: Path): Unit = {

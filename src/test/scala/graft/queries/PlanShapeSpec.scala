@@ -46,15 +46,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_graft_latest_by"), p)
   }
 
-  test("q53 tf-idf: two data shuffles (token-major, doc-major) plus the output sort") {
+  test("q53 tf-idf: two data shuffles (token-major, doc-major)") {
     val df = plan("q53_text_tfidf")
     // token repartition feeds BOTH the tf aggregate and the df window in one
-    // stage; then the per-doc top-term aggregate; then the final ORDER BY.
-    // (Scalar single-partition collapses — the corpus-count subplan — move
-    // O(partitions) rows, not data, and are excluded.)
+    // stage; then the per-doc top-term aggregate. (Single-partition
+    // collapses — the corpus-count subplan and the final presentation sort —
+    // move O(partitions) or result-sized rows, not data, and are excluded.)
     val dataShuffles = shuffles(df).filterNot(
       _.outputPartitioning.numPartitions == 1)
-    assert(dataShuffles.size == 3, initialPlan(df).toString)
+    assert(dataShuffles.size == 2, initialPlan(df).toString)
+  }
+
+  test("presentation sort: single-partition merge by default, identical rows to the range sort") {
+    val df = plan("q03_project")
+    // default shape: the final ORDER BY is a single-partition merge — no
+    // range exchange, hence no partition-bounds sampling pass
+    assert(shuffles(df).exists(_.outputPartitioning.numPartitions == 1),
+      initialPlan(df).toString)
+    assert(!initialPlan(df).toString.contains("rangepartitioning"),
+      initialPlan(df).toString)
+    val rows = df.collect().toSeq
+    // spark.graft.presentationSort=false restores the distributed range
+    // sort (for big sorted outputs); rows and row ORDER are identical
+    spark.conf.set("spark.graft.presentationSort", "false")
+    try {
+      val range = plan("q03_project")
+      assert(initialPlan(range).toString.contains("rangepartitioning"),
+        initialPlan(range).toString)
+      assert(range.collect().toSeq == rows)
+    } finally spark.conf.unset("spark.graft.presentationSort")
   }
 
   test("q11 star join: fact side is never broadcast") {
