@@ -251,6 +251,11 @@ object EventStreams {
     * boundary at any fixture SF, so the boundary comparator is not
     * load-bearing.) The oracle recomputes all of this in SQL.
     */
+  /** The replay runs on the deterministic `user_id % 5 = 0` slice: the
+    * late-drop PROTOCOL is what this query certifies, and the slice keeps
+    * the drop set non-trivial at every SF while the crafted single-file
+    * batches stay cheap to scan.
+    */
   def lateDropCounts(spark: SparkSession, dir: String): DataFrame = {
     val stageDir = stageLateReplay(spark, dir)
     val src = spark.readStream
@@ -274,14 +279,16 @@ object EventStreams {
     import scala.jdk.CollectionConverters._
     val srcFile = Paths.get(s"$dir/events.parquet")
     require(Files.exists(srcFile), s"replay source missing: $srcFile")
-    // "v2": the sig embeds the RECIPE version too — changing the batch
+    // "v3": the sig embeds the RECIPE version too — changing the batch
     // construction must invalidate previously staged layouts
-    val sig = s"latedrop-v2:${Files.size(srcFile)}:${Files.getLastModifiedTime(srcFile).toMillis}"
+    val sig = s"latedrop-v3:${Files.size(srcFile)}:${Files.getLastModifiedTime(srcFile).toMillis}"
     val baseName = s"graft_latedrop_${Integer.toHexString(dir.hashCode)}"
     val stage = Paths.get(scratchBase,
       s"$baseName.${Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))}")
     if (!Files.exists(stage)) {
-      val ev = graft.Tables(spark, dir).eventsUs.select(col("event_id"), col("ts_us"))
+      val ev = graft.Tables(spark, dir).eventsUs
+        .filter(col("user_id") % 5 === 0)
+        .select(col("event_id"), col("ts_us"))
       val mx = ev.agg(max("ts_us")).head().getLong(0) // bounded: one scalar
       val isTail = col("ts_us") >= mx - 7200000000L
       val isLate = (col("event_id") % 97 === 0) && !isTail
@@ -417,7 +424,8 @@ object EventStreams {
     // closed by the final watermark (max(all) - 10min) are emitted.
     "q70_stream_late_drop" ->
       """WITH t AS (SELECT event_id, epoch_us(ts) AS ts_us,
-                           (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us FROM events),
+                           (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us
+                    FROM events WHERE user_id % 5 = 0),
               m AS (SELECT max(ts_us) AS mx FROM t),
               s AS (SELECT t.*, (event_id % 97 = 0 OR ts_us >= (SELECT mx - 7200000000 FROM m)) AS b2 FROM t),
               w1 AS (SELECT max(ts_us) - 600000000 AS v FROM s WHERE NOT b2),
