@@ -64,7 +64,8 @@ object SparkEntry {
       Dedup.queries ++
       Similarity.queries ++
       TextAnalysis.queries ++
-      Multimodal.queries
+      Multimodal.queries ++
+      graft.sources.odata.ConnectorReplay.queries
 
   /** Entries whose builder EXECUTES work (sketch build + probe, streaming
     * replays) — never cached.
@@ -115,5 +116,6 @@ object SparkEntry {
       TextAnalysis.oracles ++
       Sketches.oracles ++
       Multimodal.oracles ++
-      EventStreams.oracles
+      EventStreams.oracles ++
+      graft.sources.odata.ConnectorReplay.oracles
 }

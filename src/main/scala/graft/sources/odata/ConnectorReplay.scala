@@ -1,0 +1,129 @@
+package graft.sources.odata
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Present._
+
+/** q71: a CORRECTNESS row for the DSv2 connector itself.
+  *
+  * The `customer` fixture is staged as a complete offline OData v3 replay —
+  * service document, catalog metadata (whose `RecordCount` drives
+  * pagination), CSDL `$metadata` declaring the schema, and one JSON page
+  * file per `$skip` page — and then read back END-TO-END through
+  * [[StatlineTableProvider]]: version probe, table discovery, declared
+  * schema, one input partition per page, per-partition fetch + typed
+  * conversion. The DuckDB oracle is plain SQL over the same parquet table,
+  * so every row and every value must survive the whole connector path
+  * exactly (doubles round-trip through shortest-decimal JSON).
+  *
+  * Staging is replay HARNESS work, not the measured scan: the one driver
+  * collect assembles ≤ ~2 MB of JSON pages once per fixture signature
+  * (sig-suffixed dir, atomic publish — same discipline as ReplayStage).
+  */
+object ConnectorReplay {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val DatasetId = "99999GRF"
+  private val Base = s"https://opendata.cbs.nl/ODataFeed/odata/$DatasetId"
+  private val PageSize = 10000 // ODataUrls cbs_limit v3
+
+  val queries: Map[String, Q] = Map(
+    "q71_connector_scan" -> ((s, dir) => {
+      val idx = stageReplay(s, dir)
+      s.read.format("graft.sources.odata.StatlineTableProvider")
+        .option("id", DatasetId).option("table", "TypedDataSet")
+        .option("replayIndex", idx)
+        .load()
+        .presented("c_custkey")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q71_connector_scan" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey")
+
+  private val Csdl =
+    """<?xml version="1.0" encoding="utf-8"?>
+      |<edmx:Edmx xmlns:edmx="http://schemas.microsoft.com/ado/2007/06/edmx" Version="1.0">
+      |<edmx:DataServices><Schema xmlns="http://schemas.microsoft.com/ado/2009/11/edm" Namespace="Cbs">
+      |<EntityType Name="TData">
+      |<Property Name="c_custkey" Type="Edm.Int64"/>
+      |<Property Name="c_name" Type="Edm.String"/>
+      |<Property Name="c_nationkey" Type="Edm.Int32"/>
+      |<Property Name="c_acctbal" Type="Edm.Double"/>
+      |<Property Name="c_mktsegment" Type="Edm.String"/>
+      |</EntityType></Schema></edmx:DataServices></edmx:Edmx>""".stripMargin
+
+  /** Builds the replay dir (index.json + payload files) once per fixture
+    * signature; returns the index path.
+    */
+  private def stageReplay(spark: SparkSession, dir: String): String = {
+    val src = Paths.get(s"$dir/customer.parquet")
+    require(Files.exists(src), s"replay source missing: $src")
+    val sig = s"connector-v1:${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+    val baseName = s"graft_odata_replay_${Integer.toHexString(dir.hashCode)}"
+    val scratch = graft.streaming.EventStreams.scratchBase
+    val stage = Paths.get(scratch,
+      s"$baseName.${Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))}")
+    if (!Files.exists(stage)) {
+      val df = graft.Tables(spark, dir).customer
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+      // bounded replay-staging collect (≤ ~2 MB at sf0.1), documented above
+      val rows = df.toJSON.collect()
+      val tmp = Paths.get(s"$stage.tmp.${ProcessHandle.current().pid()}")
+      Files.createDirectories(tmp)
+      val payloads = scala.collection.mutable.LinkedHashMap[String, String](
+        // absent v4 root ⇒ the version probe resolves "v3"
+        s"https://opendata.cbs.nl/ODataCatalog/Tables?$$format=json&$$filter=Identifier eq '$DatasetId'" ->
+          s"""{"value":[{"Identifier":"$DatasetId","Modified":"2026-01-01","RecordCount":${rows.length},"ColumnCount":5}]}""",
+        s"$Base?$$format=json" ->
+          s"""{"value":[{"name":"TypedDataSet","url":"$Base/TypedDataSet"}]}""",
+        s"$Base/$$metadata" -> Csdl,
+      )
+      val pages = rows.grouped(PageSize).toSeq
+      pages.zipWithIndex.foreach { case (chunk, i) =>
+        val url =
+          if (i == 0) s"$Base/TypedDataSet?$$format=json"
+          else s"$Base/TypedDataSet?$$format=json&$$skip=${i.toLong * PageSize}"
+        payloads += (url -> chunk.mkString("""{"value":[""", ",", "]}"))
+      }
+      var i = 0
+      val index = payloads.map { case (url, content) =>
+        val fn = s"r$i.json"; i += 1
+        Files.writeString(tmp.resolve(fn), content)
+        s""""${url.replace("\\", "\\\\").replace("\"", "\\\"")}": "$fn""""
+      }.mkString("{", ",", "}")
+      Files.writeString(tmp.resolve("index.json"), index)
+      try Files.move(tmp, stage, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException |
+             _: java.nio.file.AccessDeniedException =>
+          deleteRecursively(tmp) // a racing writer published first — use theirs
+      }
+      // best-effort: drop superseded signatures (fixture regenerated)
+      import scala.jdk.CollectionConverters._
+      val siblings = Files.list(Paths.get(scratch))
+      try siblings.iterator().asScala
+        .filter { p =>
+          val fn = p.getFileName.toString
+          fn.startsWith(s"$baseName.") && !fn.contains(".tmp.") && p != stage
+        }
+        .foreach(p => try deleteRecursively(p) catch { case _: Exception => () })
+      finally siblings.close()
+    }
+    stage.resolve("index.json").toString
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+  }
+}
