@@ -131,4 +131,44 @@ class EventStreamsSpec extends AnyFunSuite {
     val ids = s.table(name).select("id").as[Long].collect().toSeq
     assert(ids.sorted == Seq(1L, 2L), s"expected exactly one copy per id: $ids")
   }
+
+  test("B32 protocol: a current watermark drops late rows before AND after first emission") {
+    // Pins the watermark protocol q70's oracle leans on (measured on this
+    // Spark): the late-input filter for an append-mode aggregation uses the
+    // watermark current during the PREVIOUS batch, while end-of-batch
+    // eviction/emission uses the current one. processAllAvailable between
+    // adds runs the trailing no-data batch, so here the filter watermark is
+    // caught up and late rows drop in BOTH positions — a late row for a
+    // window not yet emitted (batch 1) and one for a window already emitted
+    // (batch 2). The q70 replay inserts its watermark-carrier batch for the
+    // same reason: under back-to-back AvailableNow batches the filter
+    // watermark lags one batch.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Timestamp]
+    val agg = mem.toDF().toDF("ts_utc")
+      .withWatermark("ts_utc", "10 minutes")
+      .groupBy(window(col("ts_utc"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w"), col("cnt"))
+    val name = s"graft_wmproto_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name).outputMode("append").start()
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    mem.addData((0 to 5).map(h => ts(h, 30)): _*) // wm → 05:20
+    q.processAllAvailable()
+    // late for hour 0 (window NOT yet emitted) + on-time hour 6;
+    // end of batch emits windows ≤ 05:20
+    mem.addData(ts(0, 10), ts(6, 0))
+    q.processAllAvailable()
+    // late for hour 0 again (window ALREADY emitted) + on-time hour 8
+    mem.addData(ts(0, 20), ts(8, 0))
+    q.processAllAvailable()
+    q.stop()
+    val hour0 = s.table(name).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)))
+      .filter(_._1 == ts(0, 0))
+    assert(hour0.toSeq == Seq((ts(0, 0), 1L)),
+      s"hour-0 must be emitted once, counting only the on-time row: ${hour0.toSeq}")
+  }
 }
