@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions.col
   *
   * `spark.graft.presentationSort=false` restores the distributed range sort
   * for the big-sorted-output use case; both modes produce identical rows in
-  * identical order (pinned by spec).
+  * identical order (pinned by spec). The flag binds at PLAN-BUILD time —
+  * plan caches must key on it (SparkEntry.planCache does) or a mid-session
+  * toggle would silently keep the previously built sort shape.
   */
 object Present {
   implicit final class PresentationOrdering(private val df: DataFrame) extends AnyVal {

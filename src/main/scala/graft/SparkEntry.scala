@@ -103,12 +103,16 @@ object SparkEntry {
       : Map[String, (SparkSession, String) => DataFrame] =
     qs.map { case (name, fn) =>
       name -> ((s: SparkSession, dir: String) =>
-        planCache.computeIfAbsent((System.identityHashCode(s), name, dir),
+        // presentationSort is read at PLAN-BUILD time (Present.presented),
+        // so it belongs in the cache key: flipping the conf mid-session
+        // must rebuild the sort shape, not serve the previously built plan.
+        planCache.computeIfAbsent((System.identityHashCode(s), name, dir,
+            s.conf.getOption("spark.graft.presentationSort").forall(_.toBoolean)),
           _ => fn(s, dir)))
     }
 
   private val planCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, String), DataFrame]()
+    (Int, String, String, Boolean), DataFrame]()
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
