@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+/** The ONE staging/publish discipline for derived on-disk layouts (staged
+  * table copies, streaming replay directories, connector replay fixtures).
+  * Four call sites parameterize it with their payload-writing step:
+  * [[Tables]] staged layouts, [[graft.streaming.ReplayStage]],
+  * [[graft.streaming.EventStreams]] late-drop replay, and
+  * [[graft.sources.odata.ConnectorReplay]].
+  *
+  * Discipline (shared so a fix lands everywhere at once):
+  *
+  *  - the published directory name embeds the source signature VERBATIM
+  *    (sanitized), so identity is the signature itself — not a 32-bit hash
+  *    of it, whose collision between two fixture signatures would silently
+  *    serve a stale layout as current. Publishing therefore NEVER deletes a
+  *    layout another JVM may be mid-scan on: a regenerated fixture lands in
+  *    a NEW directory.
+  *  - within one signature, publication is atomic: the payload is written
+  *    to a private pid-suffixed temp dir, then renamed into place; a racing
+  *    writer that loses the rename discards its temp copy and reads the
+  *    winner's.
+  *  - superseded signatures of the same base name are dropped best-effort
+  *    only AFTER the new one is live (that only happens when the fixture
+  *    itself was regenerated, not on every publish); in-flight
+  *    ".tmp.<pid>" dirs are never touched — they belong to a racing writer.
+  */
+private[graft] object StageDir {
+
+  /** Scratch root for staged layouts: a tmpfs when the host has one, else
+    * the JVM tmp dir. Staged copies are derived data — rebuildable from the
+    * source fixture at any time.
+    */
+  lazy val scratchBase: String = {
+    val shm = Paths.get("/dev/shm")
+    if (Files.isWritable(shm)) shm.toString
+    else System.getProperty("java.io.tmpdir")
+  }
+
+  /** The signature, embedded verbatim with filesystem-hostile chars mapped
+    * to '-'. The mapping keeps ':'-separated size/mtime digits distinct, so
+    * two different signatures can only collide if they differ exactly in
+    * the sanitized characters — which the callers' `size:mtime:...` shapes
+    * never do.
+    */
+  private def sigToken(sig: String): String =
+    sig.map(c => if (c.isLetterOrDigit || c == '.' || c == '-' || c == '_') c else '-')
+
+  /** Returns the published dir for (baseName, sig), staging it via
+    * `writePayload(tmpDir)` first if no layout with this signature is live.
+    * `writePayload` may create the temp dir itself (Spark's parquet writer
+    * does) or rely on it existing — it is created up front.
+    */
+  def publish(baseName: String, sig: String)(writePayload: Path => Unit): Path = {
+    val stage = Paths.get(scratchBase, s"$baseName.${sigToken(sig)}")
+    if (!Files.exists(stage)) {
+      val tmp = Paths.get(s"$stage.tmp.${ProcessHandle.current().pid()}")
+      Files.createDirectories(tmp)
+      writePayload(tmp)
+      try Files.move(tmp, stage, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // A racing writer published first — discard ours, read theirs. The
+        // typed subclasses are NOT enough: on Linux rename(2) onto an
+        // existing non-empty dir surfaces as the GENERIC FileSystemException
+        // ("Directory not empty"), which the old per-site catch lists missed
+        // (pinned by StageDirSpec's lost-race test). All the typed variants
+        // extend FileSystemException, so one guarded catch covers them —
+        // guarded on the target now existing, else the failure is real.
+        case e: java.nio.file.FileSystemException =>
+          if (Files.exists(stage)) deleteRecursively(tmp) else throw e
+      }
+      dropSuperseded(baseName, stage)
+    }
+    stage
+  }
+
+  /** Removes stale sig-dirs of the same base name (the fixture was
+    * regenerated in place). Best effort: a still-running reader of a stale
+    * layout only exists if the fixture changed mid-run.
+    */
+  private def dropSuperseded(baseName: String, keep: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val siblings = Files.list(Paths.get(scratchBase))
+    try siblings.iterator().asScala
+      .filter { p =>
+        val fn = p.getFileName.toString
+        fn.startsWith(s"$baseName.") && !fn.contains(".tmp.") && p != keep
+      }
+      .foreach(p => try deleteRecursively(p) catch { case _: Exception => () })
+    finally siblings.close()
+  }
+
+  def deleteRecursively(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+  }
+}

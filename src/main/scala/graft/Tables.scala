@@ -69,16 +69,8 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
 
-  /** Scratch root for staged table layouts: a tmpfs when the host has one,
-    * else the JVM tmp dir. Staged copies are derived data — rebuildable from
-    * the source fixture at any time (the marker file records the source
-    * signature, so a regenerated fixture restages automatically).
-    */
-  private[graft] lazy val scratchBase: String = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isWritable(shm)) shm.toString
-    else System.getProperty("java.io.tmpdir")
-  }
+  /** Scratch root for staged table layouts — see [[StageDir.scratchBase]]. */
+  private[graft] def scratchBase: String = StageDir.scratchBase
 
   /** Range-partition keys for staged layouts: clustering each table by its
     * natural time/key column gives per-file min/max stats, so date-range
@@ -108,26 +100,10 @@ object Tables {
   private def stageFileCount(bytes: Long): Int =
     math.min(16L, math.max(4L, bytes / (64L << 10))).toInt
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      val s = java.nio.file.Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      finally s.close()
-    }
-  }
-
   /** Returns the path to read `name` from: the original single-file fixture
     * when it is small enough that one scan task is fine, else a staged
-    * multi-file copy under [[scratchBase]].
-    *
-    * The staged directory name embeds the source signature
-    * (`size:mtime:fileCount`), so publishing NEVER deletes a layout another
-    * JVM may be mid-scan on: a regenerated fixture stages into a NEW
-    * directory, concurrent same-sig writers race on an atomic rename (the
-    * loser discards its temp copy and reads the winner's), and superseded
-    * signatures are dropped best-effort only after the new one is live.
+    * multi-file copy published through [[StageDir]] (sig-dir naming, atomic
+    * rename, superseded-signature sweep — the shared discipline).
     */
   private def stagedPath(spark: SparkSession, dir: String, name: String): String = {
     import java.nio.file.{Files, Paths}
@@ -143,38 +119,13 @@ object Tables {
     val n = stageFileCount(bytes)
     val sig = s"$bytes:${Files.getLastModifiedTime(src).toMillis}:$n"
     val baseName = s"graft_tbl_${Integer.toHexString(dir.hashCode)}_$name"
-    val stage = Paths.get(scratchBase,
-      s"$baseName.${Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))}")
-    if (!Files.exists(stage)) {
+    StageDir.publish(baseName, sig) { tmp =>
       val df = spark.read.parquet(src.toString)
       val out = stageKeys.get(name).filter(df.columns.contains) match {
         case Some(k) => df.repartitionByRange(n, col(k))
         case None    => df.repartition(n)
       }
-      // Stage into a private temp dir, then publish with an atomic rename:
-      // concurrent JVMs (Verify + Bench, parallel test suites) must never
-      // observe a half-written layout or overwrite each other mid-read.
-      val tmp = Paths.get(s"$stage.tmp.${ProcessHandle.current().pid()}")
       out.write.mode("overwrite").parquet(tmp.toString)
-      try Files.move(tmp, stage, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.DirectoryNotEmptyException |
-             _: java.nio.file.AccessDeniedException =>
-          deleteRecursively(tmp) // a racing writer published first — use theirs
-      }
-      // drop superseded signatures (fixture regenerated in place); skip
-      // in-flight ".tmp.<pid>" dirs — those belong to a racing writer
-      import scala.jdk.CollectionConverters._
-      val siblings = Files.list(Paths.get(scratchBase))
-      try siblings.iterator().asScala
-        .filter { p =>
-          val fn = p.getFileName.toString
-          fn.startsWith(s"$baseName.") && !fn.contains(".tmp.") && p != stage
-        }
-        .foreach(p => try deleteRecursively(p) catch { case _: Exception => () })
-      finally siblings.close()
-    }
-    stage.toString
+    }.toString
   }
 }

@@ -63,17 +63,12 @@ object ConnectorReplay {
     require(Files.exists(src), s"replay source missing: $src")
     val sig = s"connector-v1:${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
     val baseName = s"graft_odata_replay_${Integer.toHexString(dir.hashCode)}"
-    val scratch = graft.streaming.EventStreams.scratchBase
-    val stage = Paths.get(scratch,
-      s"$baseName.${Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))}")
-    if (!Files.exists(stage)) {
+    graft.StageDir.publish(baseName, sig) { tmp =>
       val df = graft.Tables(spark, dir).customer
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
         .orderBy("c_custkey")
       // bounded replay-staging collect (≤ ~2 MB at sf0.1), documented above
       val rows = df.toJSON.collect()
-      val tmp = Paths.get(s"$stage.tmp.${ProcessHandle.current().pid()}")
-      Files.createDirectories(tmp)
       val payloads = scala.collection.mutable.LinkedHashMap[String, String](
         // absent v4 root ⇒ the version probe resolves "v3"
         s"https://opendata.cbs.nl/ODataCatalog/Tables?$$format=json&$$filter=Identifier eq '$DatasetId'" ->
@@ -96,34 +91,6 @@ object ConnectorReplay {
         s""""${url.replace("\\", "\\\\").replace("\"", "\\\"")}": "$fn""""
       }.mkString("{", ",", "}")
       Files.writeString(tmp.resolve("index.json"), index)
-      try Files.move(tmp, stage, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.DirectoryNotEmptyException |
-             _: java.nio.file.AccessDeniedException =>
-          deleteRecursively(tmp) // a racing writer published first — use theirs
-      }
-      // best-effort: drop superseded signatures (fixture regenerated)
-      import scala.jdk.CollectionConverters._
-      val siblings = Files.list(Paths.get(scratch))
-      try siblings.iterator().asScala
-        .filter { p =>
-          val fn = p.getFileName.toString
-          fn.startsWith(s"$baseName.") && !fn.contains(".tmp.") && p != stage
-        }
-        .foreach(p => try deleteRecursively(p) catch { case _: Exception => () })
-      finally siblings.close()
-    }
-    stage.resolve("index.json").toString
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
+    }.resolve("index.json").toString
   }
 }

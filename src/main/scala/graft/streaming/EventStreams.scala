@@ -42,16 +42,12 @@ object EventStreams {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Buffer[String]]())
 
-  /** Scratch root for replay staging + throwaway checkpoints: a tmpfs when
-    * the host has one (offset/commit WAL and state-store delta files are
-    * fsync-heavy small writes — RAM-backed beats disk), else the tmp dir.
-    * Replays are rebuildable, so nothing here needs to survive a reboot.
+  /** Scratch root for replay staging + throwaway checkpoints (tmpfs when
+    * available: offset/commit WAL and state-store delta files are
+    * fsync-heavy small writes — RAM-backed beats disk). One definition for
+    * the whole engine: [[graft.StageDir.scratchBase]].
     */
-  private[graft] val scratchBase: String = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isWritable(shm)) shm.toString
-    else System.getProperty("java.io.tmpdir")
-  }
+  private[graft] def scratchBase: String = graft.StageDir.scratchBase
 
   /** Streaming view of events with `ts_us` (BIGINT µs) + `ts_utc` timestamp. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
@@ -271,8 +267,11 @@ object EventStreams {
       .presented("bucket_us")
   }
 
-  /** Stages the two-file late-drop replay (batch order fixed by mtime);
-    * sig-suffixed dir, atomic publish — same discipline as [[ReplayStage]].
+  /** Stages the three-file late-drop replay — batch-0 on-time / batch-1
+    * tail / batch-2 late, order fixed by mtime (three batches because the
+    * late filter uses the PREVIOUS batch's watermark; see the protocol
+    * note on [[lateDropCounts]]); sig-suffixed dir, atomic publish — same
+    * discipline as [[ReplayStage]].
     */
   private def stageLateReplay(spark: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths}
@@ -283,17 +282,19 @@ object EventStreams {
     // construction must invalidate previously staged layouts
     val sig = s"latedrop-v3:${Files.size(srcFile)}:${Files.getLastModifiedTime(srcFile).toMillis}"
     val baseName = s"graft_latedrop_${Integer.toHexString(dir.hashCode)}"
-    val stage = Paths.get(scratchBase,
-      s"$baseName.${Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))}")
-    if (!Files.exists(stage)) {
+    graft.StageDir.publish(baseName, sig) { tmp =>
       val ev = graft.Tables(spark, dir).eventsUs
         .filter(col("user_id") % 5 === 0)
         .select(col("event_id"), col("ts_us"))
-      val mx = ev.agg(max("ts_us")).head().getLong(0) // bounded: one scalar
+      // bounded: one scalar — but guard the empty slice (a regenerated or
+      // tiny events fixture) so staging fails with a named cause, not an NPE
+      val mxRow = ev.agg(max("ts_us")).head()
+      require(!mxRow.isNullAt(0),
+        s"late-drop staging: no events match user_id % 5 = 0 in $dir/events.parquet — " +
+          "the replay slice is empty, cannot derive batch boundaries")
+      val mx = mxRow.getLong(0)
       val isTail = col("ts_us") >= mx - 7200000000L
       val isLate = (col("event_id") % 97 === 0) && !isTail
-      val tmp = Paths.get(s"$stage.tmp.${ProcessHandle.current().pid()}")
-      Files.createDirectories(tmp)
       def writeOne(df: DataFrame, name: String, mtimeMs: Long): Unit = {
         val scratch = tmp.resolve(s"_write_$name")
         df.select("ts_us").coalesce(1).write.mode("overwrite").parquet(scratch.toString)
@@ -301,7 +302,7 @@ object EventStreams {
           .find(_.getFileName.toString.endsWith(".parquet"))
           .getOrElse(sys.error(s"no parquet part written under $scratch"))
         Files.move(part, tmp.resolve(name))
-        deleteRecursively(scratch)
+        graft.StageDir.deleteRecursively(scratch)
         Files.setLastModifiedTime(tmp.resolve(name),
           java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
       }
@@ -309,33 +310,7 @@ object EventStreams {
       writeOne(ev.filter(!isTail && !isLate), "batch-0.parquet", t0)
       writeOne(ev.filter(isTail), "batch-1.parquet", t0 + 60000)
       writeOne(ev.filter(isLate), "batch-2.parquet", t0 + 120000)
-      try Files.move(tmp, stage, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.DirectoryNotEmptyException |
-             _: java.nio.file.AccessDeniedException =>
-          deleteRecursively(tmp) // a racing writer published first — use theirs
-      }
-      val siblings = Files.list(Paths.get(scratchBase))
-      try siblings.iterator().asScala
-        .filter { p =>
-          val fn = p.getFileName.toString
-          fn.startsWith(s"$baseName.") && !fn.contains(".tmp.") && p != stage
-        }
-        .foreach(p => try deleteRecursively(p) catch { case _: Exception => () })
-      finally siblings.close()
-    }
-    stage.toString
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      val s = java.nio.file.Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      finally s.close()
-    }
+    }.toString
   }
 
   /** B34: stateful streaming dedup — inject a duplicate of every event into
@@ -418,7 +393,7 @@ object EventStreams {
                         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
                  FROM events) g) h
          GROUP BY user_id ORDER BY user_id""",
-    // B32: reconstructs the two-batch replay's exact watermark protocol —
+    // B32: reconstructs the three-batch replay's exact watermark protocol —
     // batch split by (event_id % 97, 2h tail), wm1 = max(batch1) - 10min
     // drops batch-2 rows whose hour window closed below it, and only windows
     // closed by the final watermark (max(all) - 10min) are emitted.
