@@ -356,6 +356,28 @@ object EventStreams {
           click_time <= imp_time + INTERVAL $window"""))
   }
 
+  /** q73: [[intervalJoin]] run END-TO-END over the events replay — the
+    * view→click attribution relation, one row per (impression, click) pair
+    * on the same user within 30 minutes. A stream-stream INNER join emits
+    * matches as both sides arrive (the watermarks bound the join STATE and
+    * outer-null emission, not inner matches), so the bounded replay emits
+    * the complete relation and the batch join over the same table is the
+    * exact oracle.
+    */
+  def attributionPairs(spark: SparkSession, dir: String): DataFrame = {
+    val imps = readEvents(spark, dir).filter(col("event_type") === "view")
+      .select(col("user_id").as("l_key"), col("ts_utc").as("imp_time"),
+        col("event_id").as("imp_id"))
+    val clicks = readEvents(spark, dir).filter(col("event_type") === "click")
+      .select(col("user_id").as("r_key"), col("ts_utc").as("click_time"),
+        col("event_id").as("click_id"))
+    val joined = intervalJoin(imps, clicks, "30 minutes", "1 hour")
+      .select(col("l_key").as("user_id"), col("imp_id"), col("click_id"),
+        unix_micros(col("imp_time")).as("imp_us"),
+        unix_micros(col("click_time")).as("click_us"))
+    runToMemory(spark, joined, "append").presented("imp_id", "click_id")
+  }
+
   // ------------------------------------------------------- declared queries
 
   val queries: Map[String, Q] = Map(
@@ -365,6 +387,7 @@ object EventStreams {
     "q63_stream_sliding" -> ((s, dir) => slidingCounts(s, dir)),
     "q64_stream_stateful_count" -> ((s, dir) => statefulUserCounts(s, dir)),
     "q70_stream_late_drop" -> ((s, dir) => lateDropCounts(s, dir)),
+    "q73_stream_interval_join" -> ((s, dir) => attributionPairs(s, dir)),
   )
 
   /** All three streaming results are deterministic aggregates of the bounded
@@ -377,6 +400,18 @@ object EventStreams {
          FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""",
     "q61_stream_dedup" ->
       "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+    // B-interval-join: the stream-stream inner join over a bounded replay IS
+    // the batch interval join — same relation, state-store build/probe
+    // instead of a batch shuffle join
+    "q73_stream_interval_join" ->
+      """SELECT i.user_id, i.event_id AS imp_id, c.event_id AS click_id,
+                epoch_us(i.ts) AS imp_us, epoch_us(c.ts) AS click_us
+         FROM events i JOIN events c
+           ON i.user_id = c.user_id
+          AND i.event_type = 'view' AND c.event_type = 'click'
+          AND epoch_us(c.ts) >= epoch_us(i.ts)
+          AND epoch_us(c.ts) <= epoch_us(i.ts) + 1800000000
+         ORDER BY imp_id, click_id""",
     // sliding 1h/30min: every event belongs to exactly two window starts
     "q63_stream_sliding" ->
       """SELECT bucket_us, event_type, COUNT(*) AS cnt FROM (
