@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.operators.{AsOfJoin, Curation, Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
 import graft.queries.Relational
 import graft.streaming.EventStreams
 
@@ -69,6 +69,7 @@ object SparkEntry {
       Dedup.queries ++
       Similarity.queries ++
       TextAnalysis.queries ++
+      Curation.queries ++
       Multimodal.queries ++
       graft.sources.odata.ConnectorReplay.queries
 
@@ -123,6 +124,7 @@ object SparkEntry {
       Dedup.oracles ++
       Similarity.oracles ++
       TextAnalysis.oracles ++
+      Curation.oracles ++
       Sketches.oracles ++
       Multimodal.oracles ++
       EventStreams.oracles ++

@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Present._
+import graft.Tables
+
+/** Corpus-curation operators for training-data pipelines: the selection /
+  * layout steps that sit between cleaning (TextAnalysis, Dedup) and the
+  * trainer — sequence packing, holdout-contamination checks, deterministic
+  * stratified sampling, and repetition-based quality gating.
+  *
+  * Scale-first shapes:
+  *
+  *  - '''packing''' shuffles once by shard and runs the greedy fold
+  *    per-shard; a shard is the unit a single trainer worker consumes, so
+  *    its doc list fitting one task is the PIPELINE's contract, not a local
+  *    shortcut (at 100 TB: thousands of shards, each bounded).
+  *  - '''contamination''' broadcasts the distinct holdout n-grams (the
+  *    benchmark/test corpus is small by definition) and streams the
+  *    training corpus through one hash join — no shuffle of the corpus.
+  *  - '''sampling''' is a pure per-row filter on a portable integer hash:
+  *    zero shuffles, trivially reproducible across engines and re-runs —
+  *    which is the point (a resampled corpus must be the SAME corpus).
+  *  - '''repetition''' is per-document column math (one scan, no shuffle),
+  *    the Gopher-style within-doc duplication signals.
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- packing
+
+  /** Greedy sequential sequence packing: within each shard, docs are taken
+    * in ascending `doc_id` order and appended to the current pack until the
+    * next doc would exceed `budget` tokens, which starts a new pack
+    * (oversized docs get a pack of their own). Returns
+    * `(shard, doc_id, tokens, pack_id)` — deterministic for any input
+    * partitioning because the per-shard order is total.
+    */
+  def packSequences(docs: DataFrame, keyCol: String, textCol: String,
+                    budget: Long, nShards: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(
+      (col(keyCol) % nShards).as("shard"),
+      col(keyCol).cast(LongType).as("doc_id"),
+      TextAnalysis.wsTokenCount(col(textCol)).as("tokens"))
+      .as[(Long, Long, Long)]
+    toks.groupByKey(_._1).flatMapGroups { (shard, it) =>
+      val ds = it.toArray.sortBy(_._2)
+      var pack = 0L
+      var acc = 0L
+      ds.iterator.map { case (_, id, t) =>
+        if (acc > 0L && acc + t > budget) { pack += 1L; acc = t }
+        else acc += t
+        (shard, id, t, pack)
+      }
+    }.toDF("shard", "doc_id", "tokens", "pack_id")
+  }
+
+  // ---------------------------------------------------- contamination check
+
+  /** Word n-grams of `textCol` as an array column. `greatest(..., 1)`
+    * guards Spark's descending-sequence trap for docs shorter than `n`
+    * tokens — such docs yield ONE shorter-than-`n` gram (the whole doc),
+    * exactly like [[Dedup.shingles]]; oracles mirror the same formula, and
+    * callers that want none filter on token count first.
+    */
+  def wordNgrams(textCol: String, n: Int): Column =
+    expr(s"""transform(sequence(1, greatest(size(split(trim($textCol), ' +')) - ${n - 1}, 1)),
+                       i -> concat_ws(' ', slice(split(trim($textCol), ' +'), i, $n)))""")
+
+  /** Train/holdout contamination: training docs that share at least one
+    * word-`n`-gram with the holdout set, with the count of distinct shared
+    * grams. The holdout side is DISTINCT grams and broadcast — a benchmark
+    * corpus is small by definition, so the training corpus is never
+    * shuffled, just streamed through one broadcast hash join.
+    */
+  def contamination(train: DataFrame, holdout: DataFrame, keyCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val minTok = TextAnalysis.wsTokenCount(col(textCol)) >= n
+    val trainGrams = train.filter(minTok)
+      .select(col(keyCol), explode(wordNgrams(textCol, n)).as("gram"))
+    val holdGrams = holdout.filter(minTok)
+      .select(explode(wordNgrams(textCol, n)).as("gram")).distinct()
+    trainGrams.join(broadcast(holdGrams), "gram")
+      .groupBy(keyCol)
+      .agg(count_distinct(col("gram")).as("shared_grams"))
+  }
+
+  // ------------------------------------------------- deterministic sampling
+
+  /** Portable 32-bit multiplicative hash of a long key (Knuth's 2654435761),
+    * identical integer arithmetic in any engine — the reproducible-sampling
+    * primitive. Returns a value in [0, 2^32).
+    */
+  def portableHash(key: Column): Column =
+    pmod(key.cast(LongType) * lit(2654435761L), lit(4294967296L))
+
+  /** Deterministic stratified sampling: strata from text length (short /
+    * medium / long), each with its own per-mille keep rate; a row is kept
+    * iff `portableHash(key) % 1000 < rate`. Zero shuffles, stable across
+    * runs, engines, and partitionings.
+    */
+  def stratifiedSample(docs: DataFrame, keyCol: String, textCol: String,
+                       rates: (Int, Int, Int) = (100, 250, 500)): DataFrame = {
+    val len = length(col(textCol))
+    val stratum = when(len < 200, "short").when(len < 400, "medium").otherwise("long")
+    val rate = when(len < 200, rates._1).when(len < 400, rates._2).otherwise(rates._3)
+    docs.select(col(keyCol), stratum.as("stratum"),
+        (portableHash(col(keyCol)) % 1000).as("h"), rate.as("rate"))
+      .filter(col("h") < col("rate"))
+      .select(col(keyCol), col("stratum"))
+  }
+
+  // ----------------------------------------------------- repetition ratios
+
+  /** Within-document repetition signals (Gopher-style duplication gates):
+    * fraction of duplicate word bigrams and duplicate character 4-grams,
+    * both as exact scaled-integer ratios rounded to 4 decimals. One scan,
+    * no shuffle, all codegen'd array math.
+    */
+  def repetitionRatios(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    def ratio4(num: Column, den: Column): Column =
+      round(num.cast("double") * 10000d / greatest(den, lit(1L)).cast("double")) / 10000d
+    docs
+      .withColumn("_bi", wordNgrams(textCol, 2))
+      // total char 4-gram positions, with the same short-text floor of 1 the
+      // shingle expression has (a <4-char text yields one short shingle)
+      .withColumn("_c4total",
+        greatest(length(col(textCol)).cast(LongType) - lit(3L), lit(1L)))
+      .withColumn("_c4", Dedup.shingles(textCol, 4)) // already distinct
+      .select(col(keyCol),
+        size(col("_bi")).cast(LongType).as("n_bigrams"),
+        ratio4(size(col("_bi")).cast(LongType) - size(array_distinct(col("_bi"))).cast(LongType),
+          size(col("_bi")).cast(LongType)).as("rep_bigram"),
+        ratio4(col("_c4total") - size(col("_c4")).cast(LongType), col("_c4total"))
+          .as("rep_char4"))
+  }
+
+  // ------------------------------------------------------- declared queries
+
+  private val PackBudget = 500L
+  private val PackShards = 8
+  private val ContamN = 3
+  /** Holdout slice: every 37th doc plays the benchmark set. */
+  private def holdoutPred = col("doc_id") % 37 === 0
+
+  val queries: Map[String, Q] = Map(
+    "q74_pack_sequences" -> ((s, dir) =>
+      packSequences(Tables(s, dir).documents, "doc_id", "text", PackBudget, PackShards)
+        .presented("shard", "doc_id")),
+    "q75_contamination" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      contamination(docs.filter(!holdoutPred), docs.filter(holdoutPred),
+        "doc_id", "text", ContamN)
+        .presented("doc_id")
+    }),
+    "q76_sample_stratified" -> ((s, dir) =>
+      stratifiedSample(Tables(s, dir).documents, "doc_id", "text")
+        .presented("doc_id")),
+    "q77_text_repetition" -> ((s, dir) =>
+      repetitionRatios(Tables(s, dir).documents, "doc_id", "text")
+        .presented("doc_id")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // greedy packing is inherently sequential per shard — the oracle walks
+    // the same order with a recursive CTE
+    "q74_pack_sequences" ->
+      s"""WITH RECURSIVE base AS (
+            SELECT doc_id % $PackShards AS shard, doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) END AS tokens
+            FROM documents),
+          ordered AS (
+            SELECT shard, doc_id, tokens,
+                   ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+            FROM base),
+          packed AS (
+            SELECT shard, doc_id, tokens, rn,
+                   CAST(0 AS BIGINT) AS pack_id, tokens AS acc
+            FROM ordered WHERE rn = 1
+            UNION ALL
+            SELECT o.shard, o.doc_id, o.tokens, o.rn,
+                   CASE WHEN p.acc > 0 AND p.acc + o.tokens > $PackBudget
+                        THEN p.pack_id + 1 ELSE p.pack_id END,
+                   CASE WHEN p.acc > 0 AND p.acc + o.tokens > $PackBudget
+                        THEN o.tokens ELSE p.acc + o.tokens END
+            FROM ordered o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1)
+          SELECT shard, doc_id, tokens, pack_id FROM packed ORDER BY shard, doc_id""",
+    "q75_contamination" ->
+      s"""WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), ' +') AS t
+            FROM documents
+            WHERE CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), ' +')) END >= $ContamN),
+          grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - ${ContamN - 1} + 1),
+                                         i -> array_to_string(list_slice(t, i, i + ${ContamN - 1}), ' '))) AS gram
+            FROM toks),
+          hold AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 37 = 0),
+          train AS (SELECT doc_id, gram FROM grams WHERE doc_id % 37 <> 0)
+          SELECT train.doc_id, COUNT(DISTINCT train.gram) AS shared_grams
+          FROM train JOIN hold USING (gram)
+          GROUP BY train.doc_id ORDER BY train.doc_id""",
+    "q76_sample_stratified" ->
+      """SELECT doc_id, stratum FROM (
+           SELECT doc_id,
+                  CASE WHEN length(text) < 200 THEN 'short'
+                       WHEN length(text) < 400 THEN 'medium' ELSE 'long' END AS stratum,
+                  (doc_id * 2654435761) % 4294967296 % 1000 AS h,
+                  CASE WHEN length(text) < 200 THEN 100
+                       WHEN length(text) < 400 THEN 250 ELSE 500 END AS rate
+           FROM documents) x
+         WHERE h < rate ORDER BY doc_id""",
+    "q77_text_repetition" ->
+      """WITH g AS (
+           SELECT doc_id,
+                  list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                                 i -> array_to_string(list_slice(t, i, i + 1), ' ')) AS bi,
+                  greatest(length(text) - 3, 1) AS c4total,
+                  len(list_distinct(list_transform(range(1, greatest(length(text) - 3, 1) + 1),
+                                                   i -> substring(text, i, 4)))) AS c4distinct
+           FROM (SELECT doc_id, text, string_split_regex(trim(text), ' +') AS t FROM documents) x)
+         SELECT doc_id,
+                CAST(len(bi) AS BIGINT) AS n_bigrams,
+                ROUND(CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) * 10000 / greatest(len(bi), 1)) / 10000 AS rep_bigram,
+                ROUND(CAST(c4total - c4distinct AS DOUBLE) * 10000 / greatest(c4total, 1)) / 10000 AS rep_char4
+         FROM g ORDER BY doc_id""",
+  )
+}
