@@ -109,6 +109,63 @@ object TextStats {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  // indices into the repetition-stats array
+  val NBigrams = 0; val DistinctBigrams = 1; val C4Total = 2; val C4Distinct = 3
+
+  /** [n_bigrams, distinct_bigrams, char4_total, char4_distinct] in one
+    * pass — the repetition-gate counts of `Curation.repetitionRatios`,
+    * replacing two materialized gram ARRAYS per document (a ~400-element
+    * `transform` + `array_distinct` each) with two hash sets.
+    *
+    * Semantics pinned to the composed/oracle formulation exactly:
+    *  - tokens = `split(trim(text), ' +')` (a blank text has ONE empty
+    *    token); bigram count = max(tokens − 1, 1); a one-token doc's single
+    *    "bigram" is that token itself (`slice` semantics);
+    *  - char grams: `substring(text, i, 4)` for i in 1..max(len − 3, 1)
+    *    over code points — a <4-char text yields one short gram.
+    */
+  def repStats(text: UTF8String): ArrayData = {
+    val s = text.toString
+    // ---- whitespace tokens of trim(s)
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (s.charAt(i) != ' ') {
+        val start = i
+        while (i < n && s.charAt(i) != ' ') i += 1
+        toks += s.substring(start, i)
+      } else i += 1
+    }
+    if (toks.isEmpty) toks += "" // split(trim(""), " +") == [""]
+    val nTok = toks.length
+    val nBi = math.max(nTok - 1, 1).toLong
+    val biSet = new java.util.HashSet[String]()
+    if (nTok == 1) biSet.add(toks(0))
+    else {
+      var t = 0
+      while (t < nTok - 1) { biSet.add(toks(t) + " " + toks(t + 1)); t += 1 }
+    }
+    // ---- char 4-grams over code points of the raw text
+    val cpCount = s.codePointCount(0, n)
+    val total4 = math.max(cpCount - 3, 1).toLong
+    val c4 = new java.util.HashSet[String]()
+    if (cpCount < 4) c4.add(s)
+    else {
+      var start = 0
+      var end = s.offsetByCodePoints(0, 4)
+      var k = 0L
+      while (k < total4) {
+        c4.add(s.substring(start, end))
+        start = s.offsetByCodePoints(start, 1)
+        if (end < n) end = s.offsetByCodePoints(end, 1)
+        k += 1L
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      Array(nBi, biSet.size.toLong, total4, c4.size.toLong))
+  }
+
   /** Polynomial rolling hash (base 31, mod 1e9+7) over code points — the
     * fused form of `aggregate(transform(split(text,''), ascii), …)`.
     */
@@ -131,6 +188,7 @@ object TextStats {
     ("graft_text_stats", classOf[TextStatsExpr], (c: Seq[Expression]) => TextStatsExpr(c.head)),
     ("graft_marker_hits", classOf[MarkerHitsExpr], (c: Seq[Expression]) => MarkerHitsExpr(c.head)),
     ("graft_fingerprint", classOf[FingerprintExpr], (c: Seq[Expression]) => FingerprintExpr(c.head)),
+    ("graft_rep_stats", classOf[RepStatsExpr], (c: Seq[Expression]) => RepStatsExpr(c.head)),
   )
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, cls, builder) =>
@@ -146,6 +204,9 @@ object TextStats {
   }
   def fingerprintCol(spark: SparkSession)(text: Column): Column = {
     register(spark); call_function("graft_fingerprint", text)
+  }
+  def repStatsCol(spark: SparkSession)(text: Column): Column = {
+    register(spark); call_function("graft_rep_stats", text)
   }
 
   private[expressions] def requireString(e: Expression, name: String): TypeCheckResult =
@@ -177,6 +238,21 @@ case class MarkerHitsExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.expressions.TextStats.markerHits($t)")
   override protected def withNewChildInternal(c: Expression): MarkerHitsExpr = copy(child = c)
+}
+
+/** `graft_rep_stats(text)` → ARRAY<BIGINT> [n_bigrams, distinct_bigrams,
+  * char4_total, char4_distinct].
+  */
+case class RepStatsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextStats.requireString(child, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_rep_stats"
+  override protected def nullSafeEval(t: Any): Any =
+    TextStats.repStats(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.expressions.TextStats.repStats($t)")
+  override protected def withNewChildInternal(c: Expression): RepStatsExpr = copy(child = c)
 }
 
 /** `graft_fingerprint(text)` → BIGINT rolling-hash content id. */

@@ -119,10 +119,33 @@ object Curation {
 
   /** Within-document repetition signals (Gopher-style duplication gates):
     * fraction of duplicate word bigrams and duplicate character 4-grams,
-    * both as exact scaled-integer ratios rounded to 4 decimals. One scan,
-    * no shuffle, all codegen'd array math.
+    * both as exact scaled-integer ratios rounded to 4 decimals. One fused
+    * scan per document via the native
+    * [[graft.expressions.TextStats.repStats]] codegen expression — the
+    * composed-builtin formulation it replaces (wordNgrams(2) +
+    * array_distinct, Dedup.shingles(4), char-count floor of 1) remains the
+    * oracle semantics and the parity-spec reference.
     */
   def repetitionRatios(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    import graft.expressions.TextStats
+    def ratio4(num: Column, den: Column): Column =
+      round(num.cast("double") * 10000d / greatest(den, lit(1L)).cast("double")) / 10000d
+    val st = TextStats.repStatsCol(docs.sparkSession)(col(textCol))
+    docs
+      .withColumn("_rs", st)
+      .select(col(keyCol),
+        col("_rs")(TextStats.NBigrams).as("n_bigrams"),
+        ratio4(col("_rs")(TextStats.NBigrams) - col("_rs")(TextStats.DistinctBigrams),
+          col("_rs")(TextStats.NBigrams)).as("rep_bigram"),
+        ratio4(col("_rs")(TextStats.C4Total) - col("_rs")(TextStats.C4Distinct),
+          col("_rs")(TextStats.C4Total)).as("rep_char4"))
+  }
+
+  /** The composed-builtin formulation of [[repetitionRatios]] — the oracle
+    * semantics, kept for the native≡composed parity spec.
+    */
+  private[operators] def repetitionRatiosComposed(docs: DataFrame, keyCol: String,
+                                                 textCol: String): DataFrame = {
     def ratio4(num: Column, den: Column): Column =
       round(num.cast("double") * 10000d / greatest(den, lit(1L)).cast("double")) / 10000d
     docs

@@ -80,6 +80,21 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.collect { case s: ShuffleExchangeLike => s }.isEmpty, plan.toString)
   }
 
+  test("native repStats ≡ composed formulation on the fixture corpus + edge cases") {
+    val fixture = graft.Tables(spark, graft.TestSpark.Sf0001).documents
+      .select(col("doc_id"), col("text"))
+    val edge = docsOf(
+      (100001L, ""), (100002L, "   "), (100003L, "one"),
+      (100004L, "ab"), (100005L, "a b"), (100006L, "x y z x y z x y"),
+      (100007L, "abcd"), (100008L, "aaaaaaa"))
+    val corpus = fixture.union(edge)
+    val native = Curation.repetitionRatios(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val composed = Curation.repetitionRatiosComposed(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(native == composed)
+  }
+
   test("repetition ratios: planted duplicate bigrams and char grams score high") {
     val rows = Curation.repetitionRatios(docsOf(
       (1L, "spam spam spam spam spam"), // every bigram identical
