@@ -115,6 +115,48 @@ object Curation {
       .select(col(keyCol), col("stratum"))
   }
 
+  /** Fixed-budget per-stratum sample: exactly `min(k, |stratum|)` docs per
+    * stratum, chosen by rank of the portable hash (ties broken by key) —
+    * the deterministic replacement for per-group reservoir sampling. One
+    * shuffle by stratum; the rank window never sees more than a stratum.
+    */
+  def sampleFixedK(docs: DataFrame, keyCol: String, textCol: String, k: Int): DataFrame = {
+    val len = length(col(textCol))
+    val stratum = when(len < 200, "short").when(len < 400, "medium").otherwise("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum").orderBy(col("h"), col(keyCol))
+    docs.select(col(keyCol), stratum.as("stratum"),
+        portableHash(col(keyCol)).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(keyCol), col("stratum"), col("rk").cast(LongType).as("rk"))
+  }
+
+  /** Rank-based quality gate: keep the top half of each stratum by the
+    * composite quality score ([[TextAnalysis.qualityScoreFromStats]]).
+    * Thresholding by ORDER STATISTIC (rank > floor(n/2) with a total
+    * tie-break), not by an interpolated percentile VALUE — integer logic is
+    * engine-portable where midpoint interpolation can differ in the last
+    * ulp. One shuffle by stratum.
+    */
+  def qualityGateTopHalf(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val st = graft.expressions.TextStats.statsCol(docs.sparkSession)(col(textCol))
+    val len = length(col(textCol))
+    val stratum = when(len < 200, "short").when(len < 400, "medium").otherwise("long")
+    val scored = docs
+      .withColumn("_st", st)
+      .select(col(keyCol), stratum.as("stratum"),
+        TextAnalysis.qualityScoreFromStats(col("_st")).as("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum").orderBy(col("quality_score"), col(keyCol))
+    val n = org.apache.spark.sql.expressions.Window.partitionBy("stratum")
+    scored
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(n))
+      .filter(col("rk") > expr("n div 2")) // integer division: floor(n/2)
+      .select(col(keyCol), col("stratum"), col("quality_score"))
+  }
+
   // ----------------------------------------------------- repetition ratios
 
   /** Within-document repetition signals (Gopher-style duplication gates):
@@ -187,6 +229,12 @@ object Curation {
     "q77_text_repetition" -> ((s, dir) =>
       repetitionRatios(Tables(s, dir).documents, "doc_id", "text")
         .presented("doc_id")),
+    "q78_sample_fixed_k" -> ((s, dir) =>
+      sampleFixedK(Tables(s, dir).documents, "doc_id", "text", k = 20)
+        .presented("doc_id")),
+    "q79_quality_gate" -> ((s, dir) =>
+      qualityGateTopHalf(Tables(s, dir).documents, "doc_id", "text")
+        .presented("doc_id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -239,6 +287,34 @@ object Curation {
                        WHEN length(text) < 400 THEN 250 ELSE 500 END AS rate
            FROM documents) x
          WHERE h < rate ORDER BY doc_id""",
+    "q78_sample_fixed_k" ->
+      """SELECT doc_id, stratum, rk FROM (
+           SELECT doc_id, stratum,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY h, doc_id) AS BIGINT) AS rk
+           FROM (SELECT doc_id,
+                        CASE WHEN length(text) < 200 THEN 'short'
+                             WHEN length(text) < 400 THEN 'medium' ELSE 'long' END AS stratum,
+                        (doc_id * 2654435761) % 4294967296 AS h
+                 FROM documents) s) r
+         WHERE rk <= 20 ORDER BY doc_id""",
+    "q79_quality_gate" ->
+      """WITH scored AS (
+           SELECT doc_id,
+                  CASE WHEN length(text) < 200 THEN 'short'
+                       WHEN length(text) < 400 THEN 'medium' ELSE 'long' END AS stratum,
+                  ROUND(CAST(least(n_words, 50) * alpha AS DOUBLE) * 10000 / (50 * greatest(n_chars, 1))) / 10000 AS quality_score
+           FROM (SELECT doc_id, text,
+                        CAST(length(text) AS BIGINT) AS n_chars,
+                        CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) END AS n_words,
+                        CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha
+                 FROM documents) f),
+         ranked AS (
+           SELECT doc_id, stratum, quality_score,
+                  ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY quality_score, doc_id) AS rk,
+                  COUNT(*) OVER (PARTITION BY stratum) AS n
+           FROM scored)
+         SELECT doc_id, stratum, quality_score FROM ranked
+         WHERE rk > n // 2 ORDER BY doc_id""",
     "q77_text_repetition" ->
       """WITH g AS (
            SELECT doc_id,

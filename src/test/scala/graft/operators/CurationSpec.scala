@@ -80,6 +80,34 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.collect { case s: ShuffleExchangeLike => s }.isEmpty, plan.toString)
   }
 
+  test("fixed-k sampling: exact per-stratum budgets, deterministic under partitioning") {
+    val docs = docsOf((0L to 100L).map(i => (i, "z " * (i % 60).toInt + "end")): _*)
+    val out = Curation.sampleFixedK(docs, "doc_id", "text", k = 7)
+    val sizes = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.values.forall(_ <= 7) && sizes.values.exists(_ == 7), sizes.toString)
+    val again = Curation.sampleFixedK(docs.repartition(9), "doc_id", "text", k = 7)
+      .orderBy("doc_id").collect().toSeq
+    assert(out.orderBy("doc_id").collect().toSeq == again)
+  }
+
+  test("quality gate keeps exactly the top ceil(n/2) of each stratum") {
+    val docs = docsOf((0L to 50L).map(i =>
+      (i, ("w " * (i % 9).toInt) + ("!!! " * (i % 4).toInt) + "tail")): _*)
+    val kept = Curation.qualityGateTopHalf(docs, "doc_id", "text")
+    val keptByStratum = kept.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val strata = docs.select(
+        when(length(col("text")) < 200, "short")
+          .when(length(col("text")) < 400, "medium").otherwise("long").as("stratum"))
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    strata.foreach { case (s, n) =>
+      assert(keptByStratum.getOrElse(s, 0L) == n - n / 2,
+        s"stratum $s: kept ${keptByStratum.get(s)} of $n")
+    }
+  }
+
   test("native repStats ≡ composed formulation on the fixture corpus + edge cases") {
     val fixture = graft.Tables(spark, graft.TestSpark.Sf0001).documents
       .select(col("doc_id"), col("text"))
