@@ -41,6 +41,16 @@ object SparkEntry {
     // Janino recompile (~50-100ms) per unit per query. Identical generated
     // source should compile once per JVM.
     "spark.sql.codegen.cache.maxEntries" -> "5000",
+    // DSv2 parquet reads + footer-metadata aggregate pushdown: a filterless
+    // count/min/max scan is answered from rowgroup statistics instead of a
+    // data pass (the at-scale posture: corpus-wide counts over 100 TB touch
+    // no pages). Measured (tools.AggPushProbe, min-of-5): q01 count 2.1x
+    // faster, and the V2 scan path is neutral-to-faster on every probed
+    // shape (project/filter/join/agg/sort/dedup, 0.69-0.98x). Catalog
+    // tables with bucket specs stay on the V1 path, so the bucketed
+    // co-located-join layouts are unaffected.
+    "spark.sql.sources.useV1SourceList" -> "",
+    "spark.sql.parquet.aggregatePushdown" -> "true",
   )
 
   def configure(b: SparkSession.Builder): SparkSession.Builder =

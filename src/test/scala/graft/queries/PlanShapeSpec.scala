@@ -80,21 +80,38 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q11 star join: fact side is never broadcast") {
     val df = plan("q11_star_join")
     val broadcasts = collectAll(initialPlan(df)) { case b: BroadcastExchangeLike => b }
-    // lineitem (the fact) must not appear under a broadcast exchange
+    assert(broadcasts.nonEmpty, initialPlan(df).toString)
+    // lineitem (the fact) must not appear under a broadcast exchange — the
+    // scan's rendered path names the table whichever scan node (V1 file
+    // scan or DSv2 BatchScan) the session's source list resolves to
     broadcasts.foreach { b =>
-      val scans = collectAll(b) { case s: FileSourceScanExec => s }
-      scans.foreach { s =>
-        assert(!s.relation.location.rootPaths.exists(_.toString.contains("lineitem")),
-          s"fact table broadcast: $b")
-      }
+      assert(!b.toString.contains("lineitem"), s"fact table broadcast: $b")
     }
+  }
+
+  test("q01 count(*) is answered from parquet footer metadata (aggregate pushdown)") {
+    val df = plan("q01_scan_count")
+    val p = initialPlan(df).toString
+    // the DSv2 parquet scan must carry the pushed COUNT(*) — a conf-key
+    // regression (this feature is spelled aggregatePushdown, not
+    // aggregatePushDown) silently reverts to a full data pass
+    assert(p.contains("PushedAggregation: [COUNT(*)]"), p)
   }
 
   test("q04 filter reaches the parquet scan as pushed filters") {
     val df = plan("q04_filter")
-    val scans = collectAll(initialPlan(df)) { case s: FileSourceScanExec => s }
-    assert(scans.nonEmpty)
-    assert(scans.exists(_.metadata.get("PushedFilters").exists(_ != "[]")),
-      scans.map(_.metadata.get("PushedFilters")).mkString(", "))
+    // the sessionConfigs default is the DSv2 parquet path (BatchScan over
+    // ParquetScan); the V1 FileSourceScan arm keeps the pin meaningful if a
+    // session overrides useV1SourceList
+    val v2Pushed = collectAll(initialPlan(df)) {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s.scan
+    }.collect {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        p.pushedFilters.nonEmpty
+    }
+    val v1Pushed = collectAll(initialPlan(df)) { case s: FileSourceScanExec => s }
+      .map(_.metadata.get("PushedFilters").exists(_ != "[]"))
+    val all = v2Pushed ++ v1Pushed
+    assert(all.nonEmpty && all.exists(identity), initialPlan(df).toString)
   }
 }
