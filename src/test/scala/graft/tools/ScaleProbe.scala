@@ -74,6 +74,24 @@ object ScaleProbe {
           .minhashBandsCol(spark)(col("text"), 5).as("b"))
         .agg(sum(element_at(col("b"), 1))).count()
     }
+    // curation family at 50k docs: the shapes must stay one-shuffle-or-less
+    // as the corpus grows (packing: by shard; contamination: broadcast
+    // holdout; repetition: scan-only; gate: by stratum)
+    time("pack_50k_docs") {
+      graft.operators.Curation.packSequences(docs, "doc_id", "text", 500L, 64).count()
+    }
+    time("contamination_50k_docs") {
+      graft.operators.Curation.contamination(
+        docs.filter(col("doc_id") % 37 =!= 0), docs.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", 3).count()
+    }
+    time("repetition_50k_docs") {
+      graft.operators.Curation.repetitionRatios(docs, "doc_id", "text")
+        .agg(sum("n_bigrams")).count()
+    }
+    time("quality_gate_50k_docs") {
+      graft.operators.Curation.qualityGateTopHalf(docs, "doc_id", "text").count()
+    }
     spark.stop()
   }
 }
