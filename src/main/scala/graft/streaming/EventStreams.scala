@@ -378,6 +378,42 @@ object EventStreams {
     runToMemory(spark, joined, "append").presented("imp_id", "click_id")
   }
 
+  /** q80: the LEFT OUTER interval join — the watermark-gated null-emission
+    * protocol, which the inner join (q73) never exercises. Inner matches
+    * emit in the data batch; an UNMATCHED impression emits `(imp, null)`
+    * only when the global watermark passes `imp_time + window` (no future
+    * click can match it), which for this replay happens in the trailing
+    * no-data batch under the final watermark
+    * `min(max view ts, max click ts) − 1 h` (two watermarked inputs; the
+    * default multipleWatermarkPolicy is `min`). Impressions whose match
+    * window is NOT closed by that final watermark are still buffered when
+    * the bounded replay ends and are never emitted — the oracle
+    * reconstructs exactly that cutoff, the same protocol-reconstruction
+    * pattern as q70.
+    */
+  def attributionOuter(spark: SparkSession, dir: String): DataFrame = {
+    val imps = readEvents(spark, dir).filter(col("event_type") === "view")
+      .select(col("user_id").as("l_key"), col("ts_utc").as("imp_time"),
+        col("event_id").as("imp_id"))
+      .withWatermark("imp_time", "1 hour")
+    val clicks = readEvents(spark, dir).filter(col("event_type") === "click")
+      .select(col("user_id").as("r_key"), col("ts_utc").as("click_time"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_time", "1 hour")
+    val joined = imps.join(clicks, expr(
+      """l_key = r_key AND
+         click_time >= imp_time AND
+         click_time <= imp_time + INTERVAL 30 minutes"""), "left_outer")
+      .select(col("l_key").as("user_id"), col("imp_id"), col("click_id"),
+        unix_micros(col("imp_time")).as("imp_us"),
+        unix_micros(col("click_time")).as("click_us"))
+    // availableNow + noDataBatch: the outer-null flush NEEDS the trailing
+    // no-data batch — eviction runs under the watermark advanced by the
+    // last data batch
+    runToMemory(spark, joined, "append", availableNow = true, noDataBatch = true)
+      .presented("imp_id", "click_id")
+  }
+
   // ------------------------------------------------------- declared queries
 
   val queries: Map[String, Q] = Map(
@@ -388,6 +424,7 @@ object EventStreams {
     "q64_stream_stateful_count" -> ((s, dir) => statefulUserCounts(s, dir)),
     "q70_stream_late_drop" -> ((s, dir) => lateDropCounts(s, dir)),
     "q73_stream_interval_join" -> ((s, dir) => attributionPairs(s, dir)),
+    "q80_stream_outer_join" -> ((s, dir) => attributionOuter(s, dir)),
   )
 
   /** All three streaming results are deterministic aggregates of the bounded
@@ -412,6 +449,30 @@ object EventStreams {
           AND epoch_us(c.ts) >= epoch_us(i.ts)
           AND epoch_us(c.ts) <= epoch_us(i.ts) + 1800000000
          ORDER BY imp_id, click_id""",
+    // q80: inner matches + the watermark-gated outer nulls. The final
+    // global watermark is min(max view ts, max click ts) - 1h (two
+    // watermarked inputs, 'min' policy); an unmatched impression emits
+    // nulls only if its 30-min match window closed strictly below it.
+    "q80_stream_outer_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+              imps AS (SELECT user_id, event_id AS imp_id, us AS imp_us FROM e WHERE event_type = 'view'),
+              clicks AS (SELECT user_id, event_id AS click_id, us AS click_us FROM e WHERE event_type = 'click'),
+              wm AS (SELECT least(MAX(CASE WHEN event_type = 'view' THEN us END),
+                                  MAX(CASE WHEN event_type = 'click' THEN us END)) - 3600000000 AS wm_us
+                     FROM e),
+              matched AS (
+                SELECT i.user_id, i.imp_id, c.click_id, i.imp_us, c.click_us
+                FROM imps i JOIN clicks c ON i.user_id = c.user_id
+                 AND c.click_us >= i.imp_us AND c.click_us <= i.imp_us + 1800000000),
+              unmatched AS (
+                SELECT i.user_id, i.imp_id, CAST(NULL AS BIGINT) AS click_id,
+                       i.imp_us, CAST(NULL AS BIGINT) AS click_us
+                FROM imps i CROSS JOIN wm
+                WHERE i.imp_id NOT IN (SELECT imp_id FROM matched)
+                  AND i.imp_us + 1800000000 < wm.wm_us)
+         SELECT * FROM matched
+         UNION ALL SELECT * FROM unmatched
+         ORDER BY imp_id, click_id NULLS FIRST""",
     // sliding 1h/30min: every event belongs to exactly two window starts
     "q63_stream_sliding" ->
       """SELECT bucket_us, event_type, COUNT(*) AS cnt FROM (
