@@ -69,6 +69,7 @@ object Relational {
     "q65_pivot" -> q65Pivot,
     "q66_having" -> q66Having,
     "q67_array_agg" -> q67ArrayAgg,
+    "q81_recursive_cte" -> q81RecursiveCte,
   )
 
   // B1: parquet scan + count (no shuffle beyond the final single-row agg).
@@ -516,6 +517,34 @@ object Relational {
       .presented("n_name")
   }
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): linked-list traversal of each
+    * customer's order chain. The successor edges come from one window pass
+    * (non-recursive); the recursion itself is one equi-join per step, so
+    * each iteration is a bounded hash join — depth = max orders/customer,
+    * rows = each order exactly once with its chain position. The SAME SQL
+    * text runs in DuckDB as the oracle.
+    */
+  private[queries] val recursiveChainSql: String =
+    """WITH RECURSIVE nxt AS (
+         SELECT o_custkey, o_orderkey,
+                LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_key
+         FROM orders),
+       heads AS (
+         SELECT o_custkey, MIN(o_orderkey) AS o_orderkey FROM orders GROUP BY o_custkey),
+       chain AS (
+         SELECT o_custkey, o_orderkey, CAST(1 AS BIGINT) AS pos FROM heads
+         UNION ALL
+         SELECT c.o_custkey, n.next_key AS o_orderkey, c.pos + 1 AS pos
+         FROM chain c JOIN nxt n
+           ON n.o_custkey = c.o_custkey AND n.o_orderkey = c.o_orderkey
+         WHERE n.next_key IS NOT NULL)
+       SELECT o_custkey, o_orderkey, pos FROM chain"""
+
+  private def q81RecursiveCte: Q = (s, dir) => {
+    Tables(s, dir).orders.createOrReplaceTempView("orders")
+    s.sql(recursiveChainSql).presented("o_custkey", "pos")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   /** DuckDB-dialect equivalents, aligned on column names and types.
@@ -618,5 +647,8 @@ object Relational {
          FROM events GROUP BY user_id ORDER BY user_id""",
     "q52_session_batch" ->
       "SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions FROM (SELECT user_id, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess FROM (SELECT user_id, epoch_us(ts) AS ts_us, LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us FROM events) g) h GROUP BY user_id ORDER BY user_id",
+    // the SAME recursive SQL both engines run, plus the presentation order
+    "q81_recursive_cte" ->
+      (recursiveChainSql + " ORDER BY o_custkey, pos"),
   )
 }
