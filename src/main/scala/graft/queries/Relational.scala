@@ -70,6 +70,7 @@ object Relational {
     "q66_having" -> q66Having,
     "q67_array_agg" -> q67ArrayAgg,
     "q81_recursive_cte" -> q81RecursiveCte,
+    "q82_scan_csv" -> q82ScanCsv,
   )
 
   // B1: parquet scan + count (no shuffle beyond the final single-row agg).
@@ -89,6 +90,25 @@ object Relational {
     }
     s.read.schema("l_orderkey BIGINT, l_linenumber INT").json(out)
       .presented("l_orderkey", "l_linenumber")
+  }
+
+  // B-ext: CSV source round-trip with a declared schema — the label column
+  // is built WITH an embedded comma, so the writer's quoting and the
+  // reader's unquoting are on the value path (a codec bug breaks the
+  // oracle hash, which recomputes from the original parquet). Doubles
+  // round-trip through shortest-decimal text, same as the ndjson path.
+  private def q82ScanCsv: Q = (s, dir) => {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_q82_csv_${Integer.toHexString(dir.hashCode)}"
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      Tables(s, dir).customer
+        .select(col("c_custkey"),
+          concat(col("c_name"), lit(", "), col("c_mktsegment")).as("label"),
+          col("c_acctbal"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+    }
+    s.read.schema("c_custkey BIGINT, label STRING, c_acctbal DOUBLE")
+      .option("header", "true").csv(out)
+      .presented("c_custkey")
   }
 
   // B4: projection with scalar arithmetic.
@@ -660,6 +680,9 @@ object Relational {
          FROM events GROUP BY user_id ORDER BY user_id""",
     "q52_session_batch" ->
       "SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions FROM (SELECT user_id, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess FROM (SELECT user_id, epoch_us(ts) AS ts_us, LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us FROM events) g) h GROUP BY user_id ORDER BY user_id",
+    "q82_scan_csv" ->
+      """SELECT c_custkey, c_name || ', ' || c_mktsegment AS label, c_acctbal
+         FROM customer ORDER BY c_custkey""",
     // the same recursion the engine runs, with the edge view inlined as a
     // CTE (DuckDB needs a single self-contained statement)
     "q81_recursive_cte" ->
