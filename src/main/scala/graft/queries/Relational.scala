@@ -77,18 +77,30 @@ object Relational {
   private def q01ScanCount: Q = (s, dir) =>
     Tables(s, dir).lineitem.agg(count(lit(1)).as("n"))
 
+  /** Source signature for derived q02/q82 staging: a regenerated fixture
+    * must restage (same self-invalidation contract as Tables.stagedPath —
+    * the old dir-hash-only key served STALE derived files after an
+    * in-place fixture regeneration).
+    */
+  private def sourceSig(dir: String, table: String): String = {
+    val p = java.nio.file.Paths.get(s"$dir/$table.parquet")
+    s"${java.nio.file.Files.size(p)}:${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+  }
+
   // B2: ingest parity — round-trip a projection through ndjson with a
   // *declared* schema (schema-once-parse-many, reference utils.py:119-132).
   private def q02ScanJson: Q = (s, dir) => {
-    // stage the ndjson once per sf dir; the measured operator is the read
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_q02_ndjson_${Integer.toHexString(dir.hashCode)}"
-    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+    // stage the ndjson once per fixture signature; the measured operator is
+    // the read
+    val out = graft.StageDir.publish(
+      s"graft_q02_ndjson_${Integer.toHexString(dir.hashCode)}",
+      sourceSig(dir, "lineitem")) { tmp =>
       Tables(s, dir).lineitem
         .filter(col("l_orderkey") <= 10)
         .select("l_orderkey", "l_linenumber")
-        .write.mode("overwrite").json(out)
+        .write.mode("overwrite").json(tmp.toString)
     }
-    s.read.schema("l_orderkey BIGINT, l_linenumber INT").json(out)
+    s.read.schema("l_orderkey BIGINT, l_linenumber INT").json(out.toString)
       .presented("l_orderkey", "l_linenumber")
   }
 
@@ -98,16 +110,17 @@ object Relational {
   // oracle hash, which recomputes from the original parquet). Doubles
   // round-trip through shortest-decimal text, same as the ndjson path.
   private def q82ScanCsv: Q = (s, dir) => {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_q82_csv_${Integer.toHexString(dir.hashCode)}"
-    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+    val out = graft.StageDir.publish(
+      s"graft_q82_csv_${Integer.toHexString(dir.hashCode)}",
+      sourceSig(dir, "customer")) { tmp =>
       Tables(s, dir).customer
         .select(col("c_custkey"),
           concat(col("c_name"), lit(", "), col("c_mktsegment")).as("label"),
           col("c_acctbal"))
-        .write.mode("overwrite").option("header", "true").csv(out)
+        .write.mode("overwrite").option("header", "true").csv(tmp.toString)
     }
     s.read.schema("c_custkey BIGINT, label STRING, c_acctbal DOUBLE")
-      .option("header", "true").csv(out)
+      .option("header", "true").csv(out.toString)
       .presented("c_custkey")
   }
 
