@@ -414,6 +414,63 @@ object EventStreams {
       .presented("imp_id", "click_id")
   }
 
+  /** q83: the streaming FILE sink — append-mode watermarked window counts
+    * written to parquet with a checkpoint + sink manifest (the
+    * exactly-once mechanism real deployments use; every other replay here
+    * certifies through the memory sink) and read BACK from the committed
+    * files. Emitted set = windows CLOSED by the final watermark
+    * (`max ts − 10 min`, window end inclusive — the q70 protocol); later
+    * windows are still in state when the bounded replay ends and never
+    * reach the sink.
+    */
+  def fileSinkCounts(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts_utc", "10 minutes")
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("bucket_us"), col("event_type"), col("cnt"))
+    // Fresh output + checkpoint per run: the sink manifest is the
+    // exactly-once ledger, so a REUSED dir would dedupe re-runs away.
+    // Sweep THIS process's previous runs first (pid-scoped: a concurrent
+    // session's live output must not be touched).
+    val pid = ProcessHandle.current().pid()
+    val prefix = s"graft_filesink_$pid"
+    val scratch = Paths.get(scratchBase)
+    val old = Files.list(scratch)
+    try old.iterator().asScala
+      .filter(_.getFileName.toString.startsWith(prefix))
+      .foreach(p => try graft.StageDir.deleteRecursively(p) catch { case _: Exception => () })
+    finally old.close()
+    val base = Paths.get(scratchBase, s"${prefix}_${runId.incrementAndGet()}")
+    val outDir = base.resolve("out")
+    val ckpt = base.resolve("ckpt")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.getOption("spark.graft.stream.partitions").getOrElse("4"))
+    // append-mode event-time aggregation: windows closed by the LAST data
+    // batch's watermark only flush in the trailing no-data batch
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    try {
+      val q = agg.writeStream
+        .format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevNoData.fold(spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled"))(
+        v => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v))
+    }
+    spark.read.schema("bucket_us BIGINT, event_type STRING, cnt BIGINT")
+      .parquet(outDir.toString)
+  }
+
   // ------------------------------------------------------- declared queries
 
   val queries: Map[String, Q] = Map(
@@ -425,6 +482,7 @@ object EventStreams {
     "q70_stream_late_drop" -> ((s, dir) => lateDropCounts(s, dir)),
     "q73_stream_interval_join" -> ((s, dir) => attributionPairs(s, dir)),
     "q80_stream_outer_join" -> ((s, dir) => attributionOuter(s, dir)),
+    "q83_stream_file_sink" -> ((s, dir) => fileSinkCounts(s, dir).presented("bucket_us", "event_type")),
   )
 
   /** All three streaming results are deterministic aggregates of the bounded
@@ -435,6 +493,18 @@ object EventStreams {
     "q60_stream_tumbling" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us, event_type, COUNT(*) AS cnt
          FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""",
+    // q83: append-mode file sink — only windows closed by the final
+    // watermark (max ts - 10 min) reach the committed files
+    "q83_stream_file_sink" ->
+      """WITH t AS (SELECT epoch_us(ts) AS ts_us, event_type,
+                           (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us
+                    FROM events),
+              wm AS (SELECT MAX(ts_us) - 600000000 AS v FROM t)
+         SELECT bucket_us, event_type, COUNT(*) AS cnt
+         FROM t
+         WHERE bucket_us + 3600000000 <= (SELECT v FROM wm)
+         GROUP BY bucket_us, event_type
+         ORDER BY bucket_us, event_type""",
     "q61_stream_dedup" ->
       "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
     // B-interval-join: the stream-stream inner join over a bounded replay IS
