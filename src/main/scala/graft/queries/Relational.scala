@@ -71,6 +71,7 @@ object Relational {
     "q67_array_agg" -> q67ArrayAgg,
     "q81_recursive_cte" -> q81RecursiveCte,
     "q82_scan_csv" -> q82ScanCsv,
+    "q84_unpivot" -> q84Unpivot,
   )
 
   // B1: parquet scan + count (no shuffle beyond the final single-row agg).
@@ -496,6 +497,20 @@ object Relational {
       .na.fill(0L)
       .presented("user_id")
 
+  // B-ext: unpivot/melt — the wide→long inverse of q65 (the reference's own
+  // v3-wide / v4-long dataset duality as one operator). Uses the native
+  // Dataset.unpivot, so zero-count cells survive as explicit rows.
+  private def q84Unpivot: Q = (s, dir) =>
+    Tables(s, dir).eventsUs
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .unpivot(Array(col("user_id")),
+        Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+        "event_type", "cnt")
+      .presented("user_id", "event_type")
+
   // Exact interpolated percentiles (median + p90) per group. The 4-decimal
   // round collapses the one-ULP jitter in the interpolation fraction
   // ((n-1)*p) across engines; the percentile itself is the exact sorted-rank
@@ -696,6 +711,21 @@ object Relational {
     "q82_scan_csv" ->
       """SELECT c_custkey, c_name || ', ' || c_mktsegment AS label, c_acctbal
          FROM customer ORDER BY c_custkey""",
+    "q84_unpivot" ->
+      """WITH p AS (SELECT user_id,
+                CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+                CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+                CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+                CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+                CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+           FROM events GROUP BY user_id)
+         SELECT user_id, event_type, cnt FROM (
+           SELECT user_id, 'click' AS event_type, click AS cnt FROM p
+           UNION ALL SELECT user_id, 'error', error FROM p
+           UNION ALL SELECT user_id, 'purchase', purchase FROM p
+           UNION ALL SELECT user_id, 'signup', signup FROM p
+           UNION ALL SELECT user_id, 'view', view FROM p)
+         ORDER BY user_id, event_type""",
     // the same recursion the engine runs, with the edge view inlined as a
     // CTE (DuckDB needs a single self-contained statement)
     "q81_recursive_cte" ->
