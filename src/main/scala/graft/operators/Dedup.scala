@@ -207,6 +207,45 @@ object Dedup {
       .filter(col("sim") >= minSim)
   }
 
+  // --------------------------------------------- duplicate clustering
+
+  /** Connected components over a near-duplicate pair set + canonical
+    * selection (min key per component) — the step that turns pair-finding
+    * into a usable dedup: every member of a transitive duplicate cluster
+    * maps to one canonical document.
+    *
+    * Algorithm: min-label propagation. Labels start as each node's own key;
+    * every iteration each node takes the min of its own and its neighbors'
+    * labels; stop when an iteration changes nothing. Iterations = cluster
+    * DIAMETER, and near-dup clusters are shallow (pairs overlap through
+    * shared content), so convergence is a handful of rounds even at corpus
+    * scale; each round is one join + one aggregate on `(node, lbl)` pairs —
+    * nothing wider than the edge list ever shuffles. Labels are
+    * localCheckpoint'ed per round to keep the plan flat (the iterative-loop
+    * discipline, same as IVF's k-means).
+    */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val fwd = pairs.select(col("a").as("src"), col("b").as("dst"))
+    val edges = fwd.union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src").as("node2")).agg(min("lbl").as("nbr_lbl"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("node2"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "node")
+        .filter(col("lbl") < col("prev")).limit(1).count() // bounded: 0 or 1 rows
+      labels = next
+      converged = changed == 0
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("canonical"))
+  }
+
   // ------------------------------------------------------- declared queries
 
   val queries: Map[String, Q] = Map(
@@ -236,6 +275,13 @@ object Dedup {
     "q68_dedup_levenshtein" -> ((s, dir) =>
       levenshteinPairs(Tables(s, dir).documents.filter(col("doc_id") <= 30), "doc_id", "text")
         .presented("a", "b")),
+    // transitive clustering of the (SQL-expressible) n-gram pair source, so
+    // the DuckDB oracle can close the same pairs with a recursive CTE
+    "q85_dedup_cluster" -> ((s, dir) =>
+      duplicateClusters(
+        ngramJaccardPairs(Tables(s, dir).documents.filter(col("doc_id") <= 40), "doc_id", 3)
+          .filter(col("jaccard") >= 0.1))
+        .presented("doc_id")),
   )
 
   /** Oracles: the SQL-expressible semantics run directly in DuckDB; the
@@ -279,5 +325,20 @@ object Dedup {
          FROM documents a JOIN documents b ON a.doc_id < b.doc_id
          WHERE a.doc_id <= 30 AND b.doc_id <= 30
          ORDER BY a, b""",
+    // same pair source as q43, closed transitively (UNION dedups, so the
+    // recursion reaches a fixpoint), then min reachable id per node
+    "q85_dedup_cluster" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1), i -> substring(text, i, 3))) AS g FROM documents WHERE doc_id <= 40 AND length(text) >= 3) a
+           JOIN (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1), i -> substring(text, i, 3))) AS g FROM documents WHERE doc_id <= 40 AND length(text) >= 3) b
+           ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)) >= 0.1),
+         edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+         reach AS (
+           SELECT DISTINCT src AS node, src AS r FROM edges
+           UNION
+           SELECT reach.node, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r)
+         SELECT node AS doc_id, MIN(r) AS canonical FROM reach GROUP BY node ORDER BY doc_id""",
   )
 }

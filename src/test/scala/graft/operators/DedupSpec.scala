@@ -19,6 +19,20 @@ class DedupSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
   }
 
+  test("duplicate clustering: multi-hop chains collapse to the min key") {
+    val s = spark
+    import s.implicits._
+    // 1-2, 2-3 chain (3 never pairs with 1 directly); 7-9 island; 5 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val out = Dedup.duplicateClusters(pairs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L)))
+    // partitioning must not change the fixpoint
+    val again = Dedup.duplicateClusters(pairs.repartition(5)).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(again == out)
+  }
+
   test("exact dedup groups identical texts and keeps the min key") {
     val out = Dedup.exact(docs, "text", "doc_id")
       .orderBy("doc_id").collect()
