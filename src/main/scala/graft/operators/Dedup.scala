@@ -235,13 +235,15 @@ object Dedup {
     while (!converged) {
       val nbrMin = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src").as("node2")).agg(min("lbl").as("nbr_lbl"))
+      // the changed flag rides in the SAME checkpointed frame, so the
+      // convergence check below is a scan of in-memory rows, not a join
       val next = labels.join(nbrMin, labels("node") === nbrMin("node2"), "left")
-        .select(col("node"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl")).as("changed"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "node")
-        .filter(col("lbl") < col("prev")).limit(1).count() // bounded: 0 or 1 rows
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("changed")).limit(1).count() == 0 // bounded: 0 or 1
+      labels = next.select("node", "lbl")
     }
     labels.select(col("node").as("doc_id"), col("lbl").as("canonical"))
   }
