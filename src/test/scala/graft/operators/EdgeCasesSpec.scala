@@ -43,6 +43,27 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(tok.take(2) == Seq(0L, 0L) && tok(2) == 3L, s"token counts: $tok")
   }
 
+  test("curation operators degrade to empty results on an empty corpus") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Curation.packSequences(empty, "doc_id", "text", 100L, 4).count() == 0)
+    assert(Curation.stratifiedSample(empty, "doc_id", "text").count() == 0)
+    assert(Curation.sampleFixedK(empty, "doc_id", "text", 5).count() == 0)
+    assert(Curation.qualityGateTopHalf(empty, "doc_id", "text").count() == 0)
+    assert(Curation.repetitionRatios(empty, "doc_id", "text").count() == 0)
+    val one = Seq((1L, "single doc")).toDF("doc_id", "text")
+    assert(Curation.contamination(one, empty, "doc_id", "text", 3).count() == 0,
+      "an empty holdout set can contaminate nothing")
+  }
+
+  test("duplicate clustering of an empty pair set is empty; self-contained pairs work") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.duplicateClusters(empty).count() == 0)
+  }
+
   test("as-of join with an empty right side keeps left rows with null value") {
     val s = spark
     import s.implicits._
