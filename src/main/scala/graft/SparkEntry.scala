@@ -87,7 +87,7 @@ object SparkEntry {
     * replays) — never cached.
     */
   private def executingFamilies: Map[String, (SparkSession, String) => DataFrame] =
-    Sketches.queries ++ EventStreams.queries
+    Sketches.queries ++ EventStreams.queries ++ graft.streaming.DocPipeline.queries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -138,5 +138,6 @@ object SparkEntry {
       Sketches.oracles ++
       Multimodal.oracles ++
       EventStreams.oracles ++
+      graft.streaming.DocPipeline.oracles ++
       graft.sources.odata.ConnectorReplay.oracles
 }

@@ -51,4 +51,34 @@ object DocPipeline {
     val stream = spark.readStream.schema(schema).parquet(stageDir)
     EventStreams.runToMemory(spark, cleanDocs(stream, minQuality), "append")
   }
+
+  // ------------------------------------------------------- declared queries
+
+  /** q86: the streaming cleaning pipeline END-TO-END with a DuckDB oracle.
+    * Streaming dedup keeps the first ARRIVAL per fingerprint, so doc_id is
+    * replay-order-dependent — but the surviving `(fp, quality_score)` SET
+    * is content-determined, and that is the certified output (both columns
+    * come from the established portable formulations: q50's rolling hash,
+    * q48's scaled-integer quality round).
+    */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_stream_doc_clean" -> ((s, dir) => {
+      import graft.Present._
+      cleanDocsStream(s, dir, minQuality = 0.5)
+        .select(col("fp"), col("quality_score"))
+        .presented("fp")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q86_stream_doc_clean" ->
+      """WITH f AS (
+           SELECT list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) AS fp,
+                  ROUND(CAST(least(n_words, 50) * alpha AS DOUBLE) * 10000 / (50 * greatest(n_chars, 1))) / 10000 AS quality_score
+           FROM (SELECT text,
+                        CAST(length(text) AS BIGINT) AS n_chars,
+                        CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) END AS n_words,
+                        CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha
+                 FROM documents) x)
+         SELECT DISTINCT fp, quality_score FROM f
+         WHERE quality_score >= 0.5 ORDER BY fp""")
 }
