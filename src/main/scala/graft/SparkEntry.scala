@@ -81,6 +81,8 @@ object SparkEntry {
       TextAnalysis.queries ++
       Curation.queries ++
       Multimodal.queries ++
+      graft.operators.SkewJoin.queries ++
+      graft.sources.ScaleLayouts.queries ++
       graft.sources.odata.ConnectorReplay.queries
 
   /** Entries whose builder EXECUTES work (sketch build + probe, streaming
@@ -135,6 +137,8 @@ object SparkEntry {
       Similarity.oracles ++
       TextAnalysis.oracles ++
       Curation.oracles ++
+      graft.operators.SkewJoin.oracles ++
+      graft.sources.ScaleLayouts.oracles ++
       Sketches.oracles ++
       Multimodal.oracles ++
       EventStreams.oracles ++

@@ -30,4 +30,27 @@ object SkewJoin {
         salted("_salt") === replicated("_salt") && col(bigKey) === col(smallKey))
       .drop("_salt")
   }
+
+  // ------------------------------------------------------- declared queries
+
+  /** q88: the salted join's result identity, certified against the plain
+    * SQL join — lineitem ⋈ part salted 8 ways, aggregated per brand. The
+    * salt must change only the shuffle distribution, never the result set.
+    */
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "q88_skew_join" -> ((s, dir) => {
+      import graft.Present._
+      val t = graft.Tables(s, dir)
+      saltedInnerJoin(t.lineitem, t.part, "l_partkey", "p_partkey", nSalts = 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Exact.dsum(col("l_quantity")).as("sum_qty"))
+        .presented("p_brand")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q88_skew_join" ->
+      """SELECT p_brand, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""")
 }

@@ -69,10 +69,13 @@ object ScaleLayouts {
                    newDate: LocalDate, keyCols: Seq[String]): DataFrame = {
     val all = spark.read.parquet(root)
     val dataCols = all.columns.filterNot(_ == "snapshot_date").toSeq
+    // xxhash64, not the 32-bit murmur `hash`: the hash stands in for row
+    // equality, and at billions of changed rows a 2^-32 per-row collision
+    // silently marks real changes unchanged; 2^-64 does not.
     def side(d: LocalDate, tag: String) =
       all.filter(col("snapshot_date") === d.format(fmt))
         .select(keyCols.map(col) :+
-          hash(dataCols.map(col): _*).as(s"_h_$tag"): _*)
+          xxhash64(dataCols.map(col): _*).as(s"_h_$tag"): _*)
     side(oldDate, "old").join(side(newDate, "new"), keyCols, "full_outer")
       .withColumn("change",
         when(col("_h_old").isNull, "added")
@@ -112,4 +115,48 @@ object ScaleLayouts {
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  // ------------------------------------------------------- declared queries
+
+  /** q87: [[snapshotDiff]] against a DuckDB oracle. Two dated snapshots are
+    * DERIVED deterministically from `orders` and staged once per fixture
+    * signature ([[graft.StageDir]]): day 1 drops every `%97` key, day 2
+    * drops every `%101` key and bumps `o_totalprice` on `%89` keys — so
+    * added/removed/changed membership is pure modular arithmetic the SQL
+    * oracle states directly, while the ENGINE derives it from the
+    * partition-pruned full-outer hash compare. Keys hitting both drop
+    * rules exist in neither snapshot and must not appear at all.
+    */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_snapshot_diff" -> ((s, dir) => {
+      val src = java.nio.file.Paths.get(s"$dir/orders.parquet")
+      val sig = s"snapdiff-v1:${java.nio.file.Files.size(src)}:${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+      val root = graft.StageDir.publish(
+        s"graft_snapdiff_${Integer.toHexString(dir.hashCode)}", sig) { tmp =>
+        val orders = s.read.parquet(src.toString)
+        writeSnapshot(orders.filter(col("o_orderkey") % 97 =!= 0),
+          tmp.toString, LocalDate.of(2026, 1, 1))
+        writeSnapshot(orders.filter(col("o_orderkey") % 101 =!= 0)
+            .withColumn("o_totalprice",
+              when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
+                .otherwise(col("o_totalprice"))),
+          tmp.toString, LocalDate.of(2026, 1, 2))
+      }
+      import graft.Present._
+      snapshotDiff(s, root.toString, LocalDate.of(2026, 1, 1),
+          LocalDate.of(2026, 1, 2), Seq("o_orderkey"))
+        .presented("o_orderkey")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q87_snapshot_diff" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey % 97 = 0 THEN 'added'
+                     WHEN o_orderkey % 101 = 0 THEN 'removed'
+                     ELSE 'changed' END AS change
+         FROM orders
+         WHERE (CASE WHEN o_orderkey % 97 = 0 THEN o_orderkey % 101 <> 0
+                     WHEN o_orderkey % 101 = 0 THEN TRUE
+                     ELSE o_orderkey % 89 = 0 END)
+         ORDER BY o_orderkey""")
 }
