@@ -50,7 +50,8 @@ object SkewJoin {
 
   val oracles: Map[String, String] = Map(
     "q88_skew_join" ->
-      """SELECT p_brand, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+      """SELECT p_brand, COUNT(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""")
 }

@@ -127,7 +127,38 @@ object ScaleLayouts {
     * partition-pruned full-outer hash compare. Keys hitting both drop
     * rules exist in neither snapshot and must not appear at all.
     */
+  /** q89: the bucketed co-located join END-TO-END — write-time bucketing is
+    * the 100 TB lever (the shuffle moves to write time, amortized over
+    * every later join), and this certifies the full round trip: bucketed
+    * write → catalog read → exchange-free join → values identical to the
+    * plain SQL join. Tables are (re)written once per session+fixture (the
+    * in-memory catalog is session-scoped; the overwrite keeps stale
+    * warehouse files from a previous JVM from leaking in).
+    */
+  private val bucketedFor =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+
+  private def ensureBucketed(s: SparkSession, dir: String): (String, String) = {
+    val tag = Integer.toHexString(dir.hashCode)
+    val (to, tc) = (s"graft_bkt_orders_x$tag", s"graft_bkt_customer_x$tag")
+    if (bucketedFor.add((System.identityHashCode(s), dir))) {
+      val t = graft.Tables(s, dir)
+      writeBucketed(t.orders.select("o_orderkey", "o_custkey", "o_totalprice"), to, "o_custkey", 8)
+      writeBucketed(t.customer.select("c_custkey", "c_mktsegment"), tc, "c_custkey", 8)
+    }
+    (to, tc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_bucketed_join" -> ((s, dir) => {
+      import graft.Present._
+      val (to, tc) = ensureBucketed(s, dir)
+      coLocatedJoin(s, to, tc, "o_custkey", "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Exact.dsum(col("o_totalprice")).as("total"))
+        .presented("c_mktsegment")
+    }),
     "q87_snapshot_diff" -> ((s, dir) => {
       val src = java.nio.file.Paths.get(s"$dir/orders.parquet")
       val sig = s"snapdiff-v1:${java.nio.file.Files.size(src)}:${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
@@ -149,6 +180,11 @@ object ScaleLayouts {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q89_bucketed_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q87_snapshot_diff" ->
       """SELECT o_orderkey,
                 CASE WHEN o_orderkey % 97 = 0 THEN 'added'
