@@ -142,6 +142,16 @@ object ScaleLayouts {
     val tag = Integer.toHexString(dir.hashCode)
     val (to, tc) = (s"graft_bkt_orders_x$tag", s"graft_bkt_customer_x$tag")
     if (bucketedFor.add((System.identityHashCode(s), dir))) {
+      // A PREVIOUS JVM may have left the managed-table LOCATION under the
+      // shared warehouse dir while this JVM's in-memory catalog is empty —
+      // and creating a managed table over a non-empty existing location is
+      // refused. Drop any catalog entry AND clear the stale location first.
+      Seq(to, tc).foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val loc = s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+        graft.StageDir.deleteRecursively(java.nio.file.Paths.get(loc))
+      }
       val t = graft.Tables(s, dir)
       writeBucketed(t.orders.select("o_orderkey", "o_custkey", "o_totalprice"), to, "o_custkey", 8)
       writeBucketed(t.customer.select("c_custkey", "c_mktsegment"), tc, "c_custkey", 8)
