@@ -72,6 +72,18 @@ object Curation {
     expr(s"""transform(sequence(1, greatest(size(split(trim($textCol), ' +')) - ${n - 1}, 1)),
                        i -> concat_ws(' ', slice(split(trim($textCol), ' +'), i, $n)))""")
 
+  /** [[wordNgrams]] over an already-tokenized array column. Callers that
+    * hoist `split(trim(text), ' +')` into its OWN projection evaluate the
+    * regex split once per row; the inline-`split` form above re-splits
+    * inside the transform lambda, once per gram index (CollapseProject
+    * keeps a non-cheap alias referenced twice in a separate project, so
+    * the hoisting sticks).
+    */
+  def wordNgramsOfTokens(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+
   /** Train/holdout contamination: training docs that share at least one
     * word-`n`-gram with the holdout set, with the count of distinct shared
     * grams. The holdout side is DISTINCT grams and broadcast — a benchmark
@@ -81,13 +93,21 @@ object Curation {
   def contamination(train: DataFrame, holdout: DataFrame, keyCol: String,
                     textCol: String, n: Int): DataFrame = {
     val minTok = TextAnalysis.wsTokenCount(col(textCol)) >= n
-    val trainGrams = train.filter(minTok)
-      .select(col(keyCol), explode(wordNgrams(textCol, n)).as("gram"))
-    val holdGrams = holdout.filter(minTok)
-      .select(explode(wordNgrams(textCol, n)).as("gram")).distinct()
+    // Dedup grams PER DOC before exploding: the downstream count is over
+    // distinct shared grams anyway, so pre-distinct rows turn the expensive
+    // two-phase distinct aggregate (Expand + double shuffle) into a plain
+    // count, and shrink the explode/join input by each doc's repetition.
+    // Tokenization is hoisted into its own projection so the regex split
+    // runs once per row, not once per gram (see wordNgramsOfTokens).
+    def toks(df: DataFrame, cols: Column*) = df.filter(minTok)
+      .select(cols :+ split(trim(col(textCol)), " +").as("_toks"): _*)
+    val trainGrams = toks(train, col(keyCol))
+      .select(col(keyCol), explode(array_distinct(wordNgramsOfTokens(col("_toks"), n))).as("gram"))
+    val holdGrams = toks(holdout)
+      .select(explode(wordNgramsOfTokens(col("_toks"), n)).as("gram")).distinct()
     trainGrams.join(broadcast(holdGrams), "gram")
       .groupBy(keyCol)
-      .agg(count_distinct(col("gram")).as("shared_grams"))
+      .agg(count(lit(1)).as("shared_grams"))
   }
 
   // ------------------------------------------------- deterministic sampling
