@@ -81,6 +81,7 @@ object SparkEntry {
       TextAnalysis.queries ++
       Curation.queries ++
       Multimodal.queries ++
+      graft.operators.MergeUpsert.queries ++
       graft.operators.SkewJoin.queries ++
       graft.sources.ScaleLayouts.queries ++
       graft.sources.odata.ConnectorReplay.queries
@@ -137,6 +138,7 @@ object SparkEntry {
       Similarity.oracles ++
       TextAnalysis.oracles ++
       Curation.oracles ++
+      graft.operators.MergeUpsert.oracles ++
       graft.operators.SkewJoin.oracles ++
       graft.sources.ScaleLayouts.oracles ++
       Sketches.oracles ++

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Present._
+import graft.Tables
+
+/** Batch MERGE (upsert) semantics: apply a keyed changeset of updates /
+  * deletes / inserts to a base snapshot in one pass — the incremental
+  * maintenance step the reference sidesteps by rewriting whole snapshots
+  * (statline-bq re-ingests a table when `Modified` changes; at 100 TB the
+  * viable form is MERGE of the delta, not a rewrite).
+  *
+  * Scale shape: the changeset is delta-sized (small by definition —
+  * yesterday's snapshot plus today's changes), so matched-row resolution is
+  * ONE broadcast hash left join against the base: the base table never
+  * shuffles, never sorts, and streams through whole-stage codegen once.
+  * Inserts append by union. When the delta outgrows broadcast, the same
+  * plan degrades gracefully to a shuffled hash join on the key — Catalyst
+  * picks, nothing in the operator changes.
+  *
+  * Contract notes (standard MERGE rules):
+  *  - at most ONE changeset row per key (ambiguous matches are a MERGE
+  *    error in every engine; here the caller guarantees it);
+  *  - insert ('I') keys must not already exist in the base — enforced by
+  *    construction in callers (MERGE would otherwise raise), which is what
+  *    keeps the insert path union-only instead of an anti-join that would
+  *    hash the whole base.
+  */
+object MergeUpsert {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Applies `changes(keyCol, "op" in {U,D,I}, payload...)` to `base`.
+    * 'U' replaces the payload columns, 'D' drops the row, 'I' appends.
+    * Payload columns are every non-key, non-op column of `changes`; the
+    * base must carry columns of the same names.
+    */
+  def merge(base: DataFrame, changes: DataFrame, keyCol: String): DataFrame = {
+    val payload = changes.columns.filter(c => c != keyCol && c != "op").toSeq
+    require(payload.nonEmpty, "changeset carries no payload columns")
+    // The changeset is typically DERIVED from the base (self-join lineage),
+    // so every matched-side column gets a fresh alias — no ambiguous-attr
+    // resolution, no accidental reference to the base's attribute ids.
+    val matched = changes.filter(col("op") =!= "I")
+      .select(col(keyCol).as("_mk") +: col("op").as("_op") +:
+        payload.map(c => col(c).as(s"_ch_$c")): _*)
+    val kept = base.columns.toSeq
+    val resolved = base.join(broadcast(matched), col(keyCol) === col("_mk"), "left_outer")
+      .filter(col("_op").isNull || col("_op") === "U")
+      .select(kept.map { c =>
+        if (payload.contains(c))
+          when(col("_op") === "U", col(s"_ch_$c")).otherwise(col(c)).as(c)
+        else col(c)
+      }: _*)
+    resolved.unionByName(
+      changes.filter(col("op") === "I").drop("op").select(kept.map(col): _*))
+  }
+
+  // ------------------------------------------------------- declared queries
+
+  /** The q90 changeset, derived deterministically from the base snapshot:
+    * updates for keys ≡0 (mod 7) (unless deleted), deletes for keys ≡0
+    * (mod 11), inserts at key+100000000 for keys ≡0 (mod 13) — disjoint op
+    * per key, insert keys collision-free by construction.
+    */
+  private def changeset(o: DataFrame): DataFrame = {
+    val k = col("o_orderkey")
+    val upd = o.filter(k % 7 === 0 && k % 11 =!= 0)
+      .select(k, lit("U").as("op"), col("o_custkey"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"))
+    val del = o.filter(k % 11 === 0)
+      .select(k, lit("D").as("op"), col("o_custkey"),
+        lit(null).cast("double").as("o_totalprice"))
+    val ins = o.filter(k % 13 === 0)
+      .select((k + 100000000L).as("o_orderkey"), lit("I").as("op"),
+        col("o_custkey"), col("o_totalprice"))
+    upd.unionByName(del).unionByName(ins)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q90_merge_upsert" -> ((s, dir) => {
+      val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      merge(o, changeset(o), "o_orderkey").presented("o_orderkey")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Same changeset derivation + MERGE resolution, spelled relationally.
+    // o_totalprice + 1000.0 is exact in binary doubles, so the updated
+    // values hash identically across engines.
+    "q90_merge_upsert" ->
+      """WITH ch AS (
+           SELECT o_orderkey AS k, 'U' AS op, o_custkey, o_totalprice + 1000.0 AS new_price
+           FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+           UNION ALL
+           SELECT o_orderkey, 'D', o_custkey, NULL FROM orders WHERE o_orderkey % 11 = 0
+           UNION ALL
+           SELECT o_orderkey + 100000000, 'I', o_custkey, o_totalprice
+           FROM orders WHERE o_orderkey % 13 = 0)
+         SELECT b.o_orderkey, b.o_custkey,
+                CASE WHEN c.op = 'U' THEN c.new_price ELSE b.o_totalprice END AS o_totalprice
+         FROM orders b LEFT JOIN ch c ON b.o_orderkey = c.k AND c.op <> 'I'
+         WHERE c.op IS NULL OR c.op = 'U'
+         UNION ALL
+         SELECT k, o_custkey, new_price FROM ch WHERE op = 'I'
+         ORDER BY o_orderkey""",
+  )
+}

@@ -136,6 +136,20 @@ object Multimodal {
     // the query certifies.
     "q54_multimodal_decode" -> ((s, dir) =>
       decodeAssets(s, Tables(s, dir).documents).toDF().presented("doc_id")),
+    // Frame sampling as a generator over the decoded frame count: one
+    // output row per sampled frame, stride 2 — the posexplode shape a
+    // video-frame pipeline fans out with (no shuffle; row count grows by
+    // the per-asset frame budget, not the corpus size).
+    "q94_frame_sample" -> ((s, dir) =>
+      sampleFrames(decodeAssets(s, Tables(s, dir).documents), stride = 2)
+        .presented("doc_id", "frame_idx")),
+    // Aspect-preserving resize planning over decoded dims — pure metadata
+    // math (the pixel work belongs to the partition-local decoder), so it
+    // is SQL-expressible and value-exact against the oracle.
+    "q95_multimodal_resize" -> ((s, dir) =>
+      resizeMeta(decodeAssets(s, Tables(s, dir).documents), maxSide = 128)
+        .select("doc_id", "width", "height", "out_width", "out_height")
+        .presented("doc_id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -162,6 +176,31 @@ object Multimodal {
                       list_reduce(list_prepend(CAST(0 AS BIGINT),
                         list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
                         (acc, c) -> (acc * 31 + c) % 1000000007) AS checksum
+               FROM documents) d
+         ORDER BY doc_id""",
+    // Same decoded-n_frames derivation as q54, fanned out with
+    // generate_series — stride and inclusive upper bound match Spark's
+    // sequence(0, n_frames-1, 2) exactly.
+    "q94_frame_sample" ->
+      """SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, 2)) AS INTEGER) AS frame_idx
+         FROM (SELECT doc_id,
+                      CAST(1 + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+                        (acc, c) -> (acc * 31 + c) % 1000000007) % 7 AS INTEGER) AS n_frames
+               FROM documents) d
+         ORDER BY doc_id, frame_idx""",
+    // Aspect-preserving resize math on the decoded dims. floor() before the
+    // INTEGER cast: Spark's double->int cast truncates while DuckDB's
+    // rounds, so the truncation must be explicit to agree.
+    "q95_multimodal_resize" ->
+      """SELECT doc_id, width, height,
+                CASE WHEN greatest(width, height) <= 128 THEN width
+                     ELSE CAST(floor(width * 128.0 / greatest(width, height)) AS INTEGER) END AS out_width,
+                CASE WHEN greatest(width, height) <= 128 THEN height
+                     ELSE CAST(floor(height * 128.0 / greatest(height, width)) AS INTEGER) END AS out_height
+         FROM (SELECT doc_id,
+                      CAST(64 + strlen(text) % 577 AS INTEGER) AS width,
+                      CAST(64 + (strlen(text) * 31) % 417 AS INTEGER) AS height
                FROM documents) d
          ORDER BY doc_id""",
   )

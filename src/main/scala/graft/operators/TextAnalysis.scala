@@ -198,6 +198,27 @@ object TextAnalysis {
       Tables(s, dir).documents
         .select(col("doc_id"), TextStats.fingerprintCol(s)(col("text")).as("fp"))
         .presented("doc_id")),
+    // Tokenizer-vocabulary coverage: build the top-V corpus vocabulary
+    // (count desc, token asc — a total order, so the cut is deterministic)
+    // and score each doc's out-of-vocabulary rate against it. Scale shape:
+    // the vocab is a TakeOrdered over the token aggregate (bounded V rows on
+    // the driver regardless of corpus size) and comes back as a BROADCAST
+    // probe side — the corpus tokens stream through one hash lookup and one
+    // doc-major aggregation, never sorting.
+    "q91_vocab_oov" -> ((s, dir) => {
+      val tok = Tables(s, dir).documents
+        .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("token"))
+      val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(1000)
+        .select(col("token"), lit(1).as("_in"))
+      tok.join(broadcast(vocab), Seq("token"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("_in").isNull, 1)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov") * 10000d / col("n_tokens")) / 10000d)
+        .presented("doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -211,6 +232,21 @@ object TextAnalysis {
          SELECT doc_id, token AS top_token, score
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn FROM scored) x
          WHERE rn = 1 ORDER BY doc_id""",
+    // Vocabulary cut mirrors the engine's (count desc, token asc) total
+    // order; n_oov as a filtered COUNT (not SUM) so both engines emit
+    // BIGINT; the oov ratio uses the same scaled-integer rounding as the
+    // quality/repetition families.
+    "q91_vocab_oov" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token FROM documents),
+              vocab AS (SELECT token FROM (
+                SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+                ORDER BY cnt DESC, token LIMIT 1000)),
+              marked AS (SELECT t.doc_id, v.token AS hit
+                         FROM tok t LEFT JOIN vocab v ON t.token = v.token)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+                COUNT(CASE WHEN hit IS NULL THEN 1 END) AS n_oov,
+                ROUND(COUNT(CASE WHEN hit IS NULL THEN 1 END) * 10000.0 / COUNT(*)) / 10000.0 AS oov_rate
+         FROM marked GROUP BY doc_id ORDER BY doc_id""",
     "q47_text_langid" -> {
       val hitExprs = langMarkers.map { case (l, p) =>
         s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS h_$l"

@@ -72,6 +72,8 @@ object Relational {
     "q81_recursive_cte" -> q81RecursiveCte,
     "q82_scan_csv" -> q82ScanCsv,
     "q84_unpivot" -> q84Unpivot,
+    "q92_scan_orc" -> q92ScanOrc,
+    "q93_partition_prune" -> q93PartitionPrune,
   )
 
   // B1: parquet scan + count (no shuffle beyond the final single-row agg).
@@ -123,6 +125,45 @@ object Relational {
     s.read.schema("c_custkey BIGINT, label STRING, c_acctbal DOUBLE")
       .option("header", "true").csv(out.toString)
       .presented("c_custkey")
+  }
+
+  // B-ext: ORC source/sink round-trip — the third columnar format next to
+  // parquet and csv/ndjson. Types survive natively (no text codec on the
+  // value path), so the oracle recomputes the projection from the original
+  // parquet and the hash certifies writer+reader identity.
+  private def q92ScanOrc: Q = (s, dir) => {
+    val out = graft.StageDir.publish(
+      s"graft_q92_orc_${Integer.toHexString(dir.hashCode)}",
+      sourceSig(dir, "supplier")) { tmp =>
+      Tables(s, dir).supplier
+        .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+        .write.mode("overwrite").orc(tmp.toString)
+    }
+    s.read.orc(out.toString).presented("s_suppkey")
+  }
+
+  // B-ext: hive-style partitioned write + partition-pruned read — the
+  // layout primitive that turns a 100 TB scan into a one-partition scan.
+  // The staged write hash-partitions the data by `event_type` directory;
+  // the measured read filters on the partition column, which must prune at
+  // PLAN time (PartitionFilters, pinned by PlanShapeSpec) — the other
+  // partitions' files are never opened. Aggregates are exact longs so the
+  // oracle hash is arithmetic-free.
+  private def q93PartitionPrune: Q = (s, dir) => {
+    val out = graft.StageDir.publish(
+      s"graft_q93_part_${Integer.toHexString(dir.hashCode)}",
+      sourceSig(dir, "events")) { tmp =>
+      Tables(s, dir).eventsUs
+        .select("event_id", "user_id", "event_type")
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp.toString)
+    }
+    s.read.parquet(out.toString)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .presented("user_id")
   }
 
   // B4: projection with scalar arithmetic.
@@ -711,6 +752,14 @@ object Relational {
     "q82_scan_csv" ->
       """SELECT c_custkey, c_name || ', ' || c_mktsegment AS label, c_acctbal
          FROM customer ORDER BY c_custkey""",
+    "q92_scan_orc" ->
+      """SELECT s_suppkey, s_name, s_acctbal, s_nationkey
+         FROM supplier ORDER BY s_suppkey""",
+    "q93_partition_prune" ->
+      """SELECT user_id, COUNT(*) AS n_purchases,
+                MIN(event_id) AS first_event, MAX(event_id) AS last_event
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY user_id ORDER BY user_id""",
     "q84_unpivot" ->
       """WITH p AS (SELECT user_id,
                 CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MergeUpsertSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private def baseOf(rows: (Long, String, Double)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("k", "name", "price")
+  }
+  private def changesOf(rows: (Long, String, String, Double)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("k", "op", "name", "price")
+  }
+
+  test("merge applies update, delete, insert; untouched rows pass through") {
+    val base = baseOf((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+    val ch = changesOf(
+      (2L, "U", "b2", 22.0),
+      (3L, "D", "", 0.0),
+      (9L, "I", "i", 90.0))
+    val out = MergeUpsert.merge(base, ch, "k").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b2", 22.0), (9L, "i", 90.0)))
+  }
+
+  test("empty changeset payload is rejected; op-only updates keep schema") {
+    val base = baseOf((1L, "a", 10.0))
+    val s = spark
+    import s.implicits._
+    val noPayload = Seq((1L, "U")).toDF("k", "op")
+    assertThrows[IllegalArgumentException] {
+      MergeUpsert.merge(base, noPayload, "k")
+    }
+  }
+
+  test("update on every key + no inserts = same row count, new values") {
+    val base = baseOf((1L, "a", 1.0), (2L, "b", 2.0))
+    val ch = changesOf((1L, "U", "a'", 11.0), (2L, "U", "b'", 12.0))
+    val out = MergeUpsert.merge(base, ch, "k").orderBy("k").collect()
+    assert(out.length == 2 && out.map(_.getDouble(2)).toSeq == Seq(11.0, 12.0))
+  }
+
+  test("the base side never shuffles (broadcast resolution)") {
+    val df = graft.SparkEntry.queries("q90_merge_upsert")(spark, graft.TestSpark.Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // the only exchanges allowed are the broadcast of the changeset and the
+    // presentation sort's single-partition exchange — no hash exchange of
+    // the base may appear
+    val dataShuffles = plan.collect {
+      case e: ShuffleExchangeLike
+          if e.outputPartitioning.numPartitions > 1 => e
+    }
+    assert(dataShuffles.isEmpty, plan.toString)
+  }
+}

@@ -114,4 +114,18 @@ class PlanShapeSpec extends AnyFunSuite {
     val all = v2Pushed ++ v1Pushed
     assert(all.nonEmpty && all.exists(identity), initialPlan(df).toString)
   }
+
+  test("q93 partition-column filter prunes at plan time (PartitionFilters)") {
+    val df = plan("q93_partition_prune")
+    val v2Pruned = collectAll(initialPlan(df)) {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s.scan
+    }.collect {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        p.partitionFilters.nonEmpty
+    }
+    val v1Pruned = collectAll(initialPlan(df)) { case s: FileSourceScanExec => s }
+      .map(_.metadata.get("PartitionFilters").exists(_ != "[]"))
+    val all = v2Pruned ++ v1Pruned
+    assert(all.nonEmpty && all.exists(identity), initialPlan(df).toString)
+  }
 }
