@@ -82,6 +82,8 @@ object SparkEntry {
       Curation.queries ++
       Multimodal.queries ++
       graft.operators.MergeUpsert.queries ++
+      graft.operators.Resample.queries ++
+      graft.operators.Profile.queries ++
       graft.operators.SkewJoin.queries ++
       graft.sources.ScaleLayouts.queries ++
       graft.sources.odata.ConnectorReplay.queries
@@ -139,6 +141,8 @@ object SparkEntry {
       TextAnalysis.oracles ++
       Curation.oracles ++
       graft.operators.MergeUpsert.oracles ++
+      graft.operators.Resample.oracles ++
+      graft.operators.Profile.oracles ++
       graft.operators.SkewJoin.oracles ++
       graft.sources.ScaleLayouts.oracles ++
       Sketches.oracles ++

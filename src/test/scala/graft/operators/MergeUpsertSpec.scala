@@ -48,10 +48,10 @@ class MergeUpsertSpec extends AnyFunSuite {
   }
 
   test("the base side never shuffles (broadcast resolution)") {
+    // pre-AQE initial plan: exchanges are real nodes, not query stages
     val df = graft.SparkEntry.queries("q90_merge_upsert")(spark, graft.TestSpark.Sf0001)
-    df.collect()
     val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case a: AdaptiveSparkPlanExec => a.initialPlan
       case p => p
     }
     // the only exchanges allowed are the broadcast of the changeset and the

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ResampleProfileSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private def evOf(rows: (Long, Long, Double, Long)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("user_id", "ts_us", "value", "event_id")
+  }
+
+  test("gap cells emit n_events=0 with the forward-filled value") {
+    // user 1: events in cells 0 and 3 → cells 1, 2 are gaps carrying v=10
+    val ev = evOf((1L, 5L, 10.0, 1L), (1L, 35L, 40.0, 2L))
+    val out = Resample.gapFillResample(ev, "user_id", "ts_us", "value", "event_id", 10L)
+      .orderBy("cell").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq((0L, 1L, 10.0), (1L, 0L, 10.0), (2L, 0L, 10.0), (3L, 1L, 40.0)))
+  }
+
+  test("within-cell last pick: max ts wins, event_id breaks ts ties") {
+    val ev = evOf(
+      (1L, 5L, 1.0, 9L), (1L, 7L, 2.0, 1L),          // cell 0: ts 7 wins
+      (1L, 15L, 3.0, 1L), (1L, 15L, 4.0, 2L))        // cell 1: tie → id 2 wins
+    val out = Resample.gapFillResample(ev, "user_id", "ts_us", "value", "event_id", 10L)
+      .orderBy("cell").collect().map(_.getDouble(3)).toSeq
+    assert(out == Seq(2.0, 4.0))
+  }
+
+  test("grids are per-entity spans, not the global span") {
+    val ev = evOf((1L, 5L, 1.0, 1L), (2L, 95L, 2.0, 2L))
+    val out = Resample.gapFillResample(ev, "user_id", "ts_us", "value", "event_id", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 0L), (2L, 9L))) // one cell each, no cross product
+  }
+
+  test("q96 runs on ONE data exchange (entity repartition), as documented") {
+    // pre-AQE initial plan: exchanges are real nodes, not query stages
+    val df = graft.SparkEntry.queries("q96_gapfill_resample")(spark, graft.TestSpark.Sf0001)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val dataShuffles = plan.collect {
+      case e: ShuffleExchangeLike if e.outputPartitioning.numPartitions > 1 => e
+    }
+    assert(dataShuffles.size == 1, plan.toString)
+  }
+
+  test("profile counts nulls and distincts per column in one aggregate") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Some(1L), Some("a")), (Some(1L), None), (None, Some("b")))
+      .toDF("k", "v")
+    val out = Profile.profile(df, Seq("k", "v")).orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("k", 1L, 1L), ("v", 1L, 2L)))
+  }
+}
