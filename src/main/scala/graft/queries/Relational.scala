@@ -74,6 +74,7 @@ object Relational {
     "q84_unpivot" -> q84Unpivot,
     "q92_scan_orc" -> q92ScanOrc,
     "q93_partition_prune" -> q93PartitionPrune,
+    "q100_window_topk" -> q100WindowTopK,
   )
 
   // B1: parquet scan + count (no shuffle beyond the final single-row agg).
@@ -266,6 +267,22 @@ object Relational {
         .cast("double").as("rev"))
       .orderBy(col("rev").desc, col("o_orderkey"))
       .limit(10)
+  }
+
+  // B-ext: per-group top-k via a rank window + filter — the shape Spark 4
+  // rewrites with WindowGroupLimit (rank-limit pushdown): each partition
+  // keeps a k-row heap BEFORE the sort/window, so the full per-group
+  // history is never buffered — the property that makes per-entity top-k
+  // viable when one entity's history is millions of rows. The plan pin
+  // lives in PlanShapeSpec.
+  private def q100WindowTopK: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(s, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .presented("o_custkey", "rn")
   }
 
   // B13: latest-snapshot / as-of semantics (reference gcpl.py:93-96):
@@ -760,6 +777,13 @@ object Relational {
                 MIN(event_id) AS first_event, MAX(event_id) AS last_event
          FROM events WHERE event_type = 'purchase'
          GROUP BY user_id ORDER BY user_id""",
+    "q100_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders) r
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
     "q84_unpivot" ->
       """WITH p AS (SELECT user_id,
                 CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,

@@ -50,7 +50,8 @@ object EventStreams {
   private[graft] def scratchBase: String = graft.StageDir.scratchBase
 
   /** Streaming view of events with `ts_us` (BIGINT µs) + `ts_utc` timestamp. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     // cached table registry: the schema read costs a parquet footer only once
     val schema = graft.Tables(spark, dir).table("events").schema
     // The file stream source wants a directory of files (the unbounded-ingest
@@ -62,7 +63,9 @@ object EventStreams {
     // aggregates or dedups, and all checks sort.)
     val stageDir = ReplayStage.stage(spark, s"$dir/events.parquet",
       s"graft_events_stage_${Integer.toHexString(dir.hashCode)}", n = 8)
-    val raw = spark.readStream.schema(schema).parquet(stageDir)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    val raw = reader.parquet(stageDir)
     val tsUs = schema("ts").dataType match {
       case LongType => expr("ts div 1000")
       case _        => unix_micros(col("ts").cast(TimestampType))
@@ -471,6 +474,106 @@ object EventStreams {
       .parquet(outDir.toString)
   }
 
+  /** q99: stream-STATIC join — each microbatch of the event stream joins a
+    * bounded dimension (here `nation`, keyed by `user_id % 25`) that Spark
+    * re-plans as a BATCH side per microbatch: no state, no second watermark,
+    * the dim is broadcast into every batch. This is the enrichment shape
+    * (fact stream × dimension) that complements the stream-stream interval
+    * joins q73/q80.
+    */
+  def streamStaticCounts(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.Tables(spark, dir).table("nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val joined = readEvents(spark, dir)
+      .join(broadcast(dim), pmod(col("user_id"), lit(25)) === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n_events"))
+    runToMemory(spark, joined, "complete")
+      .presented("n_name")
+  }
+
+  /** q98: streaming UPSERT via `foreachBatch` — each microbatch reduces to a
+    * per-user latest-row delta, the delta becomes a changeset (op=U for keys
+    * already in the snapshot, op=I for new keys, payload = the (ts,id)-max
+    * winner of old vs new), and [[graft.operators.MergeUpsert.merge]]
+    * publishes snapshot N+1 from snapshot N. The latest-wins changeset makes
+    * the protocol ORDER-INDEPENDENT across batches (merge is associative on
+    * event-time), so the final snapshot equals the batch latest-per-user —
+    * which is exactly what the oracle computes. This is the classic
+    * stream-maintained dimension / CDC-apply loop, and the snapshot files
+    * are real (parquet per version under scratch), not driver state.
+    */
+  def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    // sweep previous runs' scratch (snapshot versions + checkpoints): runs
+    // are sequential within a process, and a prior run's results were
+    // materialized before it returned
+    locally {
+      import scala.jdk.CollectionConverters._
+      val base = java.nio.file.Paths.get(scratchBase)
+      java.nio.file.Files.list(base).iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("graft_upsert_") || n.startsWith("graft_ckpt_upsert_")
+        }
+        .foreach(graft.StageDir.deleteRecursively)
+    }
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val snapBase = java.nio.file.Paths.get(scratchBase, s"graft_upsert_$stamp")
+    // three staged files per microbatch → three batches over the 8-file
+    // stage (3+3+2): the bootstrap delta plus TWO merge applications — the
+    // merge path, not just the bootstrap, is what this query certifies, and
+    // two applications already pin associativity; each further microbatch
+    // would re-pay the ~0.3s batch floor for no new protocol coverage
+    val src = readEvents(spark, dir, maxFilesPerTrigger = Some(3))
+      .select("user_id", "ts_us", "event_id", "value")
+    var current: Option[String] = None
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.getOption("spark.graft.stream.partitions").getOrElse("4"))
+    try {
+      val ckpt = java.nio.file.Paths.get(scratchBase, s"graft_ckpt_upsert_$stamp")
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val delta = batch.groupBy("user_id")
+            .agg(max_by(struct(col("value"), col("ts_us"), col("event_id")),
+              struct(col("ts_us"), col("event_id"))).as("_w"))
+            .select(col("user_id"), col("_w.value").as("value"),
+              col("_w.ts_us").as("ts_us"), col("_w.event_id").as("event_id"))
+          val merged = current match {
+            case None => delta
+            case Some(path) =>
+              val snap = spark.read.parquet(path)
+              val prevR = snap.select(col("user_id"), col("value").as("_pv"),
+                col("ts_us").as("_pt"), col("event_id").as("_id_prev"))
+              val winNew = col("_pt").isNull ||
+                struct(col("ts_us"), col("event_id")) > struct(col("_pt"), col("_id_prev"))
+              val ch = delta.join(prevR, Seq("user_id"), "left_outer")
+                .select(col("user_id"),
+                  when(col("_pt").isNull, "I").otherwise("U").as("op"),
+                  when(winNew, col("value")).otherwise(col("_pv")).as("value"),
+                  when(winNew, col("ts_us")).otherwise(col("_pt")).as("ts_us"),
+                  when(winNew, col("event_id")).otherwise(col("_id_prev")).as("event_id"))
+              graft.operators.MergeUpsert.merge(snap, ch, "user_id")
+          }
+          val out = snapBase.resolve(s"v$id").toString
+          // one file per version: the snapshot is one row per user, and a
+          // single write task beats 4 task launches + 4 tiny files (a real
+          // deployment sizes output partitions to snapshot volume)
+          merged.coalesce(1).write.mode("overwrite").parquet(out)
+          current = Some(out)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val snap = spark.read.parquet(current.getOrElse(
+      sys.error("stream upsert produced no snapshot")))
+    // materialize NOW: the returned frame must not lazily depend on scratch
+    // files a later run's sweep deletes; the snapshot is one row per user
+    val rows = java.util.Arrays.asList(snap.collect(): _*)
+    spark.createDataFrame(rows, snap.schema).presented("user_id")
+  }
+
   // ------------------------------------------------------- declared queries
 
   val queries: Map[String, Q] = Map(
@@ -483,6 +586,8 @@ object EventStreams {
     "q73_stream_interval_join" -> ((s, dir) => attributionPairs(s, dir)),
     "q80_stream_outer_join" -> ((s, dir) => attributionOuter(s, dir)),
     "q83_stream_file_sink" -> ((s, dir) => fileSinkCounts(s, dir).presented("bucket_us", "event_type")),
+    "q98_stream_upsert" -> ((s, dir) => streamUpsert(s, dir)),
+    "q99_stream_static_join" -> ((s, dir) => streamStaticCounts(s, dir)),
   )
 
   /** All three streaming results are deterministic aggregates of the bounded
@@ -490,6 +595,19 @@ object EventStreams {
     * including session windows against the gap-based batch identity.
     */
   val oracles: Map[String, String] = Map(
+    // q98: the order-independent upsert protocol converges on the global
+    // latest row per user — exactly the batch argmax
+    "q98_stream_upsert" ->
+      """SELECT user_id, value, epoch_us(ts) AS ts_us, event_id
+         FROM (SELECT user_id, value, ts, event_id,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+               FROM events) r
+         WHERE rn = 1 ORDER BY user_id""",
+    "q99_stream_static_join" ->
+      """SELECT n.n_name, COUNT(*) AS n_events
+         FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+         GROUP BY n.n_name ORDER BY n.n_name""",
     "q60_stream_tumbling" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us, event_type, COUNT(*) AS cnt
          FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""",

@@ -128,4 +128,14 @@ class PlanShapeSpec extends AnyFunSuite {
     val all = v2Pruned ++ v1Pruned
     assert(all.nonEmpty && all.exists(identity), initialPlan(df).toString)
   }
+
+  test("q100 rank-limit pushes down as WindowGroupLimit (bounded per-group state)") {
+    val df = plan("q100_window_topk")
+    // Spark 4 rewrites rank-filter windows into WindowGroupLimit: a k-row
+    // heap per group on BOTH sides of the shuffle instead of buffering each
+    // group's full history through the sort — losing this rewrite is the
+    // difference between top-k and out-of-memory on a hot entity
+    val p = initialPlan(df).toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }
