@@ -84,6 +84,7 @@ object SparkEntry {
       graft.operators.MergeUpsert.queries ++
       graft.operators.Resample.queries ++
       graft.operators.Profile.queries ++
+      graft.operators.Funnels.queries ++
       graft.operators.SkewJoin.queries ++
       graft.sources.ScaleLayouts.queries ++
       graft.sources.odata.ConnectorReplay.queries
@@ -143,6 +144,7 @@ object SparkEntry {
       graft.operators.MergeUpsert.oracles ++
       graft.operators.Resample.oracles ++
       graft.operators.Profile.oracles ++
+      graft.operators.Funnels.oracles ++
       graft.operators.SkewJoin.oracles ++
       graft.sources.ScaleLayouts.oracles ++
       Sketches.oracles ++

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Present._
+import graft.Tables
+
+/** Behavioral-analytics operators over the event log: cohort retention and
+  * ordered funnels — the two queries every product-analytics engine is
+  * ultimately buying.
+  *
+  * Scale shapes:
+  *  - '''retention''' repartitions ONCE by entity; the first-seen aggregate,
+  *    the per-day dedup, and their join all reuse that clustering (subset
+  *    partitioning satisfies all three), leaving one cohort-grid-sized final
+  *    aggregate — the only other exchange.
+  *  - '''funnel''' is ONE shuffle by entity + a sorted-array fold per
+  *    entity (`sort_array` + higher-order `aggregate`, fully codegen'd): the
+  *    strictly-ordered step walk happens inside a single per-row lambda —
+  *    not as K self-joins (the naive formulation the ORACLE deliberately
+  *    uses), and no Python/JVM UDF boundary. Per-entity history must fit a
+  *    row (the collect_list bound); funnels over unbounded histories move
+  *    the same fold into mapGroupsWithState (q64's machinery).
+  */
+object Funnels {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val DayUs = 86400000000L
+
+  /** (cohort_day, day_offset, n_users): users first seen on `cohort_day`
+    * who were active `day_offset` days later. Within a (cohort, offset)
+    * group each user contributes once (the activity grid is deduped per
+    * (user, day) and offset is a function of day given the cohort), so the
+    * count is a plain `count(*)`, not a distinct aggregate.
+    */
+  def cohortRetention(events: DataFrame, entityCol: String, tsUsCol: String): DataFrame = {
+    val ev = events.repartition(col(entityCol))
+      .select(col(entityCol), expr(s"$tsUsCol div $DayUs").as("_day"))
+    val first = ev.groupBy(entityCol).agg(min(col("_day")).as("cohort_day"))
+    val active = ev.distinct()
+    active.join(first, entityCol)
+      .groupBy(col("cohort_day"), (col("_day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Ordered-funnel stage per entity: the highest step index reached by a
+    * STRICTLY time-increasing walk through `steps`, where each later step
+    * must land within `windowUs` of the previous step's accepted event
+    * (ties at equal µs do not advance). The walk is GREEDY — anchored at
+    * the entity's first step-0 event, then always the earliest eligible
+    * next step — which is a declared contract the oracle mirrors as a
+    * min-chain, not an "any assignment" match. One fold over the entity's
+    * time-sorted event array.
+    */
+  def funnelStages(events: DataFrame, entityCol: String, tsUsCol: String,
+                   typeCol: String, tiebreakCol: String,
+                   steps: Seq[String], windowUs: Long): DataFrame = {
+    val walk = steps.zipWithIndex.map { case (step, i) =>
+      val guard = if (i == 0) "" else s"AND x.ts > acc.ts AND x.ts <= acc.ts + ${windowUs}L "
+      s"WHEN acc.stage = $i AND x.tp = '$step' ${guard}THEN named_struct('stage', ${i + 1}, 'ts', x.ts)"
+    }.mkString(" ")
+    events
+      .groupBy(col(entityCol))
+      .agg(sort_array(collect_list(struct(
+        col(tsUsCol).as("ts"), col(tiebreakCol).as("tb"), col(typeCol).as("tp")))).as("_arr"))
+      .select(col(entityCol),
+        expr(s"""aggregate(_arr,
+                   named_struct('stage', 0, 'ts', CAST(${Long.MinValue} AS BIGINT)),
+                   (acc, x) -> CASE $walk ELSE acc END,
+                   acc -> acc.stage)""").as("stage"))
+  }
+
+  // ------------------------------------------------------- declared queries
+
+  val queries: Map[String, Q] = Map(
+    "q101_cohort_retention" -> ((s, dir) =>
+      cohortRetention(Tables(s, dir).eventsUs, "user_id", "ts_us")
+        .presented("cohort_day", "day_offset")),
+    // 24-hour conversion window between consecutive steps: stages spread
+    // over 0..3 at every SF (windowless, nearly every entity converts and
+    // the query certifies nothing)
+    "q102_funnel" -> ((s, dir) =>
+      funnelStages(Tables(s, dir).eventsUs, "user_id", "ts_us", "event_type",
+        "event_id", Seq("view", "click", "purchase"), windowUs = 86400000000L)
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .presented("stage")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q101_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+              first AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id),
+              active AS (SELECT DISTINCT user_id, day FROM ev)
+         SELECT f.cohort_day, a.day - f.cohort_day AS day_offset, COUNT(*) AS n_users
+         FROM active a JOIN first f ON a.user_id = f.user_id
+         GROUP BY 1, 2 ORDER BY cohort_day, day_offset""",
+    // The deliberately-different relational formulation: one min-chain join
+    // per step with strict > and the 24-hour window between steps — the
+    // fold's greedy first-eligible pick IS the minimum eligible timestamp,
+    // so both agree even on equal-µs ties (neither advances).
+    "q102_funnel" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+              t1 AS (SELECT user_id, MIN(ts_us) AS v FROM ev
+                     WHERE event_type = 'view' GROUP BY user_id),
+              t2 AS (SELECT e.user_id, MIN(e.ts_us) AS c FROM ev e
+                     JOIN t1 ON e.user_id = t1.user_id
+                     WHERE e.event_type = 'click' AND e.ts_us > t1.v
+                       AND e.ts_us <= t1.v + 86400000000 GROUP BY e.user_id),
+              t3 AS (SELECT e.user_id, MIN(e.ts_us) AS p FROM ev e
+                     JOIN t2 ON e.user_id = t2.user_id
+                     WHERE e.event_type = 'purchase' AND e.ts_us > t2.c
+                       AND e.ts_us <= t2.c + 86400000000 GROUP BY e.user_id),
+              staged AS (
+                SELECT u.user_id,
+                       CASE WHEN t3.user_id IS NOT NULL THEN 3
+                            WHEN t2.user_id IS NOT NULL THEN 2
+                            WHEN t1.user_id IS NOT NULL THEN 1
+                            ELSE 0 END AS stage
+                FROM (SELECT DISTINCT user_id FROM ev) u
+                LEFT JOIN t1 ON u.user_id = t1.user_id
+                LEFT JOIN t2 ON u.user_id = t2.user_id
+                LEFT JOIN t3 ON u.user_id = t3.user_id)
+         SELECT stage, COUNT(*) AS n_users FROM staged GROUP BY stage ORDER BY stage""",
+  )
+}
