@@ -11,10 +11,14 @@ import graft.Tables
   * ultimately buying.
   *
   * Scale shapes:
-  *  - '''retention''' repartitions ONCE by entity; the first-seen aggregate,
-  *    the per-day dedup, and their join all reuse that clustering (subset
-  *    partitioning satisfies all three), leaving one cohort-grid-sized final
-  *    aggregate — the only other exchange.
+  *  - '''retention''' repartitions by entity; the first-seen aggregate and
+  *    the per-day dedup both run inside that clustering (subset
+  *    partitioning satisfies both groupings — AQE reuses the one shuffle at
+  *    runtime), and the first-seen side carries NO broadcast hint: it is
+  *    entity-proportional, so Catalyst broadcasts it at small scale and
+  *    falls back to the exchange-free co-partitioned join when it grows —
+  *    the q11 discipline. The cohort-grid-sized final aggregate is the only
+  *    other data exchange.
   *  - '''funnel''' is ONE shuffle by entity + a sorted-array fold per
   *    entity (`sort_array` + higher-order `aggregate`, fully codegen'd): the
   *    strictly-ordered step walk happens inside a single per-row lambda —

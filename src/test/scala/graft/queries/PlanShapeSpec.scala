@@ -129,6 +129,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(all.nonEmpty && all.exists(identity), initialPlan(df).toString)
   }
 
+  test("runtime bloom-filter join pruning injects once the dim side outgrows broadcast") {
+    // The 100 TB shuffle-join path: when the selective dim side is too big
+    // to broadcast, Spark builds a bloom filter from it and prunes the fact
+    // scan BEFORE the shuffle. Not reachable at fixture scale under default
+    // thresholds (the dim broadcasts instead — and the rule correctly skips
+    // broadcastable sides), so the conditions are simulated: no
+    // auto-broadcast + a permissive creation-side MAX. This pins that the
+    // engine's session keeps the rule enabled and the plan form it emits.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val s = spark
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t = graft.Tables(s, dir)
+      val dim = t.part.filter(col("p_retailprice") > 1900).select("p_partkey")
+      val q = t.lineitem.join(dim, col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("n"))
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"), p)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
   test("q100 rank-limit pushes down as WindowGroupLimit (bounded per-group state)") {
     val df = plan("q100_window_topk")
     // Spark 4 rewrites rank-filter windows into WindowGroupLimit: a k-row
