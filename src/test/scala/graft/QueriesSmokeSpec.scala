@@ -19,10 +19,18 @@ class QueriesSmokeSpec extends AnyFunSuite {
     // the bench must measure exactly the certified surface
     assert(SparkEntry.freshQueries.keySet == q.keySet)
     val allKeys = Seq(
-      Relational.queries.keys, operators.Dedup.queries.keys,
-      operators.Similarity.queries.keys, operators.TextAnalysis.queries.keys,
-      Multimodal.queries.keys, streaming.EventStreams.queries.keys).flatten.toSeq
+      Relational.queries.keys, operators.AsOfJoin.queries.keys,
+      operators.Dedup.queries.keys, operators.Similarity.queries.keys,
+      operators.TextAnalysis.queries.keys, operators.Curation.queries.keys,
+      Multimodal.queries.keys, operators.MergeUpsert.queries.keys,
+      operators.Resample.queries.keys, operators.Profile.queries.keys,
+      operators.Funnels.queries.keys, operators.SkewJoin.queries.keys,
+      operators.Sketches.queries.keys, sources.ScaleLayouts.queries.keys,
+      sources.odata.ConnectorReplay.queries.keys,
+      streaming.EventStreams.queries.keys, streaming.DocPipeline.queries.keys).flatten.toSeq
     assert(allKeys.size == allKeys.distinct.size, "duplicate query names across modules")
+    // ... and the union did not silently drop any module's entry
+    assert(allKeys.toSet == q.keySet, s"diff: ${allKeys.toSet -- q.keySet} / ${q.keySet -- allKeys.toSet}")
   }
 
   test("B3: parquet sink round-trips a query result exactly") {
