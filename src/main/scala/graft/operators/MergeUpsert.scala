@@ -14,11 +14,14 @@ import graft.Tables
   *
   * Scale shape: the changeset is delta-sized (small by definition —
   * yesterday's snapshot plus today's changes), so matched-row resolution is
-  * ONE broadcast hash left join against the base: the base table never
-  * shuffles, never sorts, and streams through whole-stage codegen once.
-  * Inserts append by union. When the delta outgrows broadcast, the same
-  * plan degrades gracefully to a shuffled hash join on the key — Catalyst
-  * picks, nothing in the operator changes.
+  * ONE broadcast hash left join against the base by default: the base table
+  * never shuffles, never sorts, and streams through whole-stage codegen
+  * once. Inserts append by union. A caller whose delta outgrows executor
+  * memory passes `broadcastChangeset = false` and the same plan becomes a
+  * key-partitioned join (both sides shuffle by key — the standard
+  * fact-sized-MERGE shape); the hint is explicit because the changeset is
+  * usually derived from the base itself, whose statistics would otherwise
+  * make Catalyst assume it is fact-sized and shuffle the base.
   *
   * Contract notes (standard MERGE rules):
   *  - at most ONE changeset row per key (ambiguous matches are a MERGE
@@ -36,7 +39,8 @@ object MergeUpsert {
     * Payload columns are every non-key, non-op column of `changes`; the
     * base must carry columns of the same names.
     */
-  def merge(base: DataFrame, changes: DataFrame, keyCol: String): DataFrame = {
+  def merge(base: DataFrame, changes: DataFrame, keyCol: String,
+            broadcastChangeset: Boolean = true): DataFrame = {
     val payload = changes.columns.filter(c => c != keyCol && c != "op").toSeq
     require(payload.nonEmpty, "changeset carries no payload columns")
     // The changeset is typically DERIVED from the base (self-join lineage),
@@ -46,7 +50,8 @@ object MergeUpsert {
       .select(col(keyCol).as("_mk") +: col("op").as("_op") +:
         payload.map(c => col(c).as(s"_ch_$c")): _*)
     val kept = base.columns.toSeq
-    val resolved = base.join(broadcast(matched), col(keyCol) === col("_mk"), "left_outer")
+    val matchSide = if (broadcastChangeset) broadcast(matched) else matched
+    val resolved = base.join(matchSide, col(keyCol) === col("_mk"), "left_outer")
       .filter(col("_op").isNull || col("_op") === "U")
       .select(kept.map { c =>
         if (payload.contains(c))

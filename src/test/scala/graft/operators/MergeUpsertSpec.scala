@@ -40,6 +40,15 @@ class MergeUpsertSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcastChangeset=false produces the same rows via a shuffled join") {
+    val base = baseOf((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+    val ch = changesOf((2L, "U", "b2", 22.0), (3L, "D", "", 0.0), (9L, "I", "i", 90.0))
+    val hinted = MergeUpsert.merge(base, ch, "k").orderBy("k").collect().toSeq
+    val shuffled = MergeUpsert.merge(base, ch, "k", broadcastChangeset = false)
+      .orderBy("k").collect().toSeq
+    assert(hinted == shuffled)
+  }
+
   test("update on every key + no inserts = same row count, new values") {
     val base = baseOf((1L, "a", 1.0), (2L, "b", 2.0))
     val ch = changesOf((1L, "U", "a'", 11.0), (2L, "U", "b'", 12.0))
