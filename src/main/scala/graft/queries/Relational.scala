@@ -75,6 +75,8 @@ object Relational {
     "q92_scan_orc" -> q92ScanOrc,
     "q93_partition_prune" -> q93PartitionPrune,
     "q100_window_topk" -> q100WindowTopK,
+    "q103_lateral_topk" -> q103LateralTopK,
+    "q104_sql_udf" -> q104SqlUdf,
   )
 
   // B1: parquet scan + count (no shuffle beyond the final single-row agg).
@@ -283,6 +285,39 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .presented("o_custkey", "rn")
+  }
+
+  // B-ext: correlated LATERAL subquery with ORDER BY + LIMIT — the same
+  // per-group top-k RESULT as q100 through a different engine path:
+  // Catalyst must decorrelate the limited, ordered lateral into a
+  // partitioned rank (DecorrelateInnerQuery), rather than the caller
+  // writing the window by hand. Declared via the Spark 4 `lateralJoin`
+  // DataFrame API with an `.outer()` correlated reference.
+  private def q103LateralTopK: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val c = t.customer.select(col("c_custkey"))
+    val top = t.orders
+      .filter(col("o_custkey") === col("c_custkey").outer())
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(2)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    c.lateralJoin(top).presented("c_custkey", "o_orderkey")
+  }
+
+  // B-ext: SQL-DEFINED function (Spark 4 `CREATE FUNCTION ... RETURN expr`)
+  // on the aggregation path — the declarative cousin of the q31 Scala UDF:
+  // the body is inlined into the plan at analysis time, so it codegens like
+  // any expression (no closure boundary). The revenue product is 4-decimal
+  // exact, summed as DECIMAL for order-independence (Exact's discipline).
+  private def q104SqlUdf: Q = (s, dir) => {
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_rev(price DOUBLE, disc DOUBLE)
+             RETURNS DOUBLE RETURN price * (1.0 - disc)""")
+    Tables(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(sum(expr("graft_rev(l_extendedprice, l_discount)")
+          .cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+        .cast("double").as("rev"))
+      .presented("l_returnflag")
   }
 
   // B13: latest-snapshot / as-of semantics (reference gcpl.py:93-96):
@@ -784,6 +819,19 @@ object Relational {
                                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
                FROM orders) r
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    // DuckDB runs the lateral form natively — an independent execution
+    // strategy for the same correlated-limit semantics
+    "q103_lateral_topk" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+         FROM customer c, LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         ORDER BY c.c_custkey, t.o_orderkey""",
+    "q104_sql_udf" ->
+      """SELECT l_returnflag,
+                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS rev
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q84_unpivot" ->
       """WITH p AS (SELECT user_id,
                 CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
