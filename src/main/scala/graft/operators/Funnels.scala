@@ -56,15 +56,29 @@ object Funnels {
     * next step — which is a declared contract the oracle mirrors as a
     * min-chain, not an "any assignment" match. One fold over the entity's
     * time-sorted event array.
+    *
+    * Coverage contract: returns one row per entity with AT LEAST ONE
+    * step-typed event (non-step events are dropped before the shuffle — they
+    * cannot advance the walk, and carrying them through collect_list just to
+    * emit stage-0 rows for step-less entities would inflate the exchange and
+    * the per-entity array bound for rows the caller can derive by anti-join
+    * if it wants them).
     */
   def funnelStages(events: DataFrame, entityCol: String, tsUsCol: String,
                    typeCol: String, tiebreakCol: String,
                    steps: Seq[String], windowUs: Long): DataFrame = {
     val walk = steps.zipWithIndex.map { case (step, i) =>
+      // step names land inside a SQL string literal — escape them (a step
+      // like "o'clock_sale" must not break or alter the generated CASE)
+      val lit = step.replace("\\", "\\\\").replace("'", "\\'")
       val guard = if (i == 0) "" else s"AND x.ts > acc.ts AND x.ts <= acc.ts + ${windowUs}L "
-      s"WHEN acc.stage = $i AND x.tp = '$step' ${guard}THEN named_struct('stage', ${i + 1}, 'ts', x.ts)"
+      s"WHEN acc.stage = $i AND x.tp = '$lit' ${guard}THEN named_struct('stage', ${i + 1}, 'ts', x.ts)"
     }.mkString(" ")
     events
+      // non-step events can never advance the fold — drop them BEFORE the
+      // shuffle: directly shrinks the one exchange and the per-entity
+      // array bound this operator is limited by
+      .filter(col(typeCol).isin(steps: _*))
       .groupBy(col(entityCol))
       .agg(sort_array(collect_list(struct(
         col(tsUsCol).as("ts"), col(tiebreakCol).as("tb"), col(typeCol).as("tp")))).as("_arr"))
@@ -121,7 +135,8 @@ object Funnels {
                             WHEN t2.user_id IS NOT NULL THEN 2
                             WHEN t1.user_id IS NOT NULL THEN 1
                             ELSE 0 END AS stage
-                FROM (SELECT DISTINCT user_id FROM ev) u
+                FROM (SELECT DISTINCT user_id FROM ev
+                      WHERE event_type IN ('view', 'click', 'purchase')) u
                 LEFT JOIN t1 ON u.user_id = t1.user_id
                 LEFT JOIN t2 ON u.user_id = t2.user_id
                 LEFT JOIN t3 ON u.user_id = t3.user_id)

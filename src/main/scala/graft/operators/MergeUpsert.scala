@@ -66,8 +66,10 @@ object MergeUpsert {
 
   /** The q90 changeset, derived deterministically from the base snapshot:
     * updates for keys ≡0 (mod 7) (unless deleted), deletes for keys ≡0
-    * (mod 11), inserts at key+100000000 for keys ≡0 (mod 13) — disjoint op
-    * per key, insert keys collision-free by construction.
+    * (mod 11), inserts at `-key - 1` for keys ≡0 (mod 13) — disjoint op per
+    * key, and insert keys are collision-free at ANY scale factor (base
+    * orderkeys are non-negative, negated-minus-one keys never are; a fixed
+    * offset would start colliding once the key range outgrew it).
     */
   private def changeset(o: DataFrame): DataFrame = {
     val k = col("o_orderkey")
@@ -78,7 +80,7 @@ object MergeUpsert {
       .select(k, lit("D").as("op"), col("o_custkey"),
         lit(null).cast("double").as("o_totalprice"))
     val ins = o.filter(k % 13 === 0)
-      .select((k + 100000000L).as("o_orderkey"), lit("I").as("op"),
+      .select((-k - 1).as("o_orderkey"), lit("I").as("op"),
         col("o_custkey"), col("o_totalprice"))
     upd.unionByName(del).unionByName(ins)
   }
@@ -101,7 +103,7 @@ object MergeUpsert {
            UNION ALL
            SELECT o_orderkey, 'D', o_custkey, NULL FROM orders WHERE o_orderkey % 11 = 0
            UNION ALL
-           SELECT o_orderkey + 100000000, 'I', o_custkey, o_totalprice
+           SELECT -o_orderkey - 1, 'I', o_custkey, o_totalprice
            FROM orders WHERE o_orderkey % 13 = 0)
          SELECT b.o_orderkey, b.o_custkey,
                 CASE WHEN c.op = 'U' THEN c.new_price ELSE b.o_totalprice END AS o_totalprice

@@ -503,20 +503,25 @@ object EventStreams {
     * are real (parquet per version under scratch), not driver state.
     */
   def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
-    // sweep previous runs' scratch (snapshot versions + checkpoints): runs
-    // are sequential within a process, and a prior run's results were
-    // materialized before it returned
+    // Sweep THIS process's previous runs' scratch (snapshot versions +
+    // checkpoints). PID-scoped like the q83 file-sink sweep: runs are
+    // sequential within a process and prior results were materialized
+    // before returning, but a CONCURRENT session's live snapshots must
+    // not be touched.
+    val pid = ProcessHandle.current().pid()
     locally {
       import scala.jdk.CollectionConverters._
       val base = java.nio.file.Paths.get(scratchBase)
-      java.nio.file.Files.list(base).iterator().asScala
+      val listing = java.nio.file.Files.list(base)
+      try listing.iterator().asScala
         .filter { p =>
           val n = p.getFileName.toString
-          n.startsWith("graft_upsert_") || n.startsWith("graft_ckpt_upsert_")
+          n.startsWith(s"graft_upsert_$pid") || n.startsWith(s"graft_ckpt_upsert_$pid")
         }
-        .foreach(graft.StageDir.deleteRecursively)
+        .foreach(p => try graft.StageDir.deleteRecursively(p) catch { case _: Exception => () })
+      finally listing.close()
     }
-    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val stamp = s"${pid}_${java.util.UUID.randomUUID().toString.take(8)}"
     val snapBase = java.nio.file.Paths.get(scratchBase, s"graft_upsert_$stamp")
     // three staged files per microbatch → three batches over the 8-file
     // stage (3+3+2): the bootstrap delta plus TWO merge applications — the
