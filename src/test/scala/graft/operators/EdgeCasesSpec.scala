@@ -82,4 +82,37 @@ class EdgeCasesSpec extends AnyFunSuite {
     // dim discovery has no first row to inspect — must degrade to empty, not throw
     assert(Dedup.embeddingLshPairs(empty, "vec_id", "embedding").count() == 0)
   }
+
+  test("round-5 operators degrade to empty results on empty inputs") {
+    val s = spark
+    import s.implicits._
+    val emptyEv = Seq.empty[(Long, Long, Double, Long)].toDF("user_id", "ts_us", "value", "event_id")
+    assert(Resample.gapFillResample(emptyEv, "user_id", "ts_us", "value", "event_id", 10L)
+      .count() == 0)
+    assert(Funnels.cohortRetention(
+      emptyEv.withColumnRenamed("value", "v"), "user_id", "ts_us").count() == 0)
+    val emptyTyped = Seq.empty[(Long, Long, String, Long)].toDF("user_id", "ts_us", "event_type", "event_id")
+    assert(Funnels.funnelStages(emptyTyped, "user_id", "ts_us", "event_type",
+      "event_id", Seq("view", "click"), windowUs = 10L).count() == 0)
+    // profiling an empty table still yields one row per profiled column —
+    // all zeros, never an empty or failed result
+    val emptyDocs = Seq.empty[(Option[Long], Option[String])].toDF("k", "v")
+    val prof = Profile.profile(emptyDocs, Seq("k", "v")).orderBy("col_name").collect()
+    assert(prof.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("k", 0L, 0L), ("v", 0L, 0L)))
+  }
+
+  test("merge with an empty changeset payload set vs an empty base") {
+    val s = spark
+    import s.implicits._
+    val base = Seq.empty[(Long, Double)].toDF("k", "price")
+    val ch = Seq((5L, "I", 50.0)).toDF("k", "op", "price")
+    // inserting into an empty base yields exactly the inserts
+    val out = MergeUpsert.merge(base, ch, "k").collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((5L, 50.0)))
+    // and an all-delete changeset empties the base
+    val base2 = Seq((1L, 10.0)).toDF("k", "price")
+    val ch2 = Seq((1L, "D", 0.0)).toDF("k", "op", "price")
+    assert(MergeUpsert.merge(base2, ch2, "k").count() == 0)
+  }
 }
