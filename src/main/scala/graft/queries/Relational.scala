@@ -77,6 +77,7 @@ object Relational {
     "q100_window_topk" -> q100WindowTopK,
     "q103_lateral_topk" -> q103LateralTopK,
     "q104_sql_udf" -> q104SqlUdf,
+    "q105_variant_get" -> q105VariantGet,
   )
 
   // B1: parquet scan + count (no shuffle beyond the final single-row agg).
@@ -319,6 +320,21 @@ object Relational {
         .cast("double").as("rev"))
       .presented("l_returnflag")
   }
+
+  // B-ext: the VARIANT semi-structured path (Spark 4): `parse_json` ONCE
+  // into the binary variant encoding, typed `variant_get` extraction
+  // downstream — the modern replacement for per-access string JSON parsing
+  // (q29's get_json_object re-parses the text per extraction; a variant
+  // column parses at ingest and every later field access is a cheap binary
+  // probe — the semi-structured-at-100 TB shape).
+  private def q105VariantGet: Q = (s, dir) =>
+    Tables(s, dir).eventsUs
+      .withColumn("_v", expr("parse_json(props)"))
+      .select(col("event_type"), expr("variant_get(_v, '$.k', 'long')").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"),
+        count(when(col("k") > 50, 1)).as("n_big"))
+      .presented("event_type")
 
   // B13: latest-snapshot / as-of semantics (reference gcpl.py:93-96):
   // latest row per key. Declared as the native LatestBy AGGREGATION
@@ -832,6 +848,11 @@ object Relational {
       """SELECT l_returnflag,
                 CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS rev
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q105_variant_get" ->
+      """SELECT event_type,
+                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_big
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q84_unpivot" ->
       """WITH p AS (SELECT user_id,
                 CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
