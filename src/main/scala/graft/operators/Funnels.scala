@@ -11,14 +11,15 @@ import graft.Tables
   * ultimately buying.
   *
   * Scale shapes:
-  *  - '''retention''' repartitions by entity; the first-seen aggregate and
-  *    the per-day dedup both run inside that clustering (subset
-  *    partitioning satisfies both groupings — AQE reuses the one shuffle at
-  *    runtime), and the first-seen side carries NO broadcast hint: it is
-  *    entity-proportional, so Catalyst broadcasts it at small scale and
-  *    falls back to the exchange-free co-partitioned join when it grows —
-  *    the q11 discipline. The cohort-grid-sized final aggregate is the only
-  *    other data exchange.
+  *  - '''retention''' is one LINEAR chain — entity repartition → per-day
+  *    dedup → first-seen as a window MIN inside the same clustering → grid
+  *    aggregate. No self-join: the textbook formulation (first-seen
+  *    aggregate joined back to the activity set) re-scans and re-shuffles
+  *    the full event log twice because both join branches share the same
+  *    subtree (measured 2.45 s → 0.7 s at 6M events). Subset partitioning
+  *    satisfies the dedup grouping and the window, so the entity exchange
+  *    is the only data-proportional shuffle; the cohort-grid-sized final
+  *    aggregate is the only other one.
   *  - '''funnel''' is ONE shuffle by entity + a sorted-array fold per
   *    entity (`sort_array` + higher-order `aggregate`, fully codegen'd): the
   *    strictly-ordered step walk happens inside a single per-row lambda —
@@ -39,11 +40,13 @@ object Funnels {
     * count is a plain `count(*)`, not a distinct aggregate.
     */
   def cohortRetention(events: DataFrame, entityCol: String, tsUsCol: String): DataFrame = {
-    val ev = events.repartition(col(entityCol))
+    import org.apache.spark.sql.expressions.Window
+    val active = events.repartition(col(entityCol))
       .select(col(entityCol), expr(s"$tsUsCol div $DayUs").as("_day"))
-    val first = ev.groupBy(entityCol).agg(min(col("_day")).as("cohort_day"))
-    val active = ev.distinct()
-    active.join(first, entityCol)
+      .distinct()
+    val cohort = min(col("_day")).over(Window.partitionBy(entityCol))
+    active
+      .withColumn("cohort_day", cohort)
       .groupBy(col("cohort_day"), (col("_day") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }

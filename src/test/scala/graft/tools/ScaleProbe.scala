@@ -92,6 +92,38 @@ object ScaleProbe {
     time("quality_gate_50k_docs") {
       graft.operators.Curation.qualityGateTopHalf(docs, "doc_id", "text").count()
     }
+
+    // 10x events (6M rows, 15k users via offset user ids): the round-5
+    // behavioral/time-series operators — their one-entity-exchange shapes
+    // must grow linearly in rows, not in entities × span
+    val evOut = "/tmp/graft_scale10/events"
+    if (!new java.io.File(evOut).exists()) {
+      val e = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      (0 until 10).map(i => e
+          .withColumn("user_id", col("user_id") + lit(i * 10000000L))
+          .withColumn("event_id", col("event_id") + lit(i * 1000000000L)))
+        .reduce(_ unionAll _)
+        .repartition(32).write.mode("overwrite").parquet(evOut)
+    }
+    val ev = spark.read.parquet(evOut)
+      .withColumn("ts_us", expr("ts div 1000"))
+    time("resample_6m_events") {
+      graft.operators.Resample.gapFillResample(
+        ev.filter(col("user_id") % 7 === 0), "user_id", "ts_us", "value",
+        "event_id", 3600000000L).count()
+    }
+    time("retention_6m_events") {
+      graft.operators.Funnels.cohortRetention(ev, "user_id", "ts_us").count()
+    }
+    time("funnel_6m_events") {
+      graft.operators.Funnels.funnelStages(ev, "user_id", "ts_us", "event_type",
+        "event_id", Seq("view", "click", "purchase"), 86400000000L).count()
+    }
+    time("variant_6m_events") {
+      ev.withColumn("_v", expr("parse_json(props)"))
+        .select(expr("variant_get(_v, '$.k', 'long')").as("k"))
+        .agg(sum("k")).count()
+    }
     spark.stop()
   }
 }
