@@ -39,6 +39,34 @@ object ScaleLayouts {
     all.filter(col("snapshot_date") === latest)
   }
 
+  /** Bin-packed compaction of a fragmented parquet layout — the
+    * OPTIMIZE-style small-file rewrite every long-lived ingest needs (a
+    * streaming sink or per-page fetch leaves thousands of KB-sized files;
+    * scans then pay one task + one footer per file). Reads the fragment
+    * set, `coalesce`s to ceil(totalBytes / targetBytes) outputs (pure
+    * concatenation — NO shuffle; compaction must not pay a data exchange),
+    * and republishes atomically under StageDir discipline so readers never
+    * observe a half-compacted layout.
+    *
+    * @return the compacted directory
+    */
+  def compact(spark: SparkSession, srcDir: String, destName: String,
+              sig: String, targetBytes: Long): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(Paths.get(srcDir))
+    val totalBytes =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(Files.size).sum
+      finally listing.close()
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    graft.StageDir.publish(destName, sig) { tmp =>
+      spark.read.parquet(srcDir).coalesce(nOut)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    }
+  }
+
   /** Writes `df` bucketed+sorted by `key` as a managed table. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
     df.write.mode(SaveMode.Overwrite)
@@ -159,7 +187,39 @@ object ScaleLayouts {
     (to, tc)
   }
 
+  /** q106: compaction end-to-end. A 64-fragment copy of a lineitem
+    * projection is staged once per fixture signature (the "streaming sink
+    * left small files" starting state), [[compact]]ed to ~4 bin-packed
+    * files, and the measured query aggregates from the COMPACTED layout —
+    * so the oracle hash certifies the rewrite lost and duplicated nothing.
+    * File-count/no-shuffle invariants live in the spec.
+    */
+  private def ensureCompacted(s: SparkSession, dir: String): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(s"$dir/lineitem.parquet")
+    val sig = s"${java.nio.file.Files.size(p)}:${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+    val tag = Integer.toHexString(dir.hashCode)
+    val frag = graft.StageDir.publish(s"graft_q106_frag_$tag", sig) { tmp =>
+      graft.Tables(s, dir).lineitem
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+        .repartition(64)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    }
+    // target sized so the 64 fragments pack into a handful of files at
+    // every SF (bin count adapts to the actual bytes, not the SF)
+    compact(s, frag.toString, s"graft_q106_compact_$tag", s"$sig:t256k",
+      targetBytes = 256 * 1024)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_compaction" -> ((s, dir) => {
+      import graft.Present._
+      s.read.parquet(ensureCompacted(s, dir).toString)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Exact.dsum(col("l_quantity")).as("sq"),
+          min(col("l_orderkey")).as("k0"), max(col("l_orderkey")).as("k1"))
+        .presented("l_returnflag")
+    }),
     "q89_bucketed_join" -> ((s, dir) => {
       import graft.Present._
       val (to, tc) = ensureBucketed(s, dir)
@@ -190,6 +250,11 @@ object ScaleLayouts {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q106_compaction" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+                MIN(l_orderkey) AS k0, MAX(l_orderkey) AS k1
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q89_bucketed_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -67,4 +67,35 @@ class ScaleLayoutsSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS customer_b")
     }
   }
+
+  test("compaction bin-packs fragments, loses no rows, pays no shuffle") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val t = Tables(spark, TestSpark.Sf0001)
+    val src = t.lineitem.select("l_orderkey", "l_linenumber", "l_quantity")
+    val sig = s"spec-compact-${System.nanoTime()}"
+    val frag = graft.StageDir.publish("graft_spec_frag", sig) { tmp =>
+      src.repartition(32).write.mode("overwrite").parquet(tmp.toString)
+    }
+    def parquetFiles(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val l = Files.list(p)
+      try l.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      finally l.close()
+    }
+    val nFrag = parquetFiles(frag).size
+    assert(nFrag >= 16, s"fragment staging produced only $nFrag files")
+    // target = total bytes / 4 → about 4 bin-packed outputs
+    val total = parquetFiles(frag).map(Files.size).sum
+    val out = ScaleLayouts.compact(spark, frag.toString, "graft_spec_compact",
+      sig, targetBytes = math.max(1L, total / 4))
+    val nOut = parquetFiles(out).size
+    assert(nOut < nFrag && nOut <= 6, s"expected ~4 files, got $nOut (from $nFrag)")
+    // row identity, both directions
+    val back = spark.read.parquet(out.toString)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // coalesce-shaped rewrite: the compaction plan must not exchange
+    val plan = spark.read.parquet(frag.toString)
+      .coalesce(4).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
