@@ -85,10 +85,36 @@ object MergeUpsert {
     upd.unionByName(del).unionByName(ins)
   }
 
+  /** Incremental aggregate maintenance (IVM): update a persisted
+    * `groupBy(group).count()` from a MERGE changeset WITHOUT re-aggregating
+    * the fact table — counts are a distributive aggregate, so the delta is
+    * itself a tiny aggregate over the changeset (+1 per insert, −1 per
+    * delete, 0 per update) applied with one small join. At 100 TB this is
+    * the difference between touching the delta and re-scanning the world;
+    * the q107 oracle proves the algebra by recomputing the same counts
+    * from scratch on the MERGED table.
+    */
+  def maintainCounts(baseCounts: DataFrame, changes: DataFrame,
+                     keyCol: String, groupCol: String): DataFrame = {
+    val delta = changes.filter(col("op") =!= "U")
+      .groupBy(groupCol)
+      .agg(sum(when(col("op") === "I", 1L).otherwise(-1L)).as("_d"))
+    baseCounts.join(broadcast(delta), Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("_d"), lit(0L))).as("n"))
+      .filter(col("n") > 0)
+  }
+
   val queries: Map[String, Q] = Map(
     "q90_merge_upsert" -> ((s, dir) => {
       val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
       merge(o, changeset(o), "o_orderkey").presented("o_orderkey")
+    }),
+    "q107_incremental_agg" -> ((s, dir) => {
+      val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      val baseCounts = o.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      maintainCounts(baseCounts, changeset(o), "o_orderkey", "o_custkey")
+        .presented("o_custkey")
     }),
   )
 
@@ -112,5 +138,24 @@ object MergeUpsert {
          UNION ALL
          SELECT k, o_custkey, new_price FROM ch WHERE op = 'I'
          ORDER BY o_orderkey""",
+    // recompute-from-scratch over the MERGED table: if the incremental
+    // delta algebra is right, maintained counts equal a full re-aggregation
+    "q107_incremental_agg" ->
+      """WITH ch AS (
+           SELECT o_orderkey AS k, 'U' AS op, o_custkey, o_totalprice + 1000.0 AS new_price
+           FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+           UNION ALL
+           SELECT o_orderkey, 'D', o_custkey, NULL FROM orders WHERE o_orderkey % 11 = 0
+           UNION ALL
+           SELECT -o_orderkey - 1, 'I', o_custkey, o_totalprice
+           FROM orders WHERE o_orderkey % 13 = 0),
+         merged AS (
+           SELECT b.o_orderkey, b.o_custkey
+           FROM orders b LEFT JOIN ch c ON b.o_orderkey = c.k AND c.op <> 'I'
+           WHERE c.op IS NULL OR c.op = 'U'
+           UNION ALL
+           SELECT k, o_custkey FROM ch WHERE op = 'I')
+         SELECT o_custkey, COUNT(*) AS n FROM merged
+         GROUP BY o_custkey ORDER BY o_custkey""",
   )
 }

@@ -49,6 +49,21 @@ class MergeUpsertSpec extends AnyFunSuite {
     assert(hinted == shuffled)
   }
 
+  test("incremental count maintenance: inserts add, deletes subtract, zeros drop") {
+    val s = spark
+    import s.implicits._
+    val baseCounts = Seq((10L, 2L), (20L, 1L)).toDF("g", "n")
+    val ch = Seq(
+      (1L, "I", 10L),  // g=10: 2 -> 3
+      (2L, "D", 20L),  // g=20: 1 -> 0 (dropped)
+      (3L, "I", 30L),  // g=30: new group, 0 -> 1
+      (4L, "U", 10L))  // updates never change counts
+      .toDF("k", "op", "g")
+    val out = MergeUpsert.maintainCounts(baseCounts, ch, "k", "g")
+      .orderBy("g").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((10L, 3L), (30L, 1L)))
+  }
+
   test("update on every key + no inserts = same row count, new values") {
     val base = baseOf((1L, "a", 1.0), (2L, "b", 2.0))
     val ch = changesOf((1L, "U", "a'", 11.0), (2L, "U", "b'", 12.0))
