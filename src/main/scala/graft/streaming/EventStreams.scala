@@ -530,7 +530,11 @@ object EventStreams {
     // would re-pay the ~0.3s batch floor for no new protocol coverage
     val src = readEvents(spark, dir, maxFilesPerTrigger = Some(3))
       .select("user_id", "ts_us", "event_id", "value")
-    var current: Option[String] = None
+    // written by the microbatch thread, read by the caller after
+    // awaitTermination — an AtomicReference makes the cross-thread
+    // publication explicit instead of leaning on the driver's internal
+    // synchronization
+    val current = new java.util.concurrent.atomic.AtomicReference[String](null)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
       spark.conf.getOption("spark.graft.stream.partitions").getOrElse("4"))
@@ -543,7 +547,7 @@ object EventStreams {
               struct(col("ts_us"), col("event_id"))).as("_w"))
             .select(col("user_id"), col("_w.value").as("value"),
               col("_w.ts_us").as("ts_us"), col("_w.event_id").as("event_id"))
-          val merged = current match {
+          val merged = Option(current.get()) match {
             case None => delta
             case Some(path) =>
               val snap = spark.read.parquet(path)
@@ -564,14 +568,14 @@ object EventStreams {
           // single write task beats 4 task launches + 4 tiny files (a real
           // deployment sizes output partitions to snapshot volume)
           merged.coalesce(1).write.mode("overwrite").parquet(out)
-          current = Some(out)
+          current.set(out)
         }
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    val snap = spark.read.parquet(current.getOrElse(
+    val snap = spark.read.parquet(Option(current.get()).getOrElse(
       sys.error("stream upsert produced no snapshot")))
     // materialize NOW: the returned frame must not lazily depend on scratch
     // files a later run's sweep deletes; the snapshot is one row per user
