@@ -100,4 +100,32 @@ private[graft] object StageDir {
       finally s.close()
     }
   }
+
+  /** Sweeps per-process run scratch under the scratch root: dirs named
+    * `<prefix><pid>_<anything>`. Deletes THIS process's previous runs, and
+    * — so exited JVMs' leftovers don't accumulate in a RAM-backed tmpfs
+    * forever — any sibling whose embedded pid no longer has a live
+    * process. A LIVE other process's dirs are never touched, and the pid
+    * is matched up to its '_' delimiter (a bare prefix match would let pid
+    * 123 sweep pid 1234's live run).
+    */
+  def sweepRunScratch(prefixes: Seq[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val self = ProcessHandle.current().pid()
+    def sweepable(name: String): Boolean = prefixes.exists { prefix =>
+      name.startsWith(prefix) && {
+        val rest = name.substring(prefix.length)
+        val pidTok = rest.takeWhile(_ != '_')
+        pidTok.nonEmpty && pidTok.forall(_.isDigit) && {
+          val pid = pidTok.toLong
+          pid == self || ProcessHandle.of(pid).isEmpty
+        }
+      }
+    }
+    val listing = Files.list(Paths.get(scratchBase))
+    try listing.iterator().asScala
+      .filter(p => sweepable(p.getFileName.toString))
+      .foreach(p => try deleteRecursively(p) catch { case _: Exception => () })
+    finally listing.close()
+  }
 }

@@ -41,7 +41,12 @@ object Funnels {
     */
   def cohortRetention(events: DataFrame, entityCol: String, tsUsCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val active = events.repartition(col(entityCol))
+    // null entities carry no identity to retain — drop them explicitly.
+    // (The window formulation would otherwise GROUP nulls into a phantom
+    // cohort, where the equivalent first-seen equi-join formulation — and
+    // the q101 oracle — drops them.)
+    val active = events.filter(col(entityCol).isNotNull)
+      .repartition(col(entityCol))
       .select(col(entityCol), expr(s"$tsUsCol div $DayUs").as("_day"))
       .distinct()
     val cohort = min(col("_day")).over(Window.partitionBy(entityCol))

@@ -93,9 +93,17 @@ object MergeUpsert {
     * the difference between touching the delta and re-scanning the world;
     * the q107 oracle proves the algebra by recomputing the same counts
     * from scratch on the MERGED table.
+    *
+    * Contract (NOT checked — violations corrupt counts silently, so they
+    * are the caller's MERGE-side obligations):
+    *  - 'U' rows must not move a row between groups (`groupCol` stable
+    *    under update) — group-changing updates need a −1/+1 pair, i.e. a
+    *    D+I changeset, not a U;
+    *  - 'D' rows must carry the row's CURRENT `groupCol` value (the merge
+    *    itself ignores a delete's payload, but the count delta reads it).
     */
   def maintainCounts(baseCounts: DataFrame, changes: DataFrame,
-                     keyCol: String, groupCol: String): DataFrame = {
+                     groupCol: String): DataFrame = {
     val delta = changes.filter(col("op") =!= "U")
       .groupBy(groupCol)
       .agg(sum(when(col("op") === "I", 1L).otherwise(-1L)).as("_d"))
@@ -113,7 +121,7 @@ object MergeUpsert {
     "q107_incremental_agg" -> ((s, dir) => {
       val o = Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
       val baseCounts = o.groupBy("o_custkey").agg(count(lit(1)).as("n"))
-      maintainCounts(baseCounts, changeset(o), "o_orderkey", "o_custkey")
+      maintainCounts(baseCounts, changeset(o), "o_custkey")
         .presented("o_custkey")
     }),
   )

@@ -61,9 +61,22 @@ object ScaleLayouts {
         .map(Files.size).sum
       finally listing.close()
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    graft.StageDir.publish(destName, sig) { tmp =>
+    // coalesce can only MERGE scan partitions, and the scan's own
+    // file-packing (maxPartitionBytes / openCostInBytes) decides how many
+    // there are — under the defaults a fragmented layout can pack into
+    // FEWER partitions than nOut, silently producing files far above the
+    // target. Pin the scan packing to the compaction target for the
+    // duration of the rewrite so the bin count is a property of this
+    // function, not of the session conf or core count.
+    val confs = Seq("spark.sql.files.maxPartitionBytes" -> targetBytes.toString,
+                    "spark.sql.files.openCostInBytes" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try graft.StageDir.publish(destName, sig) { tmp =>
       spark.read.parquet(srcDir).coalesce(nOut)
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
 

@@ -436,17 +436,11 @@ object EventStreams {
       .select(unix_micros(col("window.start")).as("bucket_us"), col("event_type"), col("cnt"))
     // Fresh output + checkpoint per run: the sink manifest is the
     // exactly-once ledger, so a REUSED dir would dedupe re-runs away.
-    // Sweep THIS process's previous runs first (pid-scoped: a concurrent
-    // session's live output must not be touched).
+    // Sweep this process's previous runs + dead JVMs' leftovers first
+    // (live concurrent sessions untouched — StageDir.sweepRunScratch).
     val pid = ProcessHandle.current().pid()
-    val prefix = s"graft_filesink_$pid"
-    val scratch = Paths.get(scratchBase)
-    val old = Files.list(scratch)
-    try old.iterator().asScala
-      .filter(_.getFileName.toString.startsWith(prefix))
-      .foreach(p => try graft.StageDir.deleteRecursively(p) catch { case _: Exception => () })
-    finally old.close()
-    val base = Paths.get(scratchBase, s"${prefix}_${runId.incrementAndGet()}")
+    graft.StageDir.sweepRunScratch(Seq("graft_filesink_"))
+    val base = Paths.get(scratchBase, s"graft_filesink_${pid}_${runId.incrementAndGet()}")
     val outDir = base.resolve("out")
     val ckpt = base.resolve("ckpt")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -503,24 +497,12 @@ object EventStreams {
     * are real (parquet per version under scratch), not driver state.
     */
   def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
-    // Sweep THIS process's previous runs' scratch (snapshot versions +
-    // checkpoints). PID-scoped like the q83 file-sink sweep: runs are
-    // sequential within a process and prior results were materialized
-    // before returning, but a CONCURRENT session's live snapshots must
-    // not be touched.
+    // Sweep previous runs' scratch (snapshot versions + checkpoints):
+    // this process's earlier runs (sequential; results were materialized
+    // before returning) plus exited JVMs' leftovers. A CONCURRENT live
+    // session's dirs are never touched — see StageDir.sweepRunScratch.
     val pid = ProcessHandle.current().pid()
-    locally {
-      import scala.jdk.CollectionConverters._
-      val base = java.nio.file.Paths.get(scratchBase)
-      val listing = java.nio.file.Files.list(base)
-      try listing.iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith(s"graft_upsert_$pid") || n.startsWith(s"graft_ckpt_upsert_$pid")
-        }
-        .foreach(p => try graft.StageDir.deleteRecursively(p) catch { case _: Exception => () })
-      finally listing.close()
-    }
+    graft.StageDir.sweepRunScratch(Seq("graft_upsert_", "graft_ckpt_upsert_"))
     val stamp = s"${pid}_${java.util.UUID.randomUUID().toString.take(8)}"
     val snapBase = java.nio.file.Paths.get(scratchBase, s"graft_upsert_$stamp")
     // three staged files per microbatch → three batches over the 8-file

@@ -59,7 +59,7 @@ class MergeUpsertSpec extends AnyFunSuite {
       (3L, "I", 30L),  // g=30: new group, 0 -> 1
       (4L, "U", 10L))  // updates never change counts
       .toDF("k", "op", "g")
-    val out = MergeUpsert.maintainCounts(baseCounts, ch, "k", "g")
+    val out = MergeUpsert.maintainCounts(baseCounts, ch, "g")
       .orderBy("g").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(out == Seq((10L, 3L), (30L, 1L)))
   }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkEntry
 import graft.functions.Exact
+import scala.util.chaining._
 
 /** Dev tool: scale-up experiment. Builds a 10× lineitem (offset order keys,
   * multi-file parquet) under /tmp and times headline aggregations — the
@@ -28,26 +29,34 @@ object ScaleProbe {
       ten.repartition(32).write.mode("overwrite").parquet(out)
     }
     val li = spark.read.parquet(out)
-    def time(name: String)(f: => Long): Unit = {
-      f; val t0 = System.nanoTime(); val n = f
-      println(f"SCALE10 $name%-30s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+    // force FULL evaluation via the noop sink: a trailing .count() lets
+    // Catalyst column-prune the aggregate values (and for per-row exprs the
+    // whole computation) out of the timed plan — the noop write consumes
+    // every output column of every row. (The old one-row "consumption"
+    // aggregates are gone for the same reason: sum-of-hash even overflowed
+    // once it actually executed, proving those timings were vacuous.)
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    def time(name: String)(f: => Unit): Unit = {
+      f; val t0 = System.nanoTime(); f
+      println(f"SCALE10 $name%-30s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
-    time("count") { li.count() }
+    time("count") { li.count(); () }
     time("q1_agg_6m") {
       li.groupBy("l_returnflag", "l_linestatus")
         .agg(Exact.dsum(col("l_quantity")).as("sq"),
           Exact.dsum(col("l_extendedprice")).as("se"),
           count(lit(1)).as("c"))
-        .count()
+        .pipe(run)
     }
     time("rev_per_order_6m") {
       li.groupBy("l_orderkey")
         .agg(sum(Exact.revenueTerm(col("l_extendedprice"), col("l_discount"))).as("rev"))
-        .count()
+        .pipe(run)
     }
     time("topk_6m") {
       li.select("l_orderkey", "l_extendedprice")
-        .orderBy(col("l_extendedprice").desc).limit(10).count()
+        .orderBy(col("l_extendedprice").desc).limit(10).pipe(run)
     }
 
     // 10x documents (50k docs): the text-analysis family's scale-up — one
@@ -64,33 +73,28 @@ object ScaleProbe {
     time("text_stats_50k_docs") {
       val st = graft.expressions.TextStats.statsCol(spark)(col("text"))
       val mh = graft.expressions.TextStats.markerHitsCol(spark)(col("text"))
-      docs.select(st.as("st"), mh.as("mh"))
-        .agg(sum(element_at(col("st"), 3)).as("bpeish_total"),
-          sum(element_at(col("mh"), 1)).as("en_hits"))
-        .count()
+      docs.select(st.as("st"), mh.as("mh")).pipe(run)
     }
     time("minhash_bands_50k_docs") {
       docs.select(graft.expressions.TextSignatures
-          .minhashBandsCol(spark)(col("text"), 5).as("b"))
-        .agg(sum(element_at(col("b"), 1))).count()
+          .minhashBandsCol(spark)(col("text"), 5).as("b")).pipe(run)
     }
     // curation family at 50k docs: the shapes must stay one-shuffle-or-less
     // as the corpus grows (packing: by shard; contamination: broadcast
     // holdout; repetition: scan-only; gate: by stratum)
     time("pack_50k_docs") {
-      graft.operators.Curation.packSequences(docs, "doc_id", "text", 500L, 64).count()
+      graft.operators.Curation.packSequences(docs, "doc_id", "text", 500L, 64).pipe(run)
     }
     time("contamination_50k_docs") {
       graft.operators.Curation.contamination(
         docs.filter(col("doc_id") % 37 =!= 0), docs.filter(col("doc_id") % 37 === 0),
-        "doc_id", "text", 3).count()
+        "doc_id", "text", 3).pipe(run)
     }
     time("repetition_50k_docs") {
-      graft.operators.Curation.repetitionRatios(docs, "doc_id", "text")
-        .agg(sum("n_bigrams")).count()
+      graft.operators.Curation.repetitionRatios(docs, "doc_id", "text").pipe(run)
     }
     time("quality_gate_50k_docs") {
-      graft.operators.Curation.qualityGateTopHalf(docs, "doc_id", "text").count()
+      graft.operators.Curation.qualityGateTopHalf(docs, "doc_id", "text").pipe(run)
     }
 
     // 10x events (6M rows, 15k users via offset user ids): the round-5
@@ -110,19 +114,18 @@ object ScaleProbe {
     time("resample_6m_events") {
       graft.operators.Resample.gapFillResample(
         ev.filter(col("user_id") % 7 === 0), "user_id", "ts_us", "value",
-        "event_id", 3600000000L).count()
+        "event_id", 3600000000L).pipe(run)
     }
     time("retention_6m_events") {
-      graft.operators.Funnels.cohortRetention(ev, "user_id", "ts_us").count()
+      graft.operators.Funnels.cohortRetention(ev, "user_id", "ts_us").pipe(run)
     }
     time("funnel_6m_events") {
       graft.operators.Funnels.funnelStages(ev, "user_id", "ts_us", "event_type",
-        "event_id", Seq("view", "click", "purchase"), 86400000000L).count()
+        "event_id", Seq("view", "click", "purchase"), 86400000000L).pipe(run)
     }
     time("variant_6m_events") {
       ev.withColumn("_v", expr("parse_json(props)"))
-        .select(expr("variant_get(_v, '$.k', 'long')").as("k"))
-        .agg(sum("k")).count()
+        .select(expr("variant_get(_v, '$.k', 'long')").as("k")).pipe(run)
     }
     spark.stop()
   }
