@@ -63,18 +63,45 @@ object Bench {
       val ok = ts.filter(_ >= 0)
       name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // The stdout capture that ingests this line keeps only the tail of the
-    // stream, so a long per-query map can arrive truncated (round 4 lost
-    // q01-q09 that way). Persist the complete line to a file as the durable
-    // artifact; stdout stays the driver-facing channel.
+    // ex-q74 headline alongside the total: DuckDB's q74 oracle is a
+    // pathological sequential recursive-CTE walk (~37 s of its suite), so a
+    // suite-total comparison hides the per-query picture; both totals are
+    // first-class in the artifact.
+    val q74 = results.collectFirst { case (n, v) if n.startsWith("q74") && v > 0 => v }
+      .getOrElse(0.0)
+    val exQ74 = total - q74
+    // Committed same-window DuckDB pair (tools/bench_duckdb.py writes it):
+    // embedded so the round artifact alone carries the comparison.
+    def r3(d: Double) = math.rint(d * 1000) / 1000
+    val duckdb = {
+      val p = java.nio.file.Paths.get("DUCKDB_BASELINE.json")
+      if (!java.nio.file.Files.exists(p)) ""
+      else try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(p.toFile)
+        val qsn = node.get("queries")
+        import scala.jdk.CollectionConverters._
+        val vals = qsn.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+        val dt = vals.values.sum
+        val dq74 = vals.collectFirst { case (n, v) if n.startsWith("q74") => v }.getOrElse(0.0)
+        s""","duckdb_committed":{"total":${r3(dt)},"total_ex_q74":${r3(dt - dq74)}}"""
+      } catch { case _: Exception => "" }
+    }
+    // Two renderings of one measurement:
+    //  - stdout: COMPACT (short qNN keys, 3-decimal secs) — the driver's
+    //    capture keeps only a ~2k-char tail of the stream, and round 5's
+    //    full-precision line (~4.6k chars) arrived truncated/unparseable.
+    //    All qNN prefixes are unique, so nothing is lost but digits.
+    //  - bench_out.json: the complete full-name, full-precision artifact.
+    def line(keyOf: String => String, fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_ex_q74":${r3(exQ74)}$duckdb,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    println(line(_.takeWhile(_ != '_'), d => f"$d%.3f"))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (line(identity, _.toString) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.sources.odata.{HttpClient, ReplayClient, StatlineIngest}
+import graft.sources.odata.{HttpClient, ReplayClient, RetryingClient, StatlineIngest}
 
 /** CLI entry point (reference `statline-bq` command, cli.py:12-87).
   *
@@ -95,7 +95,7 @@ object IngestCli {
           m += (e.getKey -> java.nio.file.Files.readString(base.resolve(e.getValue.asText())))
         }
         ReplayClient(m.result())
-      case None => new HttpClient()
+      case None => RetryingClient(new HttpClient())
     }
 
     val ingest = new StatlineIngest(spark, client, source)

@@ -38,6 +38,33 @@ private[graft] object StageDir {
     else System.getProperty("java.io.tmpdir")
   }
 
+  /** Process-local registry of IN-FLIGHT run-scratch dirs. The pid guard in
+    * [[sweepRunScratch]] only protects OTHER live processes; two concurrent
+    * runs in the SAME JVM (sbt parallel suites both invoking a streaming
+    * query) share a pid, so run N+1's sweep would delete run N's in-flight
+    * checkpoint/output dirs. A dir acquired here is sweep-exempt until
+    * released; callers release in a `finally` once the run's results are
+    * published out of scratch.
+    */
+  private val liveRuns = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val runCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Allocates a fresh run-scratch dir name `<prefix><pid>_<n>` (the shape
+    * [[sweepRunScratch]] recognizes), registers it live, and returns its
+    * path under [[scratchBase]]. The dir itself is NOT created — streaming
+    * sinks insist on creating their own output/checkpoint dirs.
+    */
+  def acquireRunDir(prefix: String): Path = {
+    val name = s"$prefix${ProcessHandle.current().pid()}_${runCounter.incrementAndGet()}"
+    liveRuns.add(name)
+    Paths.get(scratchBase, name)
+  }
+
+  /** Marks a run-scratch dir as no longer in flight: the NEXT sweep of its
+    * prefix may reclaim it. Idempotent.
+    */
+  def releaseRunDir(dir: Path): Unit = liveRuns.remove(dir.getFileName.toString)
+
   /** The signature, embedded verbatim with filesystem-hostile chars mapped
     * to '-'. The mapping keeps ':'-separated size/mtime digits distinct, so
     * two different signatures can only collide if they differ exactly in
@@ -55,20 +82,32 @@ private[graft] object StageDir {
   def publish(baseName: String, sig: String)(writePayload: Path => Unit): Path = {
     val stage = Paths.get(scratchBase, s"$baseName.${sigToken(sig)}")
     if (!Files.exists(stage)) {
-      val tmp = Paths.get(s"$stage.tmp.${ProcessHandle.current().pid()}")
+      // Unique per ATTEMPT (pid + process-local counter), not just per pid:
+      // two threads of one process staging the same signature must not
+      // interleave writes into a shared temp dir, and a failed attempt's
+      // leftovers must not feed a later attempt's move-based payload
+      // (writeOne-style payloads fail on pre-existing batch files).
+      val tmp = Paths.get(
+        s"$stage.tmp.${ProcessHandle.current().pid()}_${runCounter.incrementAndGet()}")
       Files.createDirectories(tmp)
-      writePayload(tmp)
-      try Files.move(tmp, stage, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        // A racing writer published first — discard ours, read theirs. The
-        // typed subclasses are NOT enough: on Linux rename(2) onto an
-        // existing non-empty dir surfaces as the GENERIC FileSystemException
-        // ("Directory not empty"), which the old per-site catch lists missed
-        // (pinned by StageDirSpec's lost-race test). All the typed variants
-        // extend FileSystemException, so one guarded catch covers them —
-        // guarded on the target now existing, else the failure is real.
-        case e: java.nio.file.FileSystemException =>
-          if (Files.exists(stage)) deleteRecursively(tmp) else throw e
+      try {
+        writePayload(tmp)
+        try Files.move(tmp, stage, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // A racing writer published first — discard ours, read theirs. The
+          // typed subclasses are NOT enough: on Linux rename(2) onto an
+          // existing non-empty dir surfaces as the GENERIC FileSystemException
+          // ("Directory not empty"), which the old per-site catch lists missed
+          // (pinned by StageDirSpec's lost-race test). All the typed variants
+          // extend FileSystemException, so one guarded catch covers them —
+          // guarded on the target now existing, else the failure is real.
+          case e: java.nio.file.FileSystemException =>
+            if (Files.exists(stage)) deleteRecursively(tmp) else throw e
+        }
+      } catch {
+        // A failed attempt must not leave its temp payload accumulating in a
+        // RAM-backed tmpfs; the published dir (if any) is untouched.
+        case e: Throwable => deleteRecursively(tmp); throw e
       }
       dropSuperseded(baseName, stage)
     }
@@ -107,7 +146,9 @@ private[graft] object StageDir {
     * forever — any sibling whose embedded pid no longer has a live
     * process. A LIVE other process's dirs are never touched, and the pid
     * is matched up to its '_' delimiter (a bare prefix match would let pid
-    * 123 sweep pid 1234's live run).
+    * 123 sweep pid 1234's live run). Own-pid dirs registered via
+    * [[acquireRunDir]] and not yet released are IN FLIGHT in this process
+    * (a concurrent run on another thread) and are never touched.
     */
   def sweepRunScratch(prefixes: Seq[String]): Unit = {
     import scala.jdk.CollectionConverters._
@@ -118,7 +159,8 @@ private[graft] object StageDir {
         val pidTok = rest.takeWhile(_ != '_')
         pidTok.nonEmpty && pidTok.forall(_.isDigit) && {
           val pid = pidTok.toLong
-          pid == self || ProcessHandle.of(pid).isEmpty
+          (pid == self && !liveRuns.contains(name)) ||
+            (pid != self && ProcessHandle.of(pid).isEmpty)
         }
       }
     }

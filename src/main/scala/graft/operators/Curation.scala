@@ -115,9 +115,16 @@ object Curation {
   /** Portable 32-bit multiplicative hash of a long key (Knuth's 2654435761),
     * identical integer arithmetic in any engine — the reproducible-sampling
     * primitive. Returns a value in [0, 2^32).
+    *
+    * The key is masked to 31 bits BEFORE the multiply so the product stays
+    * under 2^63 (max 2^31·2654435761 ≈ 5.7e18): an unmasked key ≳ 3.5e9
+    * would silently wrap in Spark's Long arithmetic while a BIGINT engine
+    * (the DuckDB oracle) raises out-of-range — same-expression, different
+    * answers. Masked, the arithmetic is exact in both. Keys already in
+    * [0, 2^31) — every fixture id — hash identically to the unmasked form.
     */
   def portableHash(key: Column): Column =
-    pmod(key.cast(LongType) * lit(2654435761L), lit(4294967296L))
+    pmod(pmod(key.cast(LongType), lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
 
   /** Deterministic stratified sampling: strata from text length (short /
     * medium / long), each with its own per-mille keep rate; a row is kept
@@ -302,7 +309,7 @@ object Curation {
            SELECT doc_id,
                   CASE WHEN length(text) < 200 THEN 'short'
                        WHEN length(text) < 400 THEN 'medium' ELSE 'long' END AS stratum,
-                  (doc_id * 2654435761) % 4294967296 % 1000 AS h,
+                  ((doc_id % 2147483648) * 2654435761) % 4294967296 % 1000 AS h,
                   CASE WHEN length(text) < 200 THEN 100
                        WHEN length(text) < 400 THEN 250 ELSE 500 END AS rate
            FROM documents) x
@@ -314,7 +321,7 @@ object Curation {
            FROM (SELECT doc_id,
                         CASE WHEN length(text) < 200 THEN 'short'
                              WHEN length(text) < 400 THEN 'medium' ELSE 'long' END AS stratum,
-                        (doc_id * 2654435761) % 4294967296 AS h
+                        ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h
                  FROM documents) s) r
          WHERE rk <= 20 ORDER BY doc_id""",
     "q79_quality_gate" ->

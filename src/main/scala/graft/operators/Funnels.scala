@@ -69,12 +69,15 @@ object Funnels {
     * step-typed event (non-step events are dropped before the shuffle — they
     * cannot advance the walk, and carrying them through collect_list just to
     * emit stage-0 rows for step-less entities would inflate the exchange and
-    * the per-entity array bound for rows the caller can derive by anti-join
-    * if it wants them).
+    * the per-entity array bound). `includeStepless = true` folds those
+    * stage-0 rows back in via the anti-join the contract points to: distinct
+    * non-null entities with no step-typed event, at the cost of one extra
+    * distinct+anti-join over the log — the walk's exchange stays step-only.
     */
   def funnelStages(events: DataFrame, entityCol: String, tsUsCol: String,
                    typeCol: String, tiebreakCol: String,
-                   steps: Seq[String], windowUs: Long): DataFrame = {
+                   steps: Seq[String], windowUs: Long,
+                   includeStepless: Boolean = false): DataFrame = {
     val walk = steps.zipWithIndex.map { case (step, i) =>
       // step names land inside a SQL string literal — escape them (a step
       // like "o'clock_sale" must not break or alter the generated CASE)
@@ -82,7 +85,7 @@ object Funnels {
       val guard = if (i == 0) "" else s"AND x.ts > acc.ts AND x.ts <= acc.ts + ${windowUs}L "
       s"WHEN acc.stage = $i AND x.tp = '$lit' ${guard}THEN named_struct('stage', ${i + 1}, 'ts', x.ts)"
     }.mkString(" ")
-    events
+    val staged = events
       // non-step events can never advance the fold — drop them BEFORE the
       // shuffle: directly shrinks the one exchange and the per-entity
       // array bound this operator is limited by
@@ -95,6 +98,16 @@ object Funnels {
                    named_struct('stage', 0, 'ts', CAST(${Long.MinValue} AS BIGINT)),
                    (acc, x) -> CASE $walk ELSE acc END,
                    acc -> acc.stage)""").as("stage"))
+    if (!includeStepless) staged
+    else {
+      // Null entities carry no identity (mirrors cohortRetention); a null
+      // key would also never match the anti-join and leak a phantom row.
+      val stepless = events.filter(col(entityCol).isNotNull)
+        .select(col(entityCol)).distinct()
+        .join(staged.select(col(entityCol)), Seq(entityCol), "left_anti")
+        .withColumn("stage", lit(0))
+      staged.unionByName(stepless)
+    }
   }
 
   // ------------------------------------------------------- declared queries

@@ -132,7 +132,9 @@ object Similarity {
   /** K-means (Lloyd) centroid refinement, all DataFrame ops, deterministic
     * and engine-portable:
     *
-    *  - seed centroids = the `nlist` lowest-id corpus vectors;
+    *  - seed centroids = the `nlist` corpus vectors of lowest portable-hash
+    *    rank ([[Curation.portableHash]], key tiebreak) — distribution-free
+    *    over any id space, cent_id = rank;
     *  - each iteration assigns every vector to its nearest centroid by the
     *    6-decimal-rounded cosine (cent_id tiebreak), then recomputes per-cell
     *    element-wise means, ALSO rounded to 6 decimals;
@@ -206,9 +208,25 @@ object Similarity {
         .sortBy(_._1)
       spark.createDataset(rows.toIndexedSeq).toDF("cent_id", "cvec")
     }
-    var cent = pin(corpus.filter(col(keyCol) < nlist)
-      .select(col(keyCol).as("cent_id"),
-        col(vecCol).cast("array<double>").as("cvec")))
+    // Seeds = the nlist corpus vectors of LOWEST portable-hash rank
+    // (Knuth-multiplicative over the key, key tiebreak) — deterministic,
+    // engine-portable, and distribution-free: hashed/offset/sparse id
+    // spaces all yield exactly nlist seeds, where an absolute `key < nlist`
+    // threshold would yield none. orderBy+limit plans as a distributed
+    // top-k (TakeOrderedAndProject), not a global sort. cent_id = hash
+    // rank, assigned on the collected (bounded: nlist) seed rows.
+    var cent = {
+      val seedRows = corpus
+        .select(col(keyCol).cast("long").as("_k"),
+          col(vecCol).cast("array<double>").as("cvec"),
+          graft.operators.Curation.portableHash(col(keyCol)).as("_h"))
+        .orderBy(col("_h"), col("_k"))
+        .limit(nlist)
+        .collect() // bounded: nlist rows × dim doubles, in (_h, _k) order
+        .zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
+      spark.createDataset(seedRows.toIndexedSeq).toDF("cent_id", "cvec")
+    }
     (0 until iters).foreach { _ =>
       val w = Window.partitionBy("_vid").orderBy(col("_s").desc, col("cent_id"))
       val assigned = corpus.select(col(keyCol).as("_vid"), col(vecCol).as("_v"))
@@ -233,8 +251,8 @@ object Similarity {
   /** IVF-flat ANN: the corpus is partitioned into `nlist` cells by nearest
     * centroid; a query scores only vectors in its `nprobe` nearest cells.
     *
-    * Centroids come from [[kmeansCentroids]] (seeded on the lowest-id
-    * vectors, `kmeansIters` Lloyd refinements). The *query shape* is the
+    * Centroids come from [[kmeansCentroids]] (seeded on the lowest
+    * portable-hash-rank vectors, `kmeansIters` Lloyd refinements). The *query shape* is the
     * point: cell assignment is one broadcast-join + per-key argmax, the
     * probe is an equi-join on the dense `cent_id` key, and the corpus never
     * cross-joins the query set. All ranking happens on 6-decimal-rounded
@@ -319,13 +337,19 @@ object Similarity {
            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
            WHERE q.vec_id <= 5) t
          WHERE rnk <= 3 ORDER BY q_id, rnk""",
-    // mirrors kmeansCentroids: c0 = lowest-id seeds, two Lloyd iterations
-    // (assign on round-6 cosine with cent_id tiebreak → per-cell round-6
-    // means, empty cells keep the old centroid), then the IVF probe over the
-    // trained centroids. The 6-decimal rounding at every step is what makes
-    // the two engines' double math collapse to identical values.
+    // mirrors kmeansCentroids: c0 = the 16 lowest portable-hash-rank seeds
+    // (cent_id = rank, same masked Knuth arithmetic as Curation.portableHash
+    // — exact in BIGINT), two Lloyd iterations (assign on round-6 cosine
+    // with cent_id tiebreak → per-cell round-6 means, empty cells keep the
+    // old centroid), then the IVF probe over the trained centroids. The
+    // 6-decimal rounding at every step is what makes the two engines'
+    // double math collapse to identical values.
     "q55_similarity_ivf" ->
-      """WITH c0 AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings WHERE vec_id < 16),
+      """WITH c0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cent_id, cvec FROM (
+                       SELECT ROW_NUMBER() OVER (ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id) AS rn,
+                              CAST(embedding AS DOUBLE[]) AS cvec
+                       FROM embeddings) s
+                     WHERE rn <= 16),
               a1 AS (SELECT vec_id, cent_id FROM (
                        SELECT e.vec_id, c.cent_id,
                               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC, c.cent_id) AS rn

@@ -176,26 +176,36 @@ object ScaleLayouts {
     * in-memory catalog is session-scoped; the overwrite keeps stale
     * warehouse files from a previous JVM from leaking in).
     */
+  // Keyed on the session OBJECT (a WeakHashMap — identityHashCode collides
+  // after GC reuses addresses), and a dir is marked done only AFTER both
+  // bucketed writes succeed: marking up front would make every later q89
+  // call in the session skip re-creation and join against missing/partial
+  // tables if a write threw. The map-level lock also serializes concurrent
+  // first calls, so a second thread can't read half-written tables.
   private val bucketedFor =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]()
 
   private def ensureBucketed(s: SparkSession, dir: String): (String, String) = {
     val tag = Integer.toHexString(dir.hashCode)
     val (to, tc) = (s"graft_bkt_orders_x$tag", s"graft_bkt_customer_x$tag")
-    if (bucketedFor.add((System.identityHashCode(s), dir))) {
-      // A PREVIOUS JVM may have left the managed-table LOCATION under the
-      // shared warehouse dir while this JVM's in-memory catalog is empty —
-      // and creating a managed table over a non-empty existing location is
-      // refused. Drop any catalog entry AND clear the stale location first.
-      Seq(to, tc).foreach { tbl =>
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        val loc = s.sessionState.catalog.defaultTablePath(
-          org.apache.spark.sql.catalyst.TableIdentifier(tbl))
-        graft.StageDir.deleteRecursively(java.nio.file.Paths.get(loc))
+    bucketedFor.synchronized {
+      val done = bucketedFor.computeIfAbsent(s, _ => new java.util.HashSet[String]())
+      if (!done.contains(dir)) {
+        // A PREVIOUS JVM may have left the managed-table LOCATION under the
+        // shared warehouse dir while this JVM's in-memory catalog is empty —
+        // and creating a managed table over a non-empty existing location is
+        // refused. Drop any catalog entry AND clear the stale location first.
+        Seq(to, tc).foreach { tbl =>
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          val loc = s.sessionState.catalog.defaultTablePath(
+            org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+          graft.StageDir.deleteRecursively(java.nio.file.Paths.get(loc))
+        }
+        val t = graft.Tables(s, dir)
+        writeBucketed(t.orders.select("o_orderkey", "o_custkey", "o_totalprice"), to, "o_custkey", 8)
+        writeBucketed(t.customer.select("c_custkey", "c_mktsegment"), tc, "c_custkey", 8)
+        done.add(dir)
       }
-      val t = graft.Tables(s, dir)
-      writeBucketed(t.orders.select("o_orderkey", "o_custkey", "o_totalprice"), to, "o_custkey", 8)
-      writeBucketed(t.customer.select("c_custkey", "c_mktsegment"), tc, "c_custkey", 8)
     }
     (to, tc)
   }

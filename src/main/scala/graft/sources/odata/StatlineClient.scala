@@ -20,6 +20,40 @@ final case class ReplayClient(pages: Map[String, String]) extends StatlineClient
   override def get(url: String): Option[String] = pages.get(url)
 }
 
+/** Bounded-retry decorator over any [[StatlineClient]]: a THROWN fetch
+  * (429/5xx from [[HttpClient]], or a transport error) is retried up to
+  * `maxRetries` times with deterministic exponential backoff; a `None`
+  * (HTTP 404) is a VALUE — absent resource — and is never retried, because
+  * the version probe and empty-table skip depend on it being immediate.
+  *
+  * This is the one live-ingest behavior the reference's live CI exercises
+  * (its requests session retries throttled CBS calls) that a pure replay
+  * harness can't: composing it as a decorator keeps it fully testable
+  * offline — wrap a flaky [[ReplayClient]] and inject a no-op `sleep`
+  * (see `RetryingClientSpec`). Executors construct their own copies via
+  * serialization, so the per-instance attempt state needs no coordination.
+  */
+final case class RetryingClient(inner: StatlineClient, maxRetries: Int = 3,
+                                baseDelayMs: Long = 200)
+    extends StatlineClient {
+  /** Injection seam for specs — real sleeps would slow the suite. */
+  @transient private[odata] var sleep: Long => Unit = Thread.sleep
+
+  override def get(url: String): Option[String] = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      try return inner.get(url)
+      catch {
+        case _: Exception =>
+          val s = Option(sleep).getOrElse((ms: Long) => Thread.sleep(ms))
+          s(baseDelayMs << attempt)
+          attempt += 1
+      }
+    }
+    inner.get(url) // final attempt: a still-failing fetch surfaces its error
+  }
+}
+
 /** java.net.http-based client for live use (driver + executors). Kept tiny:
   * the engine's correctness never depends on it — everything is testable
   * through [[ReplayClient]].

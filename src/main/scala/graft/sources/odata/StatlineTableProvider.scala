@@ -91,7 +91,7 @@ private[odata] object StatlineScanContext {
         m += (e.getKey -> java.nio.file.Files.readString(base.resolve(e.getValue.asText())))
       }
       ReplayClient(m.result())
-    case None => new HttpClient()
+    case None => RetryingClient(new HttpClient())
   }
 
   def fromOptions(opts: Map[String, String]): StatlineScanContext = {

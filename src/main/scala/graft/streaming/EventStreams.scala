@@ -49,6 +49,20 @@ object EventStreams {
     */
   private[graft] def scratchBase: String = graft.StageDir.scratchBase
 
+  /** size:mtime signature of the events fixture — the identity key for
+    * results published through [[graft.StageDir]] (verbatim-signature
+    * discipline: a regenerated fixture gets a NEW published dir).
+    */
+  private def eventsSig(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "events.parquet")
+    s"${java.nio.file.Files.size(p)}:${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+  }
+
+  /** Scale-dir disambiguator for published-result base names, so sf0.001 and
+    * sf0.01 snapshots coexist instead of superseding each other.
+    */
+  private def dirTag(dir: String): String = Integer.toHexString(dir.hashCode)
+
   /** Streaming view of events with `ts_us` (BIGINT µs) + `ts_utc` timestamp. */
   def readEvents(spark: SparkSession, dir: String,
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
@@ -435,37 +449,53 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
       .select(unix_micros(col("window.start")).as("bucket_us"), col("event_type"), col("cnt"))
     // Fresh output + checkpoint per run: the sink manifest is the
-    // exactly-once ledger, so a REUSED dir would dedupe re-runs away.
-    // Sweep this process's previous runs + dead JVMs' leftovers first
-    // (live concurrent sessions untouched — StageDir.sweepRunScratch).
-    val pid = ProcessHandle.current().pid()
-    graft.StageDir.sweepRunScratch(Seq("graft_filesink_"))
-    val base = Paths.get(scratchBase, s"graft_filesink_${pid}_${runId.incrementAndGet()}")
+    // exactly-once ledger, so a REUSED dir would dedupe re-runs away. The
+    // run dir is registered live BEFORE the sweep (a concurrent same-process
+    // run must not reclaim it — StageDir.liveRuns) and released in the
+    // finally, at which point this run's scratch is the next run's sweep
+    // target; live other-process sessions are never touched.
+    val base = graft.StageDir.acquireRunDir("graft_filesink_")
     val outDir = base.resolve("out")
     val ckpt = base.resolve("ckpt")
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      spark.conf.getOption("spark.graft.stream.partitions").getOrElse("4"))
-    // append-mode event-time aggregation: windows closed by the LAST data
-    // batch's watermark only flush in the trailing no-data batch
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val sinkSchema = "bucket_us BIGINT, event_type STRING, cnt BIGINT"
     try {
-      val q = agg.writeStream
-        .format("parquet")
-        .option("path", outDir.toString)
-        .option("checkpointLocation", ckpt.toString)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      prevNoData.fold(spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled"))(
-        v => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v))
-    }
-    spark.read.schema("bucket_us BIGINT, event_type STRING, cnt BIGINT")
-      .parquet(outDir.toString)
+      graft.StageDir.sweepRunScratch(Seq("graft_filesink_"))
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        spark.conf.getOption("spark.graft.stream.partitions").getOrElse("4"))
+      // append-mode event-time aggregation: windows closed by the LAST data
+      // batch's watermark only flush in the trailing no-data batch
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      try {
+        val q = agg.writeStream
+          .format("parquet")
+          .option("path", outDir.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        prevNoData.fold(spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled"))(
+          v => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v))
+      }
+      // The returned frame must not lazily read this run's scratch (the next
+      // run sweeps it once released). The committed set — manifest-gated via
+      // the _spark_metadata read above the sink dir — is republished once per
+      // fixture signature through StageDir (atomic rename, signature-pinned
+      // dir name, never in the sweep namespace) and the caller gets a lazy
+      // read of the PUBLISHED copy: no driver materialization, stable across
+      // later runs. A re-run on the same fixture recomputes the stream but
+      // skips the (byte-identical, deterministic) republish.
+      val published = graft.StageDir.publish(
+        s"graft_filesink_snap_x${dirTag(dir)}", eventsSig(dir)) { tmp =>
+        spark.read.schema(sinkSchema).parquet(outDir.toString)
+          .write.mode("overwrite").parquet(tmp.toString)
+      }
+      spark.read.schema(sinkSchema).parquet(published.toString)
+    } finally graft.StageDir.releaseRunDir(base)
   }
 
   /** q99: stream-STATIC join — each microbatch of the event stream joins a
@@ -495,16 +525,22 @@ object EventStreams {
     * which is exactly what the oracle computes. This is the classic
     * stream-maintained dimension / CDC-apply loop, and the snapshot files
     * are real (parquet per version under scratch), not driver state.
+    *
+    * The FINAL version is republished through [[graft.StageDir]] (atomic,
+    * signature-pinned, outside the sweep namespace) and the caller gets a
+    * lazy read of the published snapshot: no driver materialization, no
+    * single-task write, and no later-run sweep hazard — intermediate
+    * versions stay in this run's scratch, which the next run reclaims only
+    * after [[graft.StageDir.releaseRunDir]].
     */
   def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
-    // Sweep previous runs' scratch (snapshot versions + checkpoints):
-    // this process's earlier runs (sequential; results were materialized
-    // before returning) plus exited JVMs' leftovers. A CONCURRENT live
-    // session's dirs are never touched — see StageDir.sweepRunScratch.
-    val pid = ProcessHandle.current().pid()
+    // One run dir holds every snapshot version + the checkpoint. Registered
+    // live BEFORE the sweep so a concurrent same-process run can't reclaim
+    // it; prior (released) runs and exited JVMs' leftovers are swept. A
+    // CONCURRENT live session's dirs are never touched.
+    val snapBase = graft.StageDir.acquireRunDir("graft_upsert_")
+    try {
     graft.StageDir.sweepRunScratch(Seq("graft_upsert_", "graft_ckpt_upsert_"))
-    val stamp = s"${pid}_${java.util.UUID.randomUUID().toString.take(8)}"
-    val snapBase = java.nio.file.Paths.get(scratchBase, s"graft_upsert_$stamp")
     // three staged files per microbatch → three batches over the 8-file
     // stage (3+3+2): the bootstrap delta plus TWO merge applications — the
     // merge path, not just the bootstrap, is what this query certifies, and
@@ -521,7 +557,7 @@ object EventStreams {
     spark.conf.set("spark.sql.shuffle.partitions",
       spark.conf.getOption("spark.graft.stream.partitions").getOrElse("4"))
     try {
-      val ckpt = java.nio.file.Paths.get(scratchBase, s"graft_ckpt_upsert_$stamp")
+      val ckpt = snapBase.resolve("ckpt")
       val q = src.writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
           val delta = batch.groupBy("user_id")
@@ -546,10 +582,10 @@ object EventStreams {
               graft.operators.MergeUpsert.merge(snap, ch, "user_id")
           }
           val out = snapBase.resolve(s"v$id").toString
-          // one file per version: the snapshot is one row per user, and a
-          // single write task beats 4 task launches + 4 tiny files (a real
-          // deployment sizes output partitions to snapshot volume)
-          merged.coalesce(1).write.mode("overwrite").parquet(out)
+          // intermediate version writes inherit AQE's volume-sized shuffle
+          // partitioning (tiny snapshot → one coalesced partition; at 100×
+          // users, proportionally more) — no driver-chosen file count
+          merged.write.mode("overwrite").parquet(out)
           current.set(out)
         }
         .option("checkpointLocation", ckpt.toString)
@@ -557,12 +593,24 @@ object EventStreams {
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    val snap = spark.read.parquet(Option(current.get()).getOrElse(
-      sys.error("stream upsert produced no snapshot")))
-    // materialize NOW: the returned frame must not lazily depend on scratch
-    // files a later run's sweep deletes; the snapshot is one row per user
-    val rows = java.util.Arrays.asList(snap.collect(): _*)
-    spark.createDataFrame(rows, snap.schema).presented("user_id")
+    val finalSnap = Option(current.get()).getOrElse(
+      sys.error("stream upsert produced no snapshot"))
+    // Publish the FINAL version via StageDir: atomic rename into a
+    // signature-pinned dir outside the sweep namespace, so the returned
+    // LAZY read survives every later run (same fixture → same published
+    // dir; regenerated fixture → new dir). No collect, no coalesce(1):
+    // output partitions are sized to snapshot volume from the parquet
+    // footer row count (metadata-only with aggregate pushdown).
+    val published = graft.StageDir.publish(
+      s"graft_upsert_snap_x${dirTag(dir)}", eventsSig(dir)) { tmp =>
+      val snap = spark.read.parquet(finalSnap)
+      val rpp = spark.conf.getOption("spark.graft.upsert.rowsPerPartition")
+        .map(_.toLong).getOrElse(4000000L)
+      val parts = math.max(1L, (snap.count() + rpp - 1) / rpp).toInt
+      snap.repartition(parts).write.mode("overwrite").parquet(tmp.toString)
+    }
+    spark.read.parquet(published.toString).presented("user_id")
+    } finally graft.StageDir.releaseRunDir(snapBase)
   }
 
   // ------------------------------------------------------- declared queries

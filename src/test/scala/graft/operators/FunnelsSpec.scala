@@ -41,4 +41,23 @@ class FunnelsSpec extends AnyFunSuite {
     val s = stages((1L, 10L, "click", 1L), (1L, 20L, "purchase", 2L))
     assert(s(1L) == 0)
   }
+
+  test("includeStepless folds step-less entities in at stage 0, nulls excluded") {
+    val s = spark
+    import s.implicits._
+    // A converts one step, B has ONLY non-step events, null has a step event
+    val ev = Seq(
+      (Some(1L), 10L, "view", 1L),
+      (Some(2L), 10L, "signup", 2L),
+      (Option.empty[Long], 10L, "view", 3L))
+      .toDF("user_id", "ts_us", "event_type", "event_id")
+    def run(flag: Boolean) =
+      Funnels.funnelStages(ev, "user_id", "ts_us", "event_type", "event_id",
+          Seq("view", "click", "purchase"), windowUs = 100L, includeStepless = flag)
+        .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getInt(1)).toMap
+    // default: only entities with >=1 step event (the walk's null group kept as before)
+    assert(run(false) == Map(1L -> 1, -1L -> 1))
+    // flag: B appears at stage 0; no phantom extra null row is added
+    assert(run(true) == Map(1L -> 1, 2L -> 0, -1L -> 1))
+  }
 }

@@ -54,6 +54,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top1.getAs[Double]("sim") == 1.0)
   }
 
+  test("IVF seeding is distribution-free: ids offset to 10^9 still seed and rank") {
+    val s = spark
+    import s.implicits._
+    // Before hash-rank seeding, `key < nlist` on this corpus selected ZERO
+    // seeds (no id below 16 exists) and ivfTopK silently degraded.
+    val base = 1000000000L
+    val corpus = (0 until 60).map(i =>
+      (base + i, Array.tabulate(64)(d => math.cos(i * 31 + d * 7).toFloat)))
+    val dup = Seq((base + 500, corpus(20)._2))
+    val corpusDf = (corpus ++ dup).toDF("vec_id", "embedding")
+    val queryDf = Seq((base + 20, corpus(20)._2)).toDF("vec_id", "embedding")
+    val top1 = Similarity.ivfTopK(queryDf, corpusDf, "vec_id", "embedding", k = 1)
+      .collect().head
+    assert(top1.getAs[Long]("n_id") == base + 500)
+    assert(top1.getAs[Double]("sim") == 1.0)
+    // with nprobe = nlist every cell is probed, so IVF must equal brute
+    // force EXACTLY — on this offset id space as on any other
+    val ivfAll = Similarity.ivfTopK(queryDf, corpusDf, "vec_id", "embedding",
+        k = 3, nlist = 4, nprobe = 4)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val brute = Similarity.bruteForceTopK(queryDf, corpusDf, "vec_id", "embedding", k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(ivfAll == brute)
+  }
+
   test("LSH derives the embedding dim: non-64-dim corpora bucket correctly") {
     val s = spark
     import s.implicits._

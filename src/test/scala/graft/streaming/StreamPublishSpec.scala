@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The publication contract for streaming results backed by on-disk files
+  * (q98 streamUpsert, q83 fileSinkCounts): the caller gets a LAZY read of a
+  * StageDir-published, signature-pinned directory — no driver collect, no
+  * single-task write — and the frame stays readable after later runs sweep
+  * the (released) run scratch it was computed in.
+  */
+class StreamPublishSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** A private copy of the events fixture: its dir tag + mtime signature key
+    * the published dirs, so this suite never shares published state with
+    * other suites or earlier JVMs.
+    */
+  private def freshFixture(): String = {
+    val d = Files.createTempDirectory("graft_pubspec_")
+    Files.copy(Paths.get(TestSpark.Sf0001, "events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("q98: lazy scan of the published snapshot — no LocalRelation, volume-sized files") {
+    val dir = freshFixture()
+    // 15 users (sf0.001) at 5 rows/partition → the published write must
+    // produce >=3 part files: partitions are sized to snapshot volume, not
+    // coalesce(1)
+    spark.conf.set("spark.graft.upsert.rowsPerPartition", "5")
+    try {
+      val df = EventStreams.streamUpsert(spark, dir)
+      val plan = df.queryExecution.optimizedPlan
+      assert(plan.collect { case l: LocalRelation => l }.isEmpty,
+        s"driver-materialized result leaked back in:\n$plan")
+      assert(planOf(df).contains("graft_upsert_snap_x"), planOf(df))
+      val tag = Integer.toHexString(dir.hashCode)
+      val pub = {
+        val ls = Files.list(Paths.get(graft.StageDir.scratchBase))
+        try {
+          import scala.jdk.CollectionConverters._
+          ls.iterator().asScala
+            .filter(_.getFileName.toString.startsWith(s"graft_upsert_snap_x$tag."))
+            .toList
+        } finally ls.close()
+      }
+      assert(pub.size == 1, s"expected exactly one published snapshot: $pub")
+      val partFiles = {
+        val ls = Files.list(pub.head)
+        try {
+          import scala.jdk.CollectionConverters._
+          ls.iterator().asScala.count(_.getFileName.toString.startsWith("part-"))
+        } finally ls.close()
+      }
+      assert(partFiles >= 3, s"expected a volume-sized multi-file write, got $partFiles")
+      // values: the order-independent upsert converges on the batch argmax
+      val exp = graft.Tables(spark, dir).eventsUs
+        .groupBy("user_id")
+        .agg(max_by(struct(col("value"), col("ts_us"), col("event_id")),
+          struct(col("ts_us"), col("event_id"))).as("_w"))
+        .select(col("user_id"), col("_w.value").as("value"),
+          col("_w.ts_us").as("ts_us"), col("_w.event_id").as("event_id"))
+        .orderBy("user_id").collect().toSeq
+      assert(df.collect().toSeq == exp)
+    } finally spark.conf.unset("spark.graft.upsert.rowsPerPartition")
+  }
+
+  test("q98/q83: earlier frames survive a later run's scratch sweep") {
+    val dir = freshFixture()
+    val up1 = EventStreams.streamUpsert(spark, dir)
+    val upRows = up1.collect().toSeq
+    val fs1 = EventStreams.fileSinkCounts(spark, dir)
+    assert(planOf(fs1).contains("graft_filesink_snap_x"), planOf(fs1))
+    val fsRows = fs1.collect().toSeq
+    // the second runs sweep the first runs' (released) scratch; the frames
+    // above read the published copies and must be unaffected
+    EventStreams.streamUpsert(spark, dir).collect()
+    EventStreams.fileSinkCounts(spark, dir).collect()
+    assert(up1.collect().toSeq == upRows)
+    assert(fs1.collect().toSeq == fsRows)
+  }
+}
