@@ -43,8 +43,10 @@ object Sketches {
 
   // ------------------------------------------------------- declared queries
 
-  /** Seed-deterministic but algorithm-specific counters → rows-only check;
-    * the over-count bound is pinned by `SketchesSpec`.
+  /** Seed-deterministic counters, value-certified against a committed
+    * ENGINE-SEEDED golden (tools/gen_sketch_goldens.py): CMS cells are
+    * additive, so estimates are partition-order-independent — a regression
+    * pin, declared as such. The over-count bound stays in `SketchesSpec`.
     */
   val queries: Map[String, Q] = Map(
     "q69_sketch_cms" -> ((s, dir) =>
@@ -52,5 +54,12 @@ object Sketches {
         .presented("l_suppkey")),
   )
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    // corpus checksums select the scale factor's rows from the one golden
+    "q69_sketch_cms" ->
+      """SELECT l_suppkey, est FROM read_parquet('/root/repo/goldens/q69_sketch_cms.parquet')
+         WHERE corpus_tag = (SELECT SUM(l_suppkey) FROM lineitem)
+           AND corpus_n = (SELECT COUNT(*) FROM lineitem)
+         ORDER BY l_suppkey""",
+  )
 }

@@ -373,7 +373,11 @@ object Relational {
   private def q14AggDistinct: Q = (s, dir) =>
     Tables(s, dir).orders.agg(countDistinct(col("o_custkey")).as("u"))
 
-  // B16: HLL++ approximate distinct — no oracle (asserted within 5% in specs).
+  // B16: HLL++ approximate distinct. Value-certified against a committed
+  // ENGINE-SEEDED golden (tools/gen_sketch_goldens.py): HLL registers merge
+  // by per-register max, so the estimate is a pure function of corpus+seed,
+  // not partitioning — a regression pin, declared as such (an independent
+  // recompute would be the same algorithm). Within-5% bound stays in specs.
   private def q15ApproxDistinct: Q = (s, dir) =>
     Tables(s, dir).orders.agg(approx_count_distinct("o_custkey").as("u_approx"))
 
@@ -751,6 +755,11 @@ object Relational {
       "SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS se, CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS ad, COUNT(*) AS c FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q14_agg_distinct" ->
       "SELECT COUNT(DISTINCT o_custkey) AS u FROM orders",
+    // committed engine-seeded golden; corpus checksums select the SF's row
+    "q15_approx_distinct" ->
+      """SELECT u_approx FROM read_parquet('/root/repo/goldens/q15_approx_distinct.parquet')
+         WHERE corpus_tag = (SELECT SUM(o_custkey) FROM orders)
+           AND corpus_n = (SELECT COUNT(*) FROM orders)""",
     "q16_rollup" ->
       "SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
     "q17_window_rank" ->

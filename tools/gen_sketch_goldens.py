@@ -35,9 +35,11 @@ def main():
         ["sbt", "-batch", "Test/runMain graft.tools.GenSketchGoldens"],
         cwd=REPO, capture_output=True, text=True, check=True)
     for line in out.stdout.splitlines():
-        if not line.startswith("GOLDEN "):
+        # sbt prefixes program stdout with "[info] "
+        idx = line.find("GOLDEN ")
+        if idx < 0:
             continue
-        _, name, payload = line.split(" ", 2)
+        _, name, payload = line[idx:].split(" ", 2)
         rows = json.loads(payload)
         schema = SCHEMAS[name]
         table = pa.Table.from_pylist(rows, schema=schema)
