@@ -1,0 +1,197 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+
+/** Dev tool: TWO-DECADE scale probe for the two operator families whose
+  * 100 TB story rests on linearity claims:
+  *
+  *  - dedup family, 5k → 50k → 500k documents (×1/×10/×100 of sf0.1):
+  *    minhash candidate pairs, and the full minhash → label-propagation
+  *    cluster chain;
+  *  - events family, 600k → 6M → 60M rows (×6/×60/×600 of sf0.1):
+  *    retention / funnel / gap-fill resample.
+  *
+  * Replicated doc copies are made DISJOINT by a per-copy SUBSTITUTION
+  * CIPHER (letters rotated by i mod 26, digits by i/26 mod 10): a bijective
+  * char map is bijective on the character-shingle space, so within-copy
+  * Jaccard — and the planted near-dup structure — is preserved EXACTLY,
+  * while cross-copy shingles share nothing. (A first attempt suffixed every
+  * token with the copy index; with character shingles that plants the same
+  * `_N ` fragments in every doc, estimated Jaccard rises corpus-wide, and
+  * LSH candidate generation explodes ~10× — measuring the salt, not the
+  * operator.) Duplicate-cluster size thus stays constant as the corpus
+  * grows, which is the regime the linearity claim is about.
+  *
+  * Protocol: every measurement is a COLD fresh plan, fully evaluated
+  * through the noop sink, one run per (op, scale) — uniform across scales,
+  * so ratios are comparable (a JVM-warming throwaway op runs first). Wall
+  * clock plus TOTAL and PEAK-STAGE shuffle-write bytes are logged from a
+  * stage listener: the scale-out cost model is "bytes through the
+  * exchange", not CPU seconds. alpha = ln(t_last/t_first)/ln(rows ratio),
+  * computed for wall AND shuffle — alpha ≈ 1 is linear growth.
+  *
+  * One family per invocation (arg: `dedup` | `events`; default both) so a
+  * leg fits a bounded runner; each leg writes `SCALE100_<family>.json` and
+  * the merged committed artifact `SCALE100.json` is rebuilt from all part
+  * files present.
+  */
+object Scale100Probe {
+  def main(args: Array[String]): Unit = {
+    val families = if (args.isEmpty) Seq("dedup", "events") else args.toSeq
+    val spark = SparkEntry.configure(
+      SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        // Pin the SHUFFLING regime at every scale: at small corpora the
+        // planner broadcasts the band/label sides and the small-scale points
+        // measure a zero-exchange plan — the 10×→100× jump then reads as a
+        // strategy crossover, not operator scaling. The 100 TB regime is the
+        // shuffling one, so the probe holds that plan shape constant.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val totalShuffle = new java.util.concurrent.atomic.AtomicLong(0)
+    val peakStage = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val w = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+        totalShuffle.addAndGet(w)
+        peakStage.getAndUpdate(p => math.max(p, w))
+      }
+    })
+
+    val base = "/tmp/graft_scale100"
+    def ensure(path: String)(build: => DataFrame): DataFrame = {
+      if (!new java.io.File(path).exists())
+        build.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    def rot(s: String, by: Int) = s.drop(by % s.length) + s.take(by % s.length)
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    val digits = "0123456789"
+    def cipheredDocs(mult: Int): DataFrame = {
+      val d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      (0 until mult).map { i =>
+        // 104 distinct bijections (26 rotations × reverse × case-swap): a
+        // rotation-only cipher repeats at i≥26 and plants ~4-member
+        // cross-copy twin classes, which showed up as a 2.3× superlinear
+        // candidate-pair jump in the 100× decade
+        val l0 = rot(lower, i % 26)
+        val u0 = rot(upper, i % 26)
+        val (l1, u1) = if ((i / 26) % 2 == 1) (l0.reverse, u0.reverse) else (l0, u0)
+        val (lTo, uTo) = if ((i / 52) % 2 == 1) (u1, l1) else (l1, u1)
+        val to = lTo + uTo + rot(digits, i % 10)
+        d.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+          .withColumn("text", translate(col("text"), lower + upper + digits, to))
+      }.reduce(_ unionAll _).repartition(32)
+    }
+    def multEvents(mult: Int): DataFrame =
+      spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        .select(col("*"), explode(sequence(lit(0L), lit(mult - 1L))).as("_i"))
+        .withColumn("user_id", col("user_id") + col("_i") * 10000000L)
+        .withColumn("event_id", col("event_id") + col("_i") * 1000000000L)
+        .drop("_i")
+        .repartition(math.max(32, mult / 4))
+
+    def run(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()
+
+    final case class M(family: String, op: String, mult: Int, rows: Long,
+                       wallS: Double, shuffleMb: Double, peakStageMb: Double)
+    val results = scala.collection.mutable.ArrayBuffer.empty[M]
+    def time(family: String, op: String, mult: Int, rows: Long)(f: => Unit): Unit = {
+      Thread.sleep(300) // let straggling stage events land before reset
+      totalShuffle.set(0); peakStage.set(0)
+      val t0 = System.nanoTime()
+      f
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      val m = M(family, op, mult, rows, wall,
+        totalShuffle.get() / 1e6, peakStage.get() / 1e6)
+      results += m
+      println(f"SCALE100 ${m.family}%-7s ${m.op}%-18s x${m.mult}%-4d rows=${m.rows}%-9d " +
+        f"wall=${m.wallS}%7.2f s shuffle=${m.shuffleMb}%9.1f MB peakStage=${m.peakStageMb}%9.1f MB")
+    }
+
+    // JVM warm-up (JIT, codegen, noop write path) — not measured
+    run(graft.operators.Funnels.cohortRetention(
+      spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        .withColumn("ts_us", expr("ts div 1000")), "user_id", "ts_us"))
+
+    if (families.contains("dedup")) for (mult <- Seq(1, 10, 100)) {
+      val docs = ensure(s"$base/docs_$mult")(cipheredDocs(mult))
+      val nDocs = docs.count()
+      time("dedup", "minhash_pairs", mult, nDocs) {
+        run(graft.operators.Dedup.minhashPairs(docs, "doc_id"))
+      }
+      time("dedup", "minhash_cluster", mult, nDocs) {
+        run(graft.operators.Dedup.duplicateClusters(
+          graft.operators.Dedup.minhashPairs(docs, "doc_id")))
+      }
+    }
+    if (families.contains("events")) for (mult <- Seq(6, 60, 600)) {
+      val ev = ensure(s"$base/events_$mult")(multEvents(mult))
+        .withColumn("ts_us", expr("ts div 1000"))
+      val nEv = ev.count()
+      time("events", "retention", mult, nEv) {
+        run(graft.operators.Funnels.cohortRetention(ev, "user_id", "ts_us"))
+      }
+      time("events", "funnel", mult, nEv) {
+        run(graft.operators.Funnels.funnelStages(ev, "user_id", "ts_us",
+          "event_type", "event_id", Seq("view", "click", "purchase"), 86400000000L))
+      }
+      time("events", "resample", mult, nEv) {
+        run(graft.operators.Resample.gapFillResample(
+          ev.filter(col("user_id") % 7 === 0), "user_id", "ts_us", "value",
+          "event_id", 3600000000L))
+      }
+    }
+
+    def j(d: Double) = f"$d%.3f"
+    def rowsJson(ms: Seq[M]) = ms.map(m =>
+      s"""{"family":"${m.family}","op":"${m.op}","mult":${m.mult},"rows":${m.rows},""" +
+        s""""wall_s":${j(m.wallS)},"shuffle_mb":${j(m.shuffleMb)},"peak_stage_mb":${j(m.peakStageMb)}}""")
+    def write(path: String, content: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (content + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    families.foreach { fam =>
+      val ms = results.filter(_.family == fam)
+      if (ms.nonEmpty) write(s"SCALE100_$fam.json", s"[${rowsJson(ms.toSeq).mkString(",")}]")
+    }
+    // merge every part present into the committed artifact + exponents
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val merged = Seq("dedup", "events").flatMap { fam =>
+      val p = java.nio.file.Paths.get(s"SCALE100_$fam.json")
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        mapper.readTree(p.toFile).elements().asScala.map { n =>
+          M(n.get("family").asText(), n.get("op").asText(), n.get("mult").asInt(),
+            n.get("rows").asLong(), n.get("wall_s").asDouble(),
+            n.get("shuffle_mb").asDouble(), n.get("peak_stage_mb").asDouble())
+        }.toSeq
+      }
+    }
+    val exponents = merged.map(_.op).distinct.map { op =>
+      val ms = merged.filter(_.op == op).sortBy(_.mult)
+      val (f, l) = (ms.head, ms.last)
+      val span = math.log(l.rows.toDouble / f.rows)
+      val aWall = math.log(l.wallS / f.wallS) / span
+      val aShuf = math.log(math.max(l.shuffleMb, 0.1) / math.max(f.shuffleMb, 0.1)) / span
+      s""""$op":{"wall":${j(aWall)},"shuffle":${j(aShuf)}}"""
+    }
+    val artifact =
+      s"""{"probe":"scale100","base_sf":"sf0.1","cores":32,"protocol":"cold fresh plan, noop sink, single run per point",""" +
+        s""""measurements":[${rowsJson(merged).mkString(",")}],""" +
+        s""""exponents":{${exponents.mkString(",")}}}"""
+    write("SCALE100.json", artifact)
+    println(artifact)
+    spark.stop()
+  }
+}
