@@ -15,8 +15,9 @@ import graft.TestSpark
   * single-task write — and the frame stays readable after later runs sweep
   * the (released) run scratch it was computed in.
   */
-class StreamPublishSpec extends AnyFunSuite {
+class StreamPublishSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   private lazy val spark = TestSpark.spark
+  private val fixtureTags = scala.collection.mutable.ArrayBuffer.empty[String]
 
   /** A private copy of the events fixture: its dir tag + mtime signature key
     * the published dirs, so this suite never shares published state with
@@ -26,7 +27,24 @@ class StreamPublishSpec extends AnyFunSuite {
     val d = Files.createTempDirectory("graft_pubspec_")
     Files.copy(Paths.get(TestSpark.Sf0001, "events.parquet"),
       d.resolve("events.parquet"))
+    fixtureTags += Integer.toHexString(d.toString.hashCode)
     d.toString
+  }
+
+  /** Random-tag fixtures would otherwise leave one orphaned published dir
+    * + staged layout in tmpfs per suite run (dropSuperseded only reclaims
+    * same-tag siblings).
+    */
+  override def afterAll(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val ls = Files.list(Paths.get(graft.StageDir.scratchBase))
+    try ls.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        fixtureTags.exists(t => n.contains(s"_x$t.") || n.contains(s"_$t."))
+      }
+      .foreach(p => try graft.StageDir.deleteRecursively(p) catch { case _: Exception => () })
+    finally ls.close()
   }
 
   private def planOf(df: DataFrame): String =
