@@ -92,4 +92,52 @@ class StageDirSpec extends AnyFunSuite {
       assert(leftovers.isEmpty, s"loser's tmp dirs must be discarded: $leftovers")
     } finally sweep(base)
   }
+
+  test("sweepRunScratch spares a live own-pid run dir; reclaims it after release") {
+    val prefix = s"${freshBase()}_"
+    try {
+      // stale own-pid dir from a previous (released) run
+      val stale = Paths.get(StageDir.scratchBase,
+        s"$prefix${ProcessHandle.current().pid()}_0")
+      Files.createDirectories(stale)
+      val live = StageDir.acquireRunDir(prefix)
+      Files.createDirectories(live)
+      StageDir.sweepRunScratch(Seq(prefix))
+      assert(!Files.exists(stale), "released/previous runs are reclaimed")
+      assert(Files.exists(live), "an in-flight (acquired, unreleased) run dir must survive the sweep")
+      StageDir.releaseRunDir(live)
+      StageDir.sweepRunScratch(Seq(prefix))
+      assert(!Files.exists(live), "after release the next sweep reclaims the dir")
+    } finally sweep(prefix.stripSuffix("_"))
+  }
+
+  test("a throwing payload leaves no tmp behind and the next attempt gets a fresh dir") {
+    val base = freshBase()
+    try {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+      intercept[RuntimeException](StageDir.publish(base, "7:7") { tmp =>
+        seen += tmp.getFileName.toString
+        Files.writeString(tmp.resolve("partial.bin"), "junk")
+        sys.error("payload write failed")
+      })
+      import scala.jdk.CollectionConverters._
+      def leftovers = {
+        val s = Files.list(Paths.get(StageDir.scratchBase))
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(fn => fn.startsWith(base) && fn.contains(".tmp.")).toList
+        finally s.close()
+      }
+      assert(leftovers.isEmpty, s"failed attempt's tmp must not accumulate in tmpfs: $leftovers")
+      // retry succeeds, in a DIFFERENT per-attempt tmp dir — a move-based
+      // payload must never find the failed attempt's files in its way
+      val out = StageDir.publish(base, "7:7") { tmp =>
+        seen += tmp.getFileName.toString
+        assert(!Files.exists(tmp.resolve("partial.bin")),
+          "retry must not see the failed attempt's partial payload")
+        Files.writeString(tmp.resolve("payload.txt"), "ok")
+      }
+      assert(seen.distinct.size == 2, s"tmp dirs must be unique per attempt: $seen")
+      assert(Files.readString(out.resolve("payload.txt")) == "ok")
+    } finally sweep(base)
+  }
 }
