@@ -159,9 +159,38 @@ object TextAnalysis {
       .select(col(keyCol), col("_top.token").as("top_token"), col("_top.score").as("score"))
   }
 
+  /** Corpus-wide language-model n-gram statistics: word-bigram counts with
+    * the top-`k` continuations per prefix word — the table behind n-gram LM
+    * scoring, contamination screens, and "most common next word"
+    * diagnostics over a training corpus.
+    *
+    * Scale shape: tokenization is hoisted to its own projection (the regex
+    * split runs once per doc, not once per bigram), the pair count is one
+    * hash-aggregate exchange on (w1, w2) with map-side partial combine, and
+    * the per-prefix cut is a rank window that Spark 4 rewrites to
+    * WindowGroupLimit — k-row heaps on BOTH sides of the w1 exchange, so a
+    * prefix with millions of distinct continuations never buffers them.
+    * Nothing in the plan holds per-document or per-prefix state beyond k.
+    */
+  def ngramLmTopK(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val toks = docs.filter(wsTokenCount(col(textCol)) >= 2)
+      .select(split(trim(col(textCol)), " +").as("_t"))
+    val pairs = toks.select(explode(expr(
+      "transform(sequence(0, size(_t) - 2), i -> struct(_t[i] AS w1, _t[i + 1] AS w2))")).as("_p"))
+      .select(col("_p.w1"), col("_p.w2"))
+    val counts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("w1").orderBy(col("cnt").desc, col("w2"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("w1"), col("rnk"), col("w2"), col("cnt"))
+  }
+
   // ------------------------------------------------------- declared queries
 
   val queries: Map[String, Q] = Map(
+    "q108_ngram_lm" -> ((s, dir) =>
+      ngramLmTopK(Tables(s, dir).documents, "text", k = 3)
+        .presented("w1", "rnk")),
     "q53_text_tfidf" -> ((s, dir) =>
       tfidfTopTerm(Tables(s, dir).documents, "doc_id", "text")
         .presented("doc_id")),
@@ -222,6 +251,21 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // same ' +' tokenization contract as q53/q75; DuckDB lists are
+    // 1-indexed so range(1, len) yields the (t[i], t[i+1]) bigrams; rn cast
+    // to INTEGER to match Spark's row_number type
+    "q108_ngram_lm" ->
+      """WITH toks AS (SELECT string_split_regex(trim(text), ' +') AS t FROM documents
+                       WHERE CASE WHEN length(trim(text)) = 0 THEN 0
+                                  ELSE len(string_split_regex(trim(text), ' +')) END >= 2),
+              bg AS (SELECT t[g.i] AS w1, t[g.i + 1] AS w2
+                     FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g),
+              c AS (SELECT w1, w2, COUNT(*) AS cnt FROM bg GROUP BY w1, w2)
+         SELECT w1, CAST(rnk AS INTEGER) AS rnk, w2, cnt FROM
+           (SELECT w1, w2, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2) AS rnk
+            FROM c) r
+         WHERE rnk <= 3 ORDER BY w1, rnk""",
     "q53_text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token FROM documents),
               tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),

@@ -13,6 +13,23 @@ import graft.TestSpark
 class EdgeCasesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("ngram LM top-k: counts, tie order, and the two-token floor") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      "a b c", "a b d", "a c",  // bigrams: (a,b)x2 (b,c) (b,d) (a,c)
+      "solo",                    // < 2 tokens: contributes nothing
+      "  ", "",                  // degenerate: filtered by the token floor
+    ).toDF("text")
+    val out = TextAnalysis.ngramLmTopK(docs, "text", k = 2)
+      .orderBy("w1", "rnk")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    // (a,b) outranks (a,c) by count; (b,c)/(b,d) tie on count → w2 order
+    assert(out == Seq(
+      ("a", 1, "b", 2L), ("a", 2, "c", 1L),
+      ("b", 1, "c", 1L), ("b", 2, "d", 1L)))
+  }
+
   test("dedup pipelines return no pairs on an empty corpus") {
     val s = spark
     import s.implicits._

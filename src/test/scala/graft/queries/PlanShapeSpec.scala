@@ -167,4 +167,15 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = initialPlan(df).toString
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("q108 per-prefix cut is a WindowGroupLimit over a partial-agg count") {
+    val df = plan("q108_ngram_lm")
+    // the LM-statistics shape: bigram counts partial-aggregate before their
+    // exchange (map-side combine on (w1,w2)), and the per-prefix top-k must
+    // keep the WindowGroupLimit rewrite — a hot prefix ("the") has a huge
+    // continuation set that must never buffer past k rows per task
+    val p = initialPlan(df).toString
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
 }
