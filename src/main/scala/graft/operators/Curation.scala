@@ -232,6 +232,33 @@ object Curation {
           .as("rep_char4"))
   }
 
+  /** Splits each document into fixed-size token windows with stride-based
+    * overlap — the standard chunking step feeding a training tokenizer or an
+    * embedding index (stride < chunk gives overlapping context windows).
+    * Emits `(key, chunk_id, chunk_text, n_tokens)`; every token lands in at
+    * least one chunk, the final chunk is the (possibly short) tail, and a
+    * document shorter than one chunk yields exactly itself.
+    *
+    * Scale shape: tokenize once per document, then a per-row generator
+    * (posexplode over the window starts) — no shuffle at all; chunk volume
+    * is rows × overlap factor and flows straight to the consumer.
+    */
+  def chunkDocuments(docs: DataFrame, keyCol: String, textCol: String,
+                     chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(strideTokens > 0 && strideTokens <= chunkTokens,
+      s"stride must be in (0, chunk]: $strideTokens vs $chunkTokens")
+    val (c, s) = (chunkTokens, strideTokens)
+    docs.filter(TextAnalysis.wsTokenCount(col(textCol)) >= 1)
+      .select(col(keyCol), split(trim(col(textCol)), " +").as("_t"))
+      .select(col(keyCol), posexplode(expr(
+        s"""transform(
+              sequence(0, greatest(CAST(ceil((size(_t) - $c) / CAST($s AS DOUBLE)) AS INT), 0)),
+              i -> array_join(slice(_t, i * $s + 1, $c), ' '))"""))
+        .as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_tokens",
+        size(split(col("chunk_text"), " +")).cast(org.apache.spark.sql.types.LongType))
+  }
+
   // ------------------------------------------------------- declared queries
 
   private val PackBudget = 500L
@@ -244,6 +271,12 @@ object Curation {
     "q74_pack_sequences" -> ((s, dir) =>
       packSequences(Tables(s, dir).documents, "doc_id", "text", PackBudget, PackShards)
         .presented("shard", "doc_id")),
+    // 32-token chunks, 16-token stride: the fixture's ~50-token docs yield
+    // 2-3 overlapping chunks each, exercising window starts, overlap, and
+    // the short tail
+    "q109_chunk_docs" -> ((s, dir) =>
+      chunkDocuments(Tables(s, dir).documents, "doc_id", "text", 32, 16)
+        .presented("doc_id", "chunk_id")),
     "q75_contamination" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       contamination(docs.filter(!holdoutPred), docs.filter(holdoutPred),
@@ -265,6 +298,19 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // same ' +' tokenization contract as q53/q75/q108; DuckDB list slices
+    // are 1-based inclusive and clamp at the end, mirroring Spark's
+    // slice(); chunk_id cast to INTEGER to match posexplode's position
+    "q109_chunk_docs" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+                       WHERE length(trim(text)) > 0),
+              g AS (SELECT doc_id, t,
+                           unnest(range(0, GREATEST(CAST(CEIL((len(t) - 32) / 16.0) AS BIGINT), 0) + 1)) AS i
+                    FROM toks)
+         SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+                array_to_string(t[i * 16 + 1 : i * 16 + 32], ' ') AS chunk_text,
+                LEAST(32, len(t) - i * 16) AS n_tokens
+         FROM g ORDER BY doc_id, chunk_id""",
     // greedy packing is inherently sequential per shard — the oracle walks
     // the same order with a recursive CTE
     "q74_pack_sequences" ->

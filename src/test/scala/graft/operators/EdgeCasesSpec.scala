@@ -30,6 +30,27 @@ class EdgeCasesSpec extends AnyFunSuite {
       ("b", 1, "c", 1L), ("b", 2, "d", 1L)))
   }
 
+  test("chunkDocuments: boundary sizes, overlap coverage, short tail") {
+    val s = spark
+    import s.implicits._
+    def toksOf(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, toksOf(4)),  // == chunk → exactly one chunk
+      (2L, toksOf(5)),  // chunk+1 → two chunks, strided overlap
+      (3L, "solo"),     // shorter than one chunk → itself
+      (4L, "  "),       // whitespace-only → filtered
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(docs, "doc_id", "text", chunkTokens = 4, strideTokens = 2)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, 0, "t1 t2 t3 t4", 4L),
+      (2L, 0, "t1 t2 t3 t4", 4L), (2L, 1, "t3 t4 t5", 3L),
+      (3L, 0, "solo", 1L)))
+    // every token of every kept doc appears in at least one chunk
+    assert(out.filter(_._1 == 2L).flatMap(_._3.split(" ")).toSet == (1 to 5).map(i => s"t$i").toSet)
+  }
+
   test("dedup pipelines return no pairs on an empty corpus") {
     val s = spark
     import s.implicits._
