@@ -172,17 +172,55 @@ object TextAnalysis {
     * prefix with millions of distinct continuations never buffers them.
     * Nothing in the plan holds per-document or per-prefix state beyond k.
     */
-  def ngramLmTopK(docs: DataFrame, textCol: String, k: Int): DataFrame = {
-    val toks = docs.filter(wsTokenCount(col(textCol)) >= 2)
+  /** Adjacent word pairs of every document with ≥2 tokens — the shared
+    * bigram universe of [[ngramLmTopK]] and [[pmiCollocations]].
+    */
+  private def wordBigrams(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(wsTokenCount(col(textCol)) >= 2)
       .select(split(trim(col(textCol)), " +").as("_t"))
-    val pairs = toks.select(explode(expr(
-      "transform(sequence(0, size(_t) - 2), i -> struct(_t[i] AS w1, _t[i + 1] AS w2))")).as("_p"))
+      .select(explode(expr(
+        "transform(sequence(0, size(_t) - 2), i -> struct(_t[i] AS w1, _t[i + 1] AS w2))")).as("_p"))
       .select(col("_p.w1"), col("_p.w2"))
-    val counts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+
+  def ngramLmTopK(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val counts = wordBigrams(docs, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("w1").orderBy(col("cnt").desc, col("w2"))
     counts.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("w1"), col("rnk"), col("w2"), col("cnt"))
+  }
+
+  /** Collocation mining by pointwise mutual information: the top-`k` word
+    * pairs by `ln(c12·N / (c1·c2))` (N = total bigram count) among pairs
+    * seen at least `minCount` times — the classic phrase-detection
+    * statistic over a training corpus.
+    *
+    * Scale shape: one bigram-count exchange (map-side combine), one
+    * unigram-count exchange over the SAME token stream, then two joins of
+    * bigram counts against the unigram table — vocabulary-sized, orders
+    * smaller than the corpus, so AQE broadcasts it at any realistic scale —
+    * and a global top-k (TakeOrderedAndProject, no full sort). Every count
+    * entering the PMI is an exact long; products stay under 2^53, so the
+    * double division and `ln` see identical rationals in any engine, and
+    * the 6-decimal round collapses libm ULP differences (the q53 tf-idf
+    * contract).
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String, k: Int,
+                      minCount: Long = 5L): DataFrame = {
+    val bg = wordBigrams(docs, textCol)
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = bg.select(col("w1").as("w")).unionAll(bg.select(col("w2").as("w")))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val n = bg.count() // one exact scalar: the bigram-universe size
+    c12.filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c1").as("_ca")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c1").as("_cb")), "w2")
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12").cast("double") * n) /
+          (col("_ca").cast("double") * col("_cb"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
   }
 
   // ------------------------------------------------------- declared queries
@@ -191,6 +229,10 @@ object TextAnalysis {
     "q108_ngram_lm" -> ((s, dir) =>
       ngramLmTopK(Tables(s, dir).documents, "text", k = 3)
         .presented("w1", "rnk")),
+    // global top-20 already carries its total order (pmi desc, w1, w2) from
+    // the TakeOrdered — no presentation re-sort needed
+    "q110_pmi_collocations" -> ((s, dir) =>
+      pmiCollocations(Tables(s, dir).documents, "text", k = 20)),
     "q53_text_tfidf" -> ((s, dir) =>
       tfidfTopTerm(Tables(s, dir).documents, "doc_id", "text")
         .presented("doc_id")),
@@ -266,6 +308,28 @@ object TextAnalysis {
                    ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2) AS rnk
             FROM c) r
          WHERE rnk <= 3 ORDER BY w1, rnk""",
+    // unigram marginals are the BIGRAM-ENDPOINT counts (each side of every
+    // adjacent pair), the same universe the engine declares; PMI arithmetic
+    // mirrors the engine expression shape exactly so both engines round the
+    // same double (see pmiCollocations scaladoc)
+    "q110_pmi_collocations" ->
+      """WITH toks AS (SELECT string_split_regex(trim(text), ' +') AS t FROM documents
+                       WHERE CASE WHEN length(trim(text)) = 0 THEN 0
+                                  ELSE len(string_split_regex(trim(text), ' +')) END >= 2),
+              bg AS (SELECT t[g.i] AS w1, t[g.i + 1] AS w2
+                     FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g),
+              c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+              uni AS (SELECT w, COUNT(*) AS c1 FROM
+                        (SELECT w1 AS w FROM bg UNION ALL SELECT w2 AS w FROM bg) u
+                      GROUP BY w),
+              n AS (SELECT COUNT(*) AS n FROM bg)
+         SELECT c.w1, c.w2, c.c12,
+                ROUND(LN((CAST(c.c12 AS DOUBLE) * (SELECT n FROM n)) /
+                         (CAST(a.c1 AS DOUBLE) * b.c1)), 6) AS pmi
+         FROM c12 c JOIN uni a ON a.w = c.w1 JOIN uni b ON b.w = c.w2
+         WHERE c.c12 >= 5
+         ORDER BY pmi DESC, c.w1, c.w2
+         LIMIT 20""",
     "q53_text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token FROM documents),
               tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),

@@ -30,6 +30,18 @@ class EdgeCasesSpec extends AnyFunSuite {
       ("b", 1, "c", 1L), ("b", 2, "d", 1L)))
   }
 
+  test("pmiCollocations: known-value PMI over bigram-endpoint marginals") {
+    val s = spark
+    import s.implicits._
+    // bigrams: (a,b)x3, (b,a)x2 → N=5; endpoint counts a=5, b=5
+    val docs = Seq("a b a b a b").toDF("text")
+    val out = TextAnalysis.pmiCollocations(docs, "text", k = 3, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq(
+      ("a", "b", 3L, math.rint(math.log(3.0 * 5 / 25) * 1e6) / 1e6),
+      ("b", "a", 2L, math.rint(math.log(2.0 * 5 / 25) * 1e6) / 1e6)))
+  }
+
   test("chunkDocuments: boundary sizes, overlap coverage, short tail") {
     val s = spark
     import s.implicits._
