@@ -196,28 +196,35 @@ object TextAnalysis {
     * seen at least `minCount` times — the classic phrase-detection
     * statistic over a training corpus.
     *
-    * Scale shape: one bigram-count exchange (map-side combine), one
-    * unigram-count exchange over the SAME token stream, then two joins of
-    * bigram counts against the unigram table — vocabulary-sized, orders
-    * smaller than the corpus, so AQE broadcasts it at any realistic scale —
-    * and a global top-k (TakeOrderedAndProject, no full sort). Every count
-    * entering the PMI is an exact long; products stay under 2^53, so the
-    * double division and `ln` see identical rationals in any engine, and
-    * the 6-decimal round collapses libm ULP differences (the q53 tf-idf
-    * contract).
+    * Scale shape: the corpus is tokenized and exchanged exactly ONCE — into
+    * the (w1, w2) bigram-count table (map-side combine). Unigram marginals
+    * fold from that table's endpoint sums and N from its total, both
+    * vocabulary-sized aggregations whose shared c12 subtree ReuseExchange
+    * dedups, and N rides along as a broadcast scalar so the whole operator
+    * is one job. The marginal joins are vocabulary-sized — orders smaller
+    * than the corpus, AQE broadcasts them at any realistic scale — and the
+    * global top-k is a TakeOrderedAndProject, no full sort. Every count
+    * entering the PMI is an exact long and both engines apply the same
+    * IEEE multiply/divide/ln sequence, so the 6-decimal round collapses
+    * libm ULP differences (the q53 tf-idf contract).
     */
   def pmiCollocations(docs: DataFrame, textCol: String, k: Int,
                       minCount: Long = 5L): DataFrame = {
-    val bg = wordBigrams(docs, textCol)
-    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val uni = bg.select(col("w1").as("w")).unionAll(bg.select(col("w2").as("w")))
-      .groupBy("w").agg(count(lit(1)).as("c1"))
-    val n = bg.count() // one exact scalar: the bigram-universe size
+    val c12 = wordBigrams(docs, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // c1(w) = endpoint count of w = sum of c12 over pairs containing w;
+    // N = sum of all c12 — identical values to direct counts over the
+    // bigram stream, without re-scanning the corpus for them
+    val uni = c12.select(col("w1").as("w"), col("c12").as("_c"))
+      .unionAll(c12.select(col("w2").as("w"), col("c12").as("_c")))
+      .groupBy("w").agg(sum("_c").as("c1"))
+    val nRow = broadcast(c12.agg(sum("c12").cast("double").as("_n")))
     c12.filter(col("c12") >= minCount)
       .join(uni.select(col("w").as("w1"), col("c1").as("_ca")), "w1")
       .join(uni.select(col("w").as("w2"), col("c1").as("_cb")), "w2")
+      .crossJoin(nRow)
       .select(col("w1"), col("w2"), col("c12"),
-        round(log((col("c12").cast("double") * n) /
+        round(log((col("c12").cast("double") * col("_n")) /
           (col("_ca").cast("double") * col("_cb"))), 6).as("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)
