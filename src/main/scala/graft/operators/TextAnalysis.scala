@@ -230,9 +230,56 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BM25 document scoring for a fixed query-term set — the retrieval
+    * scoring function behind hard-negative mining and corpus search. Only
+    * documents containing at least one query term are scored (every other
+    * score is 0 by definition); ties break on the key.
+    *
+    * Scores are emitted and AGGREGATED in exact integer micro-units
+    * (`score_micro` = per-term contribution rounded to 1e-6 and summed as
+    * BIGINT): a double sum's value depends on partition merge order in the
+    * last ULPs, but rounding each bounded per-term contribution first makes
+    * the aggregation order-independent and engine-exact — the integer
+    * analog of the `Exact` decimal-sum rule, extended to derived floats.
+    *
+    * Scale shape: one corpus pass builds (doc, term, tf, dl); corpus-level
+    * N/Σdl ride along as a broadcast scalar row and per-term document
+    * frequencies as a broadcast |terms|-row table, so the whole operator is
+    * one job with a single doc-keyed exchange and a TakeOrdered top-k.
+    */
+  def bm25TopK(docs: DataFrame, keyCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(keyCol),
+      split(trim(col(textCol)), " +").as("_t"), wsTokenCount(col(textCol)).as("dl"))
+    val stats = broadcast(toks.agg(count(lit(1)).as("_n"), sum("dl").as("_sdl")))
+    val tf = toks.select(col(keyCol), col("dl"), explode(col("_t")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col(keyCol), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = broadcast(tf.groupBy("tok").agg(count(lit(1)).as("df")))
+    // expression SHAPES are mirrored verbatim in the oracle: same literals,
+    // same association, so every IEEE step rounds identically
+    val idf = log((col("_n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val avgdl = col("_sdl").cast("double") / col("_n")
+    val tfn = (col("tf").cast("double") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    tf.join(df, "tok")
+      .crossJoin(stats)
+      .select(col(keyCol),
+        round(idf * tfn * lit(1000000.0)).cast(org.apache.spark.sql.types.LongType).as("_c"))
+      .groupBy(keyCol)
+      .agg(sum("_c").as("score_micro"))
+      .orderBy(col("score_micro").desc, col(keyCol))
+      .limit(k)
+  }
+
   // ------------------------------------------------------- declared queries
 
   val queries: Map[String, Q] = Map(
+    "q111_bm25" -> ((s, dir) =>
+      bm25TopK(Tables(s, dir).documents, "doc_id", "text",
+        Seq("table", "hash", "spark", "window"), k = 20)),
     "q108_ngram_lm" -> ((s, dir) =>
       ngramLmTopK(Tables(s, dir).documents, "text", k = 3)
         .presented("w1", "rnk")),
@@ -315,6 +362,34 @@ object TextAnalysis {
                    ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2) AS rnk
             FROM c) r
          WHERE rnk <= 3 ORDER BY w1, rnk""",
+    // score_micro is an exact BIGINT (per-term contribution rounded to
+    // micro-units before the sum — see bm25TopK scaladoc), so the compare
+    // has no float column at all; the double expression SHAPE inside the
+    // rounding mirrors the engine's literally (0.5/1.0/2.2/1.2/0.75, same
+    // association)
+    "q111_bm25" ->
+      """WITH t AS (SELECT doc_id,
+                           CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) END AS dl,
+                           string_split_regex(trim(text), ' +') AS toks
+                    FROM documents),
+              s AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM t),
+              tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf
+                     FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM t) x
+                     WHERE tok IN ('table', 'hash', 'spark', 'window')
+                     GROUP BY doc_id, dl, tok),
+              df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+              c AS (SELECT tf.doc_id,
+                           CAST(ROUND(
+                             LN((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+                             ((CAST(tf.tf AS DOUBLE) * 2.2) /
+                              (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(tf.dl AS DOUBLE) / (CAST(s.sdl AS DOUBLE) / s.n))))) *
+                             1000000.0) AS BIGINT) AS c
+                    FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN s)
+         SELECT doc_id, SUM(c) AS score_micro
+         FROM c GROUP BY doc_id
+         ORDER BY score_micro DESC, doc_id
+         LIMIT 20""",
     // unigram marginals are the BIGRAM-ENDPOINT counts (each side of every
     // adjacent pair), the same universe the engine declares; PMI arithmetic
     // mirrors the engine expression shape exactly so both engines round the

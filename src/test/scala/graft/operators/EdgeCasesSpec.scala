@@ -30,6 +30,22 @@ class EdgeCasesSpec extends AnyFunSuite {
       ("b", 1, "c", 1L), ("b", 2, "d", 1L)))
   }
 
+  test("bm25TopK: known-value scores in exact micro-units; term-less docs absent") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "x x y"), (2L, "y z"), (3L, "z z z z")).toDF("doc_id", "text")
+    // N=3, sum dl=9, avgdl=3; df(x)=1, df(y)=2 — mirrored op-for-op below
+    def idf(df: Long) = math.log((3 - df + 0.5) / (df + 0.5) + 1.0)
+    def tfn(tf: Long, dl: Long) =
+      (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (9.0 / 3))))
+    def c(df: Long, tf: Long, dl: Long) = math.rint(idf(df) * tfn(tf, dl) * 1000000.0).toLong
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("x", "y"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      1L -> (c(1, 2, 3) + c(2, 1, 3)), // x twice + y once, dl=3
+      2L -> c(2, 1, 2)))               // y once, dl=2; doc 3 has no term
+  }
+
   test("pmiCollocations: known-value PMI over bigram-endpoint marginals") {
     val s = spark
     import s.implicits._
