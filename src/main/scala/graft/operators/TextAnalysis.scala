@@ -180,6 +180,14 @@ object TextAnalysis {
       .select(split(trim(col(textCol)), " +").as("_t"))
       .select(explode(expr(
         "transform(sequence(0, size(_t) - 2), i -> struct(_t[i] AS w1, _t[i + 1] AS w2))")).as("_p"))
+      // split() elements are never null, so this filter drops nothing — but
+      // stating it EXPLICITLY matters downstream: pmiCollocations' joins
+      // infer isnotnull(w1) into one consumer of the bigram-count subtree
+      // and isnotnull(w2) into another, and the now-DIFFERENT filters make
+      // the (w1,w2) exchanges non-identical, defeating ReuseExchange — the
+      // corpus would be tokenized once per consumer (plan-pinned in
+      // PlanShapeSpec).
+      .filter(col("_p.w1").isNotNull && col("_p.w2").isNotNull)
       .select(col("_p.w1"), col("_p.w2"))
 
   def ngramLmTopK(docs: DataFrame, textCol: String, k: Int): DataFrame = {

@@ -168,6 +168,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q110 tokenizes the corpus once: bigram-count stages reuse at runtime, top-k is TakeOrdered") {
+    val df = plan("q110_pmi_collocations")
+    // the global top-k must be a TakeOrdered, never a full sort
+    assert(initialPlan(df).toString.contains("TakeOrderedAndProject"), initialPlan(df).toString)
+    // Under AQE, exchange dedup happens when stages MATERIALIZE, so the
+    // evidence is in the post-execution adaptive plan. The marginal/N
+    // branches must reuse the one corpus-tokenizing c12 exchange: with the
+    // explicit isnotnull in wordBigrams the instances canonicalize
+    // identically and 4 reuse; without it, join-inferred ONE-SIDED null
+    // filters make them distinct and only 1 reuses (measured) — the corpus
+    // would be tokenized once per consumer.
+    df.collect()
+    val reused = "ReusedExchange".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(reused >= 3, s"expected >=3 reused c12 exchanges, got $reused:\n" +
+      df.queryExecution.executedPlan)
+  }
+
+  test("q111 broadcasts df + corpus stats and keeps one doc-keyed exchange + TakeOrdered") {
+    val df = plan("q111_bm25")
+    val p = initialPlan(df)
+    // the |terms|-row df table and the 1-row stats both broadcast — the
+    // corpus side never reshuffles for them
+    val bcasts = collectAll(p) { case b: BroadcastExchangeLike => b }
+    assert(bcasts.size >= 2, p.toString)
+    assert(p.toString.contains("TakeOrderedAndProject"), p.toString)
+  }
+
   test("q108 per-prefix cut is a WindowGroupLimit over a partial-agg count") {
     val df = plan("q108_ngram_lm")
     // the LM-statistics shape: bigram counts partial-aggregate before their
