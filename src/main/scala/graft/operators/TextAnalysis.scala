@@ -282,9 +282,49 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Token-distribution drift between two corpus slices: the top-`k`
+    * tokens by Laplace-smoothed KL-divergence contribution
+    * `pA·ln(pA/pB)` — the monitoring primitive behind "did this week's
+    * crawl shift vocabulary?" and train/eval distribution checks. Positive
+    * contributions are tokens over-represented in slice A.
+    *
+    * Contributions are emitted in exact NANO-nat integers (rounded to 1e-9
+    * before any aggregation-order-sensitive use — same order-independence
+    * construction as [[bm25TopK]]'s micro-units), so the cross-engine
+    * compare is float-free.
+    *
+    * Scale shape: ONE token exchange builds per-token counts for both
+    * slices simultaneously (conditional sums, map-side combine); slice
+    * totals and vocabulary size fold from that vocabulary-sized table and
+    * ride along as a broadcast scalar row (the counted-table fold +
+    * ReuseExchange discipline of [[pmiCollocations]]); the top-k is a
+    * TakeOrdered.
+    */
+  def klDriftTopK(docs: DataFrame, textCol: String, sliceA: Column,
+                  k: Int): DataFrame = {
+    val toksOf = docs.filter(wsTokenCount(col(textCol)) >= 1)
+      .select(sliceA.cast("int").as("_a"), explode(split(trim(col(textCol)), " +")).as("token"))
+      .filter(col("token").isNotNull) // vacuously true; keeps every instance
+      .groupBy("token")               // of this exchange canonically equal
+      .agg(sum(col("_a")).as("c_a"), sum(lit(1) - col("_a")).as("c_b"))
+    val stats = broadcast(toksOf.agg(
+      sum("c_a").as("_na"), sum("c_b").as("_nb"), count(lit(1)).as("_v")))
+    val pA = (col("c_a") + lit(1.0)) / (col("_na") + col("_v"))
+    val pB = (col("c_b") + lit(1.0)) / (col("_nb") + col("_v"))
+    toksOf.crossJoin(stats)
+      .select(col("token"), col("c_a"), col("c_b"),
+        round(pA * log(pA / pB) * lit(1000000000.0))
+          .cast(org.apache.spark.sql.types.LongType).as("kl_nano"))
+      .orderBy(col("kl_nano").desc, col("token"))
+      .limit(k)
+  }
+
   // ------------------------------------------------------- declared queries
 
   val queries: Map[String, Q] = Map(
+    "q112_kl_drift" -> ((s, dir) =>
+      klDriftTopK(Tables(s, dir).documents, "text",
+        sliceA = col("doc_id") % 2 === 0, k = 20)),
     "q111_bm25" -> ((s, dir) =>
       bm25TopK(Tables(s, dir).documents, "doc_id", "text",
         Seq("table", "hash", "spark", "window"), k = 20)),
@@ -370,6 +410,29 @@ object TextAnalysis {
                    ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2) AS rnk
             FROM c) r
          WHERE rnk <= 3 ORDER BY w1, rnk""",
+    // kl_nano is an exact BIGINT (contribution rounded to nano-nats — see
+    // klDriftTopK); SUMs cast to BIGINT because DuckDB's SUM(INTEGER)
+    // returns HUGEINT; the smoothed-probability expression mirrors the
+    // engine op-for-op
+    "q112_kl_drift" ->
+      """WITH tok AS (SELECT CAST(doc_id % 2 = 0 AS INTEGER) AS a,
+                             unnest(string_split_regex(trim(text), ' +')) AS token
+                      FROM documents
+                      WHERE CASE WHEN length(trim(text)) = 0 THEN 0
+                                 ELSE len(string_split_regex(trim(text), ' +')) END >= 1),
+              c AS (SELECT token, CAST(SUM(a) AS BIGINT) AS c_a,
+                           CAST(SUM(1 - a) AS BIGINT) AS c_b
+                    FROM tok GROUP BY token),
+              s AS (SELECT CAST(SUM(c_a) AS BIGINT) AS na,
+                           CAST(SUM(c_b) AS BIGINT) AS nb, COUNT(*) AS v FROM c)
+         SELECT token, c_a, c_b,
+                CAST(ROUND(
+                  ((c_a + 1.0) / (s.na + s.v)) *
+                  LN(((c_a + 1.0) / (s.na + s.v)) / ((c_b + 1.0) / (s.nb + s.v))) *
+                  1000000000.0) AS BIGINT) AS kl_nano
+         FROM c CROSS JOIN s
+         ORDER BY kl_nano DESC, token
+         LIMIT 20""",
     // score_micro is an exact BIGINT (per-term contribution rounded to
     // micro-units before the sum — see bm25TopK scaladoc), so the compare
     // has no float column at all; the double expression SHAPE inside the

@@ -30,6 +30,26 @@ class EdgeCasesSpec extends AnyFunSuite {
       ("b", 1, "c", 1L), ("b", 2, "d", 1L)))
   }
 
+  test("klDriftTopK: known-value smoothed contributions in exact nano-nats") {
+    val s = spark
+    import s.implicits._
+    // slice A (doc 0): "x x y"; slice B (doc 1): "x z"
+    // NA=3, NB=2, V=3; pA=(c+1)/(NA+V), pB=(c+1)/(NB+V)
+    val docs = Seq((0L, "x x y"), (1L, "x z")).toDF("doc_id", "text")
+    def nano(ca: Long, cb: Long) = {
+      val (pa, pb) = ((ca + 1.0) / 6, (cb + 1.0) / 5)
+      math.rint(pa * math.log(pa / pb) * 1e9).toLong
+    }
+    val out = TextAnalysis.klDriftTopK(docs, "text", col("doc_id") % 2 === 0, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // y over-represented in A, z under-represented (negative), x mildly over
+    assert(out == Seq(
+      ("y", 1L, 0L, nano(1, 0)),
+      ("x", 2L, 1L, nano(2, 1)),
+      ("z", 0L, 1L, nano(0, 1))))
+    assert(out(0)._4 > out(1)._4 && out(2)._4 < 0)
+  }
+
   test("bm25TopK: known-value scores in exact micro-units; term-less docs absent") {
     val s = spark
     import s.implicits._
