@@ -457,7 +457,7 @@ object TextAnalysis {
                               (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(tf.dl AS DOUBLE) / (CAST(s.sdl AS DOUBLE) / s.n))))) *
                              1000000.0) AS BIGINT) AS c
                     FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN s)
-         SELECT doc_id, SUM(c) AS score_micro
+         SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
          FROM c GROUP BY doc_id
          ORDER BY score_micro DESC, doc_id
          LIMIT 20""",

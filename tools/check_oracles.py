@@ -6,6 +6,14 @@ For each query with an oracle: run the SQL in DuckDB over the sf parquet
 tables, load the Spark result parquet, align columns by sorted name, compare
 row-by-row with exact equality (floats: bitwise via repr, plus a 1e-9 relative
 fallback report so near-misses are diagnosable).
+
+TYPE-SENSITIVE like the driver: the DuckDB side is fetched THROUGH ARROW
+(`.arrow().to_pylist()`), not `fetchall()`. DuckDB SUM(BIGINT) returns
+HUGEINT, which Arrow surfaces as decimal128 -> Python Decimal('n'); a
+type-blind fetchall() coerces it to int and silently green-lights an oracle
+the driver's Arrow-typed hash will fail (this exact divergence shipped the
+round-6 q111 red row). repr()-canonicalization preserves the Decimal-vs-int
+distinction, so any uncast integer aggregate now fails locally too.
 """
 import json
 import math
@@ -37,10 +45,11 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
-            want = con.sql(sql)
-            want_names = sorted(want.columns)
-            want_rows = [tuple(r[want.columns.index(c)] for c in want_names)
-                         for r in want.fetchall()]
+            want_t = con.sql(sql).arrow()
+            want_names = sorted(want_t.column_names)
+            wcols = {c: want_t.column(c).to_pylist() for c in want_t.column_names}
+            want_rows = (list(zip(*[wcols[c] for c in want_names]))
+                         if want_t.num_rows else [])
         except Exception as e:
             print(f"ORACLE-ERR {name}: {str(e)[:200]}")
             n_fail += 1
