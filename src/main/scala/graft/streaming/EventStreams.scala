@@ -63,6 +63,32 @@ object EventStreams {
     */
   private def dirTag(dir: String): String = Integer.toHexString(dir.hashCode)
 
+  /** Order-independent content signature of a freshly computed result:
+    * `<row-count>.<exact decimal sum of per-row xxhash64 over all columns>`.
+    *
+    * Folded into the [[graft.StageDir.publish]] signature alongside the
+    * fixture signature so the published copy's IDENTITY includes what the
+    * engine just computed. This closes the stale-publish certification hole:
+    * with a fixture-only signature, a logic change on an unchanged fixture
+    * would find the pre-change published dir live and serve the STALE result
+    * to Verify — a regression could silently pass the oracle compare. With
+    * the content hash folded in, any change to the fresh output lands in a
+    * NEW signature dir (the superseded copy is dropped after the new one is
+    * live), so the certified bytes are always this run's computation.
+    *
+    * Distributed one-pass job over the (result-sized, not corpus-sized)
+    * fresh output; only the two scalar aggregates reach the driver. Exact
+    * decimal sum, not long sum (ANSI mode throws on overflow) and not
+    * bit_xor (even-multiplicity duplicate rows would cancel).
+    */
+  private[graft] def contentSig(fresh: DataFrame): String = {
+    val row = fresh.agg(
+      count(lit(1)).as("n"),
+      sum(xxhash64(fresh.columns.map(col): _*)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("h")).head()
+    s"${row.getLong(0)}.${Option(row.get(1)).getOrElse(0L)}"
+  }
+
   /** Streaming view of events with `ts_us` (BIGINT µs) + `ts_utc` timestamp. */
   def readEvents(spark: SparkSession, dir: String,
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
@@ -182,15 +208,20 @@ object EventStreams {
     spark.table(name)
   }
 
-  /** B31: tumbling 1-hour window counts by event type. */
-  def tumblingCounts(spark: SparkSession, dir: String): DataFrame = {
-    val agg = readEvents(spark, dir)
+  /** The q60 plan pre-sink — shared by the certified query (memory-sink
+    * replay) and the streaming scale probe (noop sink at 600×), so the
+    * probe measures the PRODUCTION plan, not a lookalike.
+    */
+  private[graft] def tumblingFrame(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
       .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .select(unix_micros(col("window.start")).as("bucket_us"), col("event_type"), col("cnt"))
-    runToMemory(spark, agg, "complete")
+
+  /** B31: tumbling 1-hour window counts by event type. */
+  def tumblingCounts(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, tumblingFrame(spark, dir), "complete")
       .presented("bucket_us", "event_type")
-  }
 
   /** B33: session windows (30-minute gap) per user → sessions per user. */
   def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
@@ -381,18 +412,22 @@ object EventStreams {
     * the complete relation and the batch join over the same table is the
     * exact oracle.
     */
-  def attributionPairs(spark: SparkSession, dir: String): DataFrame = {
+  def attributionPairs(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, attributionPairsFrame(spark, dir), "append")
+      .presented("imp_id", "click_id")
+
+  /** The q73 plan pre-sink (see [[tumblingFrame]] for why it is split out). */
+  private[graft] def attributionPairsFrame(spark: SparkSession, dir: String): DataFrame = {
     val imps = readEvents(spark, dir).filter(col("event_type") === "view")
       .select(col("user_id").as("l_key"), col("ts_utc").as("imp_time"),
         col("event_id").as("imp_id"))
     val clicks = readEvents(spark, dir).filter(col("event_type") === "click")
       .select(col("user_id").as("r_key"), col("ts_utc").as("click_time"),
         col("event_id").as("click_id"))
-    val joined = intervalJoin(imps, clicks, "30 minutes", "1 hour")
+    intervalJoin(imps, clicks, "30 minutes", "1 hour")
       .select(col("l_key").as("user_id"), col("imp_id"), col("click_id"),
         unix_micros(col("imp_time")).as("imp_us"),
         unix_micros(col("click_time")).as("click_us"))
-    runToMemory(spark, joined, "append").presented("imp_id", "click_id")
   }
 
   /** q80: the LEFT OUTER interval join — the watermark-gated null-emission
@@ -408,7 +443,16 @@ object EventStreams {
     * reconstructs exactly that cutoff, the same protocol-reconstruction
     * pattern as q70.
     */
-  def attributionOuter(spark: SparkSession, dir: String): DataFrame = {
+  def attributionOuter(spark: SparkSession, dir: String): DataFrame =
+    // availableNow + noDataBatch: the outer-null flush NEEDS the trailing
+    // no-data batch — eviction runs under the watermark advanced by the
+    // last data batch
+    runToMemory(spark, attributionOuterFrame(spark, dir), "append",
+      availableNow = true, noDataBatch = true)
+      .presented("imp_id", "click_id")
+
+  /** The q80 plan pre-sink (see [[tumblingFrame]] for why it is split out). */
+  private[graft] def attributionOuterFrame(spark: SparkSession, dir: String): DataFrame = {
     val imps = readEvents(spark, dir).filter(col("event_type") === "view")
       .select(col("user_id").as("l_key"), col("ts_utc").as("imp_time"),
         col("event_id").as("imp_id"))
@@ -417,18 +461,13 @@ object EventStreams {
       .select(col("user_id").as("r_key"), col("ts_utc").as("click_time"),
         col("event_id").as("click_id"))
       .withWatermark("click_time", "1 hour")
-    val joined = imps.join(clicks, expr(
+    imps.join(clicks, expr(
       """l_key = r_key AND
          click_time >= imp_time AND
          click_time <= imp_time + INTERVAL 30 minutes"""), "left_outer")
       .select(col("l_key").as("user_id"), col("imp_id"), col("click_id"),
         unix_micros(col("imp_time")).as("imp_us"),
         unix_micros(col("click_time")).as("click_us"))
-    // availableNow + noDataBatch: the outer-null flush NEEDS the trailing
-    // no-data batch — eviction runs under the watermark advanced by the
-    // last data batch
-    runToMemory(spark, joined, "append", availableNow = true, noDataBatch = true)
-      .presented("imp_id", "click_id")
   }
 
   /** q83: the streaming FILE sink — append-mode watermarked window counts
@@ -483,16 +522,20 @@ object EventStreams {
       }
       // The returned frame must not lazily read this run's scratch (the next
       // run sweeps it once released). The committed set — manifest-gated via
-      // the _spark_metadata read above the sink dir — is republished once per
-      // fixture signature through StageDir (atomic rename, signature-pinned
-      // dir name, never in the sweep namespace) and the caller gets a lazy
-      // read of the PUBLISHED copy: no driver materialization, stable across
-      // later runs. A re-run on the same fixture recomputes the stream but
-      // skips the (byte-identical, deterministic) republish.
+      // the _spark_metadata read above the sink dir — is republished through
+      // StageDir (atomic rename, signature-pinned dir name, never in the
+      // sweep namespace) and the caller gets a lazy read of the PUBLISHED
+      // copy: no driver materialization, stable across later runs. The
+      // signature folds the FRESH result's content hash in with the fixture
+      // signature (see [[contentSig]]): an unchanged fixture + unchanged
+      // logic skips the byte-identical republish, while a logic change that
+      // alters the result republishes into a new dir instead of certifying
+      // the stale copy.
+      val fresh = spark.read.schema(sinkSchema).parquet(outDir.toString)
       val published = graft.StageDir.publish(
-        s"graft_filesink_snap_x${dirTag(dir)}", eventsSig(dir)) { tmp =>
-        spark.read.schema(sinkSchema).parquet(outDir.toString)
-          .write.mode("overwrite").parquet(tmp.toString)
+        s"graft_filesink_snap_x${dirTag(dir)}",
+        s"${eventsSig(dir)}:c${contentSig(fresh)}") { tmp =>
+        fresh.write.mode("overwrite").parquet(tmp.toString)
       }
       spark.read.schema(sinkSchema).parquet(published.toString)
     } finally graft.StageDir.releaseRunDir(base)
@@ -597,13 +640,16 @@ object EventStreams {
       sys.error("stream upsert produced no snapshot"))
     // Publish the FINAL version via StageDir: atomic rename into a
     // signature-pinned dir outside the sweep namespace, so the returned
-    // LAZY read survives every later run (same fixture → same published
-    // dir; regenerated fixture → new dir). No collect, no coalesce(1):
-    // output partitions are sized to snapshot volume from the parquet
-    // footer row count (metadata-only with aggregate pushdown).
+    // LAZY read survives every later run (same fixture + same result →
+    // same published dir; regenerated fixture OR logic change that alters
+    // the snapshot → new dir, stale copy dropped — see [[contentSig]] for
+    // why the content hash is part of the identity). No collect, no
+    // coalesce(1): output partitions are sized to snapshot volume from the
+    // parquet footer row count (metadata-only with aggregate pushdown).
+    val snap = spark.read.parquet(finalSnap)
     val published = graft.StageDir.publish(
-      s"graft_upsert_snap_x${dirTag(dir)}", eventsSig(dir)) { tmp =>
-      val snap = spark.read.parquet(finalSnap)
+      s"graft_upsert_snap_x${dirTag(dir)}",
+      s"${eventsSig(dir)}:c${contentSig(snap)}") { tmp =>
       val rpp = spark.conf.getOption("spark.graft.upsert.rowsPerPartition")
         .map(_.toLong).getOrElse(4000000L)
       val parts = math.max(1L, (snap.count() + rpp - 1) / rpp).toInt

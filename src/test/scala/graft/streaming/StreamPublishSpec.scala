@@ -93,6 +93,47 @@ class StreamPublishSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll
     } finally spark.conf.unset("spark.graft.upsert.rowsPerPartition")
   }
 
+  test("certification is regression-sensitive: a changed result on an UNCHANGED fixture republishes") {
+    import spark.implicits._
+    // The publish identity q83/q98 use is fixtureSig + content hash of the
+    // FRESH result. A logic change that alters the result therefore lands in
+    // a NEW published dir even when the fixture is byte-identical — Verify
+    // can never certify the pre-change copy. This drives the exact call
+    // shape of the two operators with the "logic change" simulated as a
+    // different fresh frame under the same fixture signature.
+    val base = s"graft_pubspec_cert_${java.util.UUID.randomUUID().toString.take(8)}"
+    val fixtureSig = "777:123456" // identical across both simulated builds
+    def publishOf(df: DataFrame): java.nio.file.Path =
+      graft.StageDir.publish(base, s"$fixtureSig:c${EventStreams.contentSig(df)}") { tmp =>
+        df.write.mode("overwrite").parquet(tmp.toString)
+      }
+    try {
+      val d1 = publishOf(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+      // unchanged logic: row order must not perturb the signature (the
+      // stream's output partition order is nondeterministic)
+      assert(publishOf(Seq((2L, "b"), (1L, "a")).toDF("k", "v")) == d1,
+        "content signature must be order-independent")
+      // "logic change" on the unchanged fixture: result differs → republish
+      val d2 = publishOf(Seq((1L, "a"), (2L, "CHANGED")).toDF("k", "v"))
+      assert(d2 != d1, "a changed result on an unchanged fixture must get a fresh publish")
+      assert(!Files.exists(d1), "the stale published copy must be dropped once the new one is live")
+      assert(spark.read.parquet(d2.toString).orderBy("k").as[(Long, String)].collect().toSeq
+        == Seq((1L, "a"), (2L, "CHANGED")),
+        "the certified read must reflect the NEW result, not the stale copy")
+      // row-count changes alone (same per-row hashes could never sum equal
+      // here, but pin the n component explicitly too)
+      val d3 = publishOf(Seq((1L, "a")).toDF("k", "v"))
+      assert(d3 != d2)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val ls = Files.list(Paths.get(graft.StageDir.scratchBase))
+      try ls.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(base))
+        .foreach(p => try graft.StageDir.deleteRecursively(p) catch { case _: Exception => () })
+      finally ls.close()
+    }
+  }
+
   test("q98/q83: earlier frames survive a later run's scratch sweep") {
     val dir = freshFixture()
     val up1 = EventStreams.streamUpsert(spark, dir)
