@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd+ args: substring filters for a targeted re-dump (builder
+    // tooling; the driver always passes exactly two)
+    val Array(sfDir, outDir) = args.take(2)
+    val filters = args.drop(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkEntry.configure(
       SparkSession.builder()
@@ -19,7 +22,9 @@ object Verify {
     // Per-query watchdog: one pathological query must not hang the whole
     // correctness run — cancel its job group after the timeout and move on.
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "300").toLong
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => filters.isEmpty || filters.exists(name.contains) }
+      .foreach { case (name, fn) =>
       val worker = new Thread(() => {
         try {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)

@@ -255,9 +255,17 @@ object TextAnalysis {
     * frequencies as a broadcast |terms|-row table, so the whole operator is
     * one job with a single doc-keyed exchange and a TakeOrdered top-k.
     */
-  def bm25TopK(docs: DataFrame, keyCol: String, textCol: String,
-               terms: Seq[String], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** The PRE-ROUND per-(doc, term) BM25 contributions in micro-units —
+    * [[bm25TopK]]'s expression tree truncated just before the `round(...)`
+    * that makes the cross-engine compare integer-exact. Exposed for the
+    * boundary-margin spec: the integer certification is only sound while
+    * every contribution keeps a safe distance from a .5 rounding boundary,
+    * where accumulated double error could tip Spark and the oracle to
+    * different integers.
+    */
+  private[graft] def bm25RawContribs(docs: DataFrame, keyCol: String, textCol: String,
+                                     terms: Seq[String],
+                                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = docs.select(col(keyCol),
       split(trim(col(textCol)), " +").as("_t"), wsTokenCount(col(textCol)).as("dl"))
     val stats = broadcast(toks.agg(count(lit(1)).as("_n"), sum("dl").as("_sdl")))
@@ -274,13 +282,19 @@ object TextAnalysis {
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)))
     tf.join(df, "tok")
       .crossJoin(stats)
+      .select(col(keyCol), (idf * tfn * lit(1000000.0)).as("raw_micro"))
+  }
+
+  def bm25TopK(docs: DataFrame, keyCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25RawContribs(docs, keyCol, textCol, terms, k1, b)
       .select(col(keyCol),
-        round(idf * tfn * lit(1000000.0)).cast(org.apache.spark.sql.types.LongType).as("_c"))
+        round(col("raw_micro")).cast(org.apache.spark.sql.types.LongType).as("_c"))
       .groupBy(keyCol)
       .agg(sum("_c").as("score_micro"))
       .orderBy(col("score_micro").desc, col(keyCol))
       .limit(k)
-  }
 
   /** Token-distribution drift between two corpus slices: the top-`k`
     * tokens by Laplace-smoothed KL-divergence contribution
@@ -301,7 +315,20 @@ object TextAnalysis {
     * TakeOrdered.
     */
   def klDriftTopK(docs: DataFrame, textCol: String, sliceA: Column,
-                  k: Int): DataFrame = {
+                  k: Int): DataFrame =
+    klRawContribs(docs, textCol, sliceA)
+      .select(col("token"), col("c_a"), col("c_b"),
+        round(col("raw_nano"))
+          .cast(org.apache.spark.sql.types.LongType).as("kl_nano"))
+      .orderBy(col("kl_nano").desc, col("token"))
+      .limit(k)
+
+  /** The PRE-ROUND per-token KL contributions in nano-nats — see
+    * [[bm25RawContribs]] for why the boundary-margin spec needs the
+    * expression tree truncated just before the `round(...)`.
+    */
+  private[graft] def klRawContribs(docs: DataFrame, textCol: String,
+                                   sliceA: Column): DataFrame = {
     val toksOf = docs.filter(wsTokenCount(col(textCol)) >= 1)
       .select(sliceA.cast("int").as("_a"), explode(split(trim(col(textCol)), " +")).as("token"))
       .filter(col("token").isNotNull) // vacuously true; keeps every instance
@@ -313,10 +340,7 @@ object TextAnalysis {
     val pB = (col("c_b") + lit(1.0)) / (col("_nb") + col("_v"))
     toksOf.crossJoin(stats)
       .select(col("token"), col("c_a"), col("c_b"),
-        round(pA * log(pA / pB) * lit(1000000000.0))
-          .cast(org.apache.spark.sql.types.LongType).as("kl_nano"))
-      .orderBy(col("kl_nano").desc, col("token"))
-      .limit(k)
+        (pA * log(pA / pB) * lit(1000000000.0)).as("raw_nano"))
   }
 
   // ------------------------------------------------------- declared queries

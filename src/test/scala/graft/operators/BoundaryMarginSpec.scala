@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Audits the INTEGER-CERTIFICATION contract behind q111 (BM25 micro-units)
+  * and q112 (KL nano-nats): both queries round each bounded per-row float
+  * contribution to an integer BEFORE any aggregation-order-sensitive use,
+  * which makes the cross-engine compare exact — but ONLY while every
+  * contribution keeps a safe distance from a .5 rounding boundary. A
+  * contribution landing within accumulated-double-error of a boundary could
+  * round differently in Spark vs the DuckDB oracle and flake the hash
+  * compare with no local signal. This spec makes that failure loud: it
+  * asserts the minimum distance-to-boundary across every corpus fixture
+  * exceeds a floor ~1e4× the accumulated ulp of the expression trees, so a
+  * REGENERATED fixture that happens to land a contribution on a boundary
+  * fails ScalaTest instead of flaking cross-engine.
+  *
+  * Floor calibration: the deepest expression tree here (BM25's idf·tfn
+  * product chain) accumulates ≲20 IEEE ops of relative error on values
+  * ≤ ~1e7 micro-units → absolute error ≲ 20 · 1e7 · 2⁻⁵³ ≈ 2e-8. The floor
+  * of 1e-6 is ~50× that; the measured corpus minimum is ~3.4e-6.
+  */
+class BoundaryMarginSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private val Floor = 1e-6
+
+  /** Minimum distance from any value in `c` to its nearest .5 rounding
+    * boundary (the points where HALF_UP rounding is decided).
+    */
+  private def minBoundaryMargin(raw: DataFrame, c: String): Double =
+    raw.select(abs(abs(col(c)) % lit(1.0) - lit(0.5)).as("d"))
+      .agg(min("d")).head().getDouble(0)
+
+  private val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
+
+  test("q111: BM25 micro-unit contributions stay clear of rounding boundaries at every SF") {
+    for (sf <- sfs) {
+      val docs = graft.Tables(spark, s"/root/testdata/$sf").documents
+      val raw = TextAnalysis.bm25RawContribs(docs, "doc_id", "text",
+        Seq("table", "hash", "spark", "window"))
+      val margin = minBoundaryMargin(raw, "raw_micro")
+      assert(margin > Floor,
+        s"$sf: BM25 contribution within $margin of a .5 micro-unit boundary " +
+          s"(floor $Floor) — the q111 integer certification is no longer safe " +
+          "for this fixture; re-derive the unit scale or the fixture")
+    }
+  }
+
+  test("q112: KL nano-nat contributions stay clear of rounding boundaries at every SF") {
+    for (sf <- sfs) {
+      val docs = graft.Tables(spark, s"/root/testdata/$sf").documents
+      val raw = TextAnalysis.klRawContribs(docs, "text", col("doc_id") % 2 === 0)
+      val margin = minBoundaryMargin(raw, "raw_nano")
+      assert(margin > Floor,
+        s"$sf: KL contribution within $margin of a .5 nano-nat boundary " +
+          s"(floor $Floor) — the q112 integer certification is no longer safe " +
+          "for this fixture")
+    }
+  }
+
+  test("the margin check fires on a boundary corpus") {
+    val s = spark
+    import s.implicits._
+    // Synthetic contributions standing in for a regenerated fixture whose
+    // value lands ON (2.5) and NEAR (17.4999997) a boundary — both must
+    // trip the floor; a clear value (17.3) must not. (An exact end-to-end
+    // boundary CORPUS cannot be constructed in closed form: both
+    // contributions pass through a transcendental log, so the guard is
+    // exercised at the raw-contribution layer the production queries
+    // feed through minBoundaryMargin.)
+    assert(minBoundaryMargin(Seq(2.5).toDF("raw"), "raw") < Floor)
+    assert(minBoundaryMargin(Seq(17.4999997, 42.1).toDF("raw"), "raw") < Floor)
+    assert(minBoundaryMargin(Seq(17.3, -3.25).toDF("raw"), "raw") > Floor)
+    // negative contributions (KL has them) measure against their own
+    // boundary, not 0.5 absolute
+    assert(minBoundaryMargin(Seq(-2.5000001).toDF("raw"), "raw") < Floor)
+  }
+}
