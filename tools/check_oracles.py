@@ -81,6 +81,18 @@ def main():
         if bad:
             i, w, g = bad
             print(f"VALUE      {name}: row {i}\n  oracle: {w}\n  spark : {g}")
+            # float near-miss diagnostic: max relative error across the
+            # row's float fields, so "last-ULP drift" (route the column
+            # through graft.functions.Exact / mirror the oracle's
+            # expression shape) is distinguishable from "wrong answer"
+            rel = [abs(a - b) / max(abs(a), abs(b), 1e-300)
+                   for a, b in zip(w, g)
+                   if isinstance(a, float) and isinstance(b, float)
+                   and not (math.isnan(a) or math.isnan(b)) and a != b]
+            if rel:
+                near = "float near-miss (ULP drift)" if max(rel) < 1e-9 \
+                    else "genuine value divergence"
+                print(f"  max relative float error {max(rel):.3e} -> {near}")
             n_fail += 1
         else:
             print(f"PASS       {name} ({len(got_rows)} rows)")
