@@ -20,11 +20,27 @@ final case class ReplayClient(pages: Map[String, String]) extends StatlineClient
   override def get(url: String): Option[String] = pages.get(url)
 }
 
-/** Bounded-retry decorator over any [[StatlineClient]]: a THROWN fetch
-  * (429/5xx from [[HttpClient]], or a transport error) is retried up to
-  * `maxRetries` times with deterministic exponential backoff; a `None`
-  * (HTTP 404) is a VALUE — absent resource — and is never retried, because
-  * the version probe and empty-table skip depend on it being immediate.
+/** A non-200/404 HTTP status, carried TYPED so retry policy can
+  * distinguish throttling/server faults (429/5xx — transient) from client
+  * errors (other 4xx — retrying a 400 would just re-send a malformed
+  * request `maxRetries` more times and mask the real defect).
+  */
+final case class HttpStatusException(status: Int, url: String)
+    extends java.io.IOException(s"HTTP $status for $url")
+
+/** Bounded-retry decorator over any [[StatlineClient]]: a TRANSIENT thrown
+  * fetch — 429/5xx via [[HttpStatusException]], or a transport-level
+  * `IOException` (reset, timeout, DNS) — is retried up to `maxRetries`
+  * times with deterministic exponential backoff (a sleep happens only when
+  * another attempt follows; the last failure surfaces immediately).
+  * Everything else propagates on the FIRST failure: a `None` (HTTP 404) is
+  * a VALUE — absent resource, the version probe and empty-table skip depend
+  * on it being immediate; non-transient 4xx and parse/logic errors would
+  * fail identically on every resend; `InterruptedException` is cancellation,
+  * not flakiness — it is re-thrown with the thread's interrupt status
+  * restored (`client.send` clears it when throwing) so Spark task kills
+  * still cancel promptly mid-pagination. Fatal JVM errors pass through the
+  * `NonFatal` guard untouched.
   *
   * This is the one live-ingest behavior the reference's live CI exercises
   * (its requests session retries throttled CBS calls) that a pure replay
@@ -39,18 +55,27 @@ final case class RetryingClient(inner: StatlineClient, maxRetries: Int = 3,
   /** Injection seam for specs — real sleeps would slow the suite. */
   @transient private[odata] var sleep: Long => Unit = Thread.sleep
 
+  private def isTransient(e: Throwable): Boolean = e match {
+    case h: HttpStatusException => h.status == 429 || h.status >= 500
+    case _: java.io.IOException => true // transport: reset, timeout, DNS
+    case _                      => false
+  }
+
   override def get(url: String): Option[String] = {
     var attempt = 0
-    while (attempt < maxRetries) {
+    while (true) {
       try return inner.get(url)
       catch {
-        case _: Exception =>
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw e
+        case scala.util.control.NonFatal(e) if attempt < maxRetries && isTransient(e) =>
           val s = Option(sleep).getOrElse((ms: Long) => Thread.sleep(ms))
           s(baseDelayMs << attempt)
           attempt += 1
       }
     }
-    inner.get(url) // final attempt: a still-failing fetch surfaces its error
+    throw new IllegalStateException("unreachable")
   }
 }
 
@@ -94,7 +119,7 @@ final class HttpClient extends StatlineClient {
     resp.statusCode() match {
       case 200 => Some(resp.body())
       case 404 => None
-      case other => throw new java.io.IOException(s"HTTP $other for $url")
+      case other => throw HttpStatusException(other, url)
     }
   }
 }

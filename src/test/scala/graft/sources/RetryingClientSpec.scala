@@ -10,11 +10,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class RetryingClientSpec extends AnyFunSuite {
 
   /** Throws on the first `failures` calls per url, then delegates. */
-  private class Flaky(inner: StatlineClient, failures: Int) extends StatlineClient {
+  private class Flaky(inner: StatlineClient, failures: Int,
+                      boom: String => Throwable = u => HttpStatusException(429, u))
+      extends StatlineClient {
     val calls = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     override def get(url: String): Option[String] = {
       calls(url) += 1
-      if (calls(url) <= failures) throw new java.io.IOException(s"HTTP 429 for $url")
+      if (calls(url) <= failures) throw boom(url)
       inner.get(url)
     }
   }
@@ -48,6 +50,49 @@ class RetryingClientSpec extends AnyFunSuite {
     val e = intercept[java.io.IOException](c.get("u"))
     assert(e.getMessage.contains("429"))
     assert(flaky.calls("u") == 4) // 1 + maxRetries, never infinite
-    assert(slept() == Seq(100L, 200L, 400L)) // deterministic doubling
+    assert(slept() == Seq(100L, 200L, 400L)) // deterministic doubling;
+    // every sleep sits BETWEEN two attempts — none after the last failure
+  }
+
+  test("transport-level IOException (no status) is transient and retried") {
+    val flaky = new Flaky(ReplayClient(Map("u" -> "payload")), failures = 1,
+      boom = u => new java.net.SocketTimeoutException(s"read timed out: $u"))
+    val (c, slept) = retrying(flaky)
+    assert(c.get("u").contains("payload"))
+    assert(flaky.calls("u") == 2)
+    assert(slept() == Seq(100L))
+  }
+
+  test("a 400 is a client error: never retried, surfaces on first failure") {
+    val flaky = new Flaky(ReplayClient(Map("u" -> "x")), failures = Int.MaxValue,
+      boom = u => HttpStatusException(400, u))
+    val (c, slept) = retrying(flaky)
+    val e = intercept[HttpStatusException](c.get("u"))
+    assert(e.status == 400)
+    assert(flaky.calls("u") == 1)
+    assert(slept().isEmpty)
+  }
+
+  test("a parse/logic error is not transient: never retried") {
+    val flaky = new Flaky(ReplayClient(Map("u" -> "x")), failures = Int.MaxValue,
+      boom = u => new RuntimeException(s"malformed payload for $u"))
+    val (c, slept) = retrying(flaky)
+    intercept[RuntimeException](c.get("u"))
+    assert(flaky.calls("u") == 1)
+    assert(slept().isEmpty)
+  }
+
+  test("interruption is cancellation: re-thrown immediately with interrupt status restored") {
+    val flaky = new Flaky(ReplayClient(Map("u" -> "x")), failures = Int.MaxValue,
+      boom = _ => new InterruptedException("task killed"))
+    val (c, slept) = retrying(flaky)
+    Thread.interrupted() // clear any leftover flag so the assert is ours
+    try {
+      intercept[InterruptedException](c.get("u"))
+      assert(Thread.currentThread().isInterrupted,
+        "interrupt status must be restored for Spark task cancellation")
+      assert(flaky.calls("u") == 1)
+      assert(slept().isEmpty)
+    } finally Thread.interrupted() // don't leak the flag into other tests
   }
 }
