@@ -11,7 +11,12 @@ import scala.xml.XML
   * defaults every unknown type to string. We keep that default but finish
   * the reference's TODO list (statline.py:263-293): Date, DateTimeOffset,
   * Decimal (precision/scale facets), Duration, Guid, TimeOfDay, and the
-  * geography/geometry family (carried as WKT strings initially).
+  * geography/geometry family — carried as WKT strings PERMANENTLY (SURVEY
+  * §1.4): the reference never ships geometry data (all 16 mappings are
+  * commented-out TODOs, statline.py:280-293), Spark has no native geometry
+  * type, and WKT is the interop representation geospatial Spark libraries
+  * parse directly, so a bespoke struct encoding would have no producer and
+  * no consumer.
   *
   * Declared-schema-first matters at scale: schema inference re-reads data
   * and can't widen later pages (reference utils.py:123-129 pins the first
@@ -45,7 +50,7 @@ object EdmSchema {
     case "Edm.String"         => StringType
     case "Edm.TimeOfDay"      => StringType
     case t if t.startsWith("Edm.Geography") || t.startsWith("Edm.Geometry") =>
-      StringType // WKT passthrough until a geometry type lands
+      StringType // WKT passthrough — permanent by design, see class doc
     case _ => StringType // reference default: unknown ⇒ string (statline.py:304-306)
   }
 
