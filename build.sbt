@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output passes straight through to sbt's own stdout/stderr
+// instead of the logger: the logger's "[info] " prefix on every line made
+// the bench's final JSON line unparseable for anything scanning stdout for
+// a line starting with '{' (the driver's BENCH_r{N}.json carried
+// "parsed": null every round because of it).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Test / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -74,34 +74,115 @@ object Bench {
     // Committed same-window DuckDB pair (tools/bench_duckdb.py writes it):
     // embedded so the round artifact alone carries the comparison.
     def r3(d: Double) = math.rint(d * 1000) / 1000
-    val duckdb = {
+    val duckdbVals: Map[String, Double] = {
       val p = java.nio.file.Paths.get("DUCKDB_BASELINE.json")
-      if (!java.nio.file.Files.exists(p)) ""
+      if (!java.nio.file.Files.exists(p)) Map.empty
       else try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(p.toFile)
-        val qsn = node.get("queries")
         import scala.jdk.CollectionConverters._
-        val vals = qsn.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
-        val dt = vals.values.sum
-        val dq74 = vals.collectFirst { case (n, v) if n.startsWith("q74") => v }.getOrElse(0.0)
-        s""","duckdb_committed":{"total":${r3(dt)},"total_ex_q74":${r3(dt - dq74)}}"""
-      } catch { case _: Exception => "" }
+        node.get("queries").fields().asScala
+          .map(e => e.getKey -> e.getValue.asDouble()).toMap
+      } catch { case _: Exception => Map.empty }
     }
+    val duckdb =
+      if (duckdbVals.isEmpty) ""
+      else {
+        val dt = duckdbVals.values.sum
+        val dq74 = duckdbVals.collectFirst { case (n, v) if n.startsWith("q74") => v }.getOrElse(0.0)
+        s""","duckdb_committed":{"total":${r3(dt)},"total_ex_q74":${r3(dt - dq74)}}"""
+      }
+    // Both engines' FULL per-query maps belong in the complete artifact
+    // (bench_out.json) — the stdout line carries only the spark map plus
+    // DuckDB totals, because the driver keeps a bounded tail of stdout and
+    // two 112-entry maps would overflow it.
+    val duckdbFull =
+      if (duckdbVals.isEmpty) ""
+      else s""","duckdb_queries":${duckdbVals.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")}"""
     // Two renderings of one measurement:
     //  - stdout: COMPACT (short qNN keys, 3-decimal secs) — the driver's
     //    capture keeps only a ~2k-char tail of the stream, and round 5's
     //    full-precision line (~4.6k chars) arrived truncated/unparseable.
     //    All qNN prefixes are unique, so nothing is lost but digits.
     //  - bench_out.json: the complete full-name, full-precision artifact.
-    def line(keyOf: String => String, fmt: Double => String): String = {
+    // The compact rendering is only lossless while qNN prefixes are unique;
+    // a future duplicate would silently last-win-corrupt the stdout
+    // artifact, so it fails the run instead.
+    val dupPrefixes = results.map(_._1.takeWhile(_ != '_'))
+      .groupBy(identity).collect { case (p, g) if g.size > 1 => p }
+    require(dupPrefixes.isEmpty,
+      s"duplicate bench-key prefixes would corrupt the compact stdout line: " +
+        dupPrefixes.mkString(", "))
+    def line(keyOf: String => String, fmt: Double => String, extra: String): String = {
       val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_ex_q74":${r3(exQ74)}$duckdb,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_ex_q74":${r3(exQ74)}$duckdb,"queries":$qs$extra,"sf":"$sfDir"}"""
     }
-    println(line(_.takeWhile(_ != '_'), d => f"$d%.3f"))
+    println(line(_.takeWhile(_ != '_'), d => f"$d%.3f", extra = ""))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line(identity, _.toString) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (line(identity, _.toString, extra = duckdbFull) + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    regenerateRatioTable(results, duckdbVals, sfDir)
     spark.stop()
+  }
+
+  /** Rewrites the generated per-query Spark-vs-DuckDB ratio table between
+    * the README's BENCH_RATIOS markers (appends the section on first run).
+    * Regenerated by every bench run that finds a committed
+    * `DUCKDB_BASELINE.json`, so the per-query floor-vs-plan decomposition
+    * is a committed artifact instead of a per-round re-derivation.
+    */
+  private def regenerateRatioTable(results: Seq[(String, Double)],
+                                   duckdbVals: Map[String, Double],
+                                   sfDir: String): Unit = {
+    if (duckdbVals.isEmpty) return
+    val rp = java.nio.file.Paths.get("README.md")
+    if (!java.nio.file.Files.exists(rp)) return
+    val begin = "<!-- BENCH_RATIOS_BEGIN (generated by graft.Bench — do not edit by hand) -->"
+    val end = "<!-- BENCH_RATIOS_END -->"
+    def f3(d: Double) = f"$d%.3f"
+    val rows = results.sortBy(_._1).map { case (k, v) =>
+      duckdbVals.get(k) match {
+        case Some(d) if d > 0 && v > 0 =>
+          val flag =
+            if (v <= d) "spark wins"
+            else if (v <= 2 * d) "within 2×"
+            else if (k.contains("_stream_")) "streaming replay machinery" // micro-batch + state-store floor, no DuckDB analog
+            else if (v <= 0.45) "scheduling floor" // DuckDB μs-scale, Spark fixed ~0.1–0.3 s/query
+            else ""
+          s"| $k | ${f3(v)} | ${f3(d)} | ${f"${v / d}%.2f"} | $flag |"
+        case _ => s"| $k | ${f3(v)} | — | — | |"
+      }
+    }
+    val total = results.map(_._2).sum
+    val dTotal = duckdbVals.values.sum
+    val nWin = results.count { case (k, v) => duckdbVals.get(k).exists(v <= _) }
+    val table = (Seq(
+      begin,
+      "",
+      s"_Regenerated by `graft.Bench` (min-of-3, fresh plan per run) against the",
+      s"committed `DUCKDB_BASELINE.json`, same oracle SQL, `$sfDir`. Shared-VM",
+      s"noise band is ±20%; compare pairwise trends, not single cells. Queries",
+      s"flagged 'scheduling floor' answer in microseconds in DuckDB while Spark",
+      s"pays its fixed ~0.1–0.3 s per-query planning/scheduling cost; 'streaming",
+      s"replay machinery' marks the bounded micro-batch replays whose cost is",
+      s"offset-WAL/state-store/checkpoint setup with no DuckDB analog (the",
+      s"oracle compares a batch reconstruction). Both are fixed costs that",
+      s"amortize with data volume, not plan defects (see the audit above).",
+      s"Totals this capture: Spark ${f3(total)} s, DuckDB ${f3(dTotal)} s;",
+      s"$nWin/${results.size} queries at-or-below DuckDB outright._",
+      "",
+      "| query | spark s | duckdb s | spark÷duckdb | note |",
+      "|---|---|---|---|---|") ++ rows ++ Seq("", end)).mkString("\n")
+    val txt = java.nio.file.Files.readString(rp)
+    val updated =
+      if (txt.contains(begin) && txt.contains(end)) {
+        val pre = txt.substring(0, txt.indexOf(begin))
+        val post = txt.substring(txt.indexOf(end) + end.length)
+        pre + table + post
+      } else txt.stripTrailing() +
+        "\n\n## Per-query Spark vs DuckDB (generated)\n\n" + table + "\n"
+    java.nio.file.Files.writeString(rp, updated)
   }
 }
