@@ -38,6 +38,13 @@ object MergeUpsert {
     * 'U' replaces the payload columns, 'D' drops the row, 'I' appends.
     * Payload columns are every non-key, non-op column of `changes`; the
     * base must carry columns of the same names.
+    *
+    * `changes` is walked TWICE in the produced plan (the matched side's
+    * broadcast-collect and the insert-side union are separate subtree
+    * evaluations): a changeset whose lineage is expensive to recompute
+    * (e.g. an aggregation over a large batch) should be persisted by the
+    * caller before the merge — see `EventStreams.streamUpsert`, where the
+    * un-persisted recompute made the 60M-event scale point super-linear.
     */
   def merge(base: DataFrame, changes: DataFrame, keyCol: String,
             broadcastChangeset: Boolean = true): DataFrame = {
