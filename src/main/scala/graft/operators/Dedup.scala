@@ -89,6 +89,42 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Incremental near-dup gate — [[minhashPairs]]' banding applied to the
+    * 100 TB OPERATING MODE: dedup an INCOMING increment (today's crawl)
+    * against the EXISTING corpus without ever re-pairing corpus×corpus.
+    * Returns `(old_id, new_id, jaccard)` for every incoming doc that
+    * verifies (exact shingle Jaccard ≥ threshold) against a corpus doc;
+    * the caller drops or links the matched incoming keys.
+    *
+    * Scale shape: candidate generation is the corpus band table joined to
+    * the increment band table on `(band, hash)` — the corpus side is
+    * banded once (in a deployment, persisted/bucketed by `(band, hash)`),
+    * and only buckets the increment actually hits are touched, so work is
+    * proportional to the INCREMENT, not the corpus. A small increment's
+    * band table broadcasts (daily-batch case); verification re-reads only
+    * surviving pairs' texts, exactly like the full-corpus path. Crucially
+    * there is no corpus self-join anywhere — at 100 TB the corpus×corpus
+    * pairing is the term that must never be re-paid per increment.
+    */
+  def incrementalMinhashMatches(existing: DataFrame, incoming: DataFrame,
+                                keyCol: String, k: Int = 5,
+                                jaccardThreshold: Double = 0.8): DataFrame = {
+    val spark = existing.sparkSession
+    def bandsOf(df: DataFrame, as: String) =
+      spread(df).select(col(keyCol).as(as),
+        posexplode(TextSignatures.minhashBandsCol(spark)(col("text"), k)).as(Seq("band", "bh")))
+    val candidates = bandsOf(existing, "old_id")
+      .join(bandsOf(incoming, "new_id"), Seq("band", "bh"))
+      .select("old_id", "new_id")
+      .dropDuplicates("old_id", "new_id")
+    candidates
+      .join(spread(existing).select(col(keyCol).as("old_id"), col("text").as("ta")), "old_id")
+      .join(spread(incoming).select(col(keyCol).as("new_id"), col("text").as("tb")), "new_id")
+      .withColumn("jaccard", TextSignatures.shingleJaccardCol(spark)(col("ta"), col("tb"), k))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("old_id"), col("new_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** Adds a 64-bit `simhash` column from whitespace tokens of `text`:
@@ -260,6 +296,18 @@ object Dedup {
     "q42_dedup_simhash" -> ((s, dir) =>
       simhashPairs(Tables(s, dir).documents, "doc_id", "text", maxDist = 3)
         .presented("a", "b")),
+    // the incremental operating mode: corpus = doc_id % 5 != 0, increment =
+    // doc_id % 5 == 0 (a deterministic 20% slice), banded-join across
+    // slices only — certified against a committed independent-recompute
+    // golden like the other hash-seeded dedup queries
+    "q113_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      incrementalMinhashMatches(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", k = 5, jaccardThreshold = 0.5)
+        .presented("old_id", "new_id")
+    }),
     "q43_dedup_ngram_jaccard" -> ((s, dir) =>
       ngramJaccardPairs(Tables(s, dir).documents.filter(col("doc_id") <= 40), "doc_id", 3)
         .filter(col("jaccard") >= 0.1)
@@ -296,6 +344,10 @@ object Dedup {
     * the oracle selects the rows whose tag matches the corpus at hand.
     */
   val oracles: Map[String, String] = Map(
+    "q113_dedup_incremental" ->
+      """SELECT old_id, new_id, jaccard FROM read_parquet('/root/repo/goldens/q113_dedup_incremental.parquet')
+         WHERE corpus_tag = (SELECT SUM(strlen(text) * (doc_id + 1)) FROM documents)
+         ORDER BY old_id, new_id""",
     "q41_dedup_minhash" ->
       """SELECT a, b, jaccard FROM read_parquet('/root/repo/goldens/q41_dedup_minhash.parquet')
          WHERE corpus_tag = (SELECT SUM(strlen(text) * (doc_id + 1)) FROM documents)

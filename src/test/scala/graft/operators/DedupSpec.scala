@@ -116,4 +116,46 @@ class DedupSpec extends AnyFunSuite {
     assert(out((0L, 1L)) == 1.0)
     assert(out((0L, 2L)) < 0.0)
   }
+
+  test("incremental minhash: planted cross-slice dup found, within-slice pairs never emitted") {
+    val s = spark
+    import s.implicits._
+    val existing = docs // ids 0-4: 0/1 exact dups, 2 near-dup of 0
+    val incoming = Seq(
+      (10L, docs.filter(col("doc_id") === 0).head().getString(1)),   // exact dup of corpus 0 AND 1
+      (11L, "entirely novel content with no shingle overlap whatsoever here"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhashMatches(existing, incoming, "doc_id",
+      jaccardThreshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 10 is a copy of 0: exact vs 0 and 1 (jaccard 1.0), near vs 2 (the
+    // quick->quack near-dup, 0.881 — above the 0.8 gate by design)
+    assert(out.map(t => (t._1, t._2)).toSet == Set((0L, 10L), (1L, 10L), (2L, 10L)),
+      s"expected exactly the planted cross-slice dup pairs, got ${out.toSeq}")
+    assert(out.filter(_._1 <= 1L).forall(_._3 == 1.0))
+    // the corpus's own duplicate pairs (0,1)/(0,2) must NOT be re-paired —
+    // the whole point of the incremental mode is never re-paying
+    // corpus x corpus
+    assert(!out.exists(t => t._2 < 10L))
+  }
+
+  test("incremental minhash equals the full pairing restricted to cross-slice pairs") {
+    // The invariant that certifies the operator against the already-golden
+    // full path: banded candidates + verify are the same construction, so
+    // incremental(corpus, increment) must equal minhashPairs(all) filtered
+    // to pairs with exactly one side in the increment (keys oriented
+    // old->new instead of a<b).
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+    val isNew = (id: Long) => id % 5 == 0
+    val full = Dedup.minhashPairs(docs, "doc_id", jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => isNew(a) != isNew(b) }
+      .map { case (a, b, j) => if (isNew(a)) (b, a, j) else (a, b, j) }.toSet
+    val inc = Dedup.incrementalMinhashMatches(
+      docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == full, s"incremental=${inc.toSeq.sorted} full-restricted=${full.toSeq.sorted}")
+    assert(inc.nonEmpty, "fixture must exercise at least one cross-slice match")
+  }
 }

@@ -223,6 +223,31 @@ def simhash64(tokens):
     return sig  # unsigned 64-bit representation
 
 
+def q113(docs, k=5, threshold=0.5):
+    """Incremental minhash gate: corpus = doc_id % 5 != 0, increment =
+    doc_id % 5 == 0; banded candidates ACROSS the split only, exact-Jaccard
+    verified — the plain-Python recompute of Dedup.incrementalMinhashMatches
+    over the q113 slice definition."""
+    old_docs = [(d, t) for d, t in docs if d % 5 != 0]
+    new_docs = [(d, t) for d, t in docs if d % 5 == 0]
+    buckets = {}
+    for did, text in old_docs:
+        for band, bh in enumerate(minhash_bands(text, k)):
+            buckets.setdefault((band, bh), []).append(did)
+    cands = set()
+    for did, text in new_docs:
+        for band, bh in enumerate(minhash_bands(text, k)):
+            for old in buckets.get((band, bh), ()):
+                cands.add((old, did))
+    texts = dict(docs)
+    out = []
+    for old, new in sorted(cands):
+        jc = jaccard(texts[old], texts[new], k)
+        if jc >= threshold:  # filter on RAW jaccard, round after (as q41 does)
+            out.append((old, new, spark_round(jc, 4)))
+    return out
+
+
 def q42(docs, max_dist=3):
     sigs = [(did, simhash64(re.split(" +", text.strip()))) for did, text in docs]
     buckets = {}
@@ -298,7 +323,7 @@ def main():
     import duckdb
 
     os.makedirs(OUT_DIR, exist_ok=True)
-    acc = {q: [] for q in ("q41", "q42", "q46", "q56")}
+    acc = {q: [] for q in ("q41", "q42", "q46", "q56", "q113")}
     for sf in SF_DIRS:
         docs = duckdb.sql(
             f"SELECT doc_id, text FROM '{sf}/documents.parquet' ORDER BY doc_id").fetchall()
@@ -308,10 +333,12 @@ def main():
         emb_tag = sum((v + 1) * math.floor(vec[0] * 1048576) for v, vec in embs)
         acc["q41"] += [(doc_tag, a, b, jc) for a, b, jc in q41(docs)]
         acc["q42"] += [(doc_tag, a, b, h) for a, b, h in q42(docs)]
+        acc["q113"] += [(doc_tag, o, n, jc) for o, n, jc in q113(docs)]
         acc["q46"] += [(emb_tag, q, r, n, s) for q, r, n, s in q46(embs)]
         acc["q56"] += [(emb_tag, a, b, s) for a, b, s in q56(embs)]
         print(f"{sf}: doc_tag={doc_tag} emb_tag={emb_tag} "
-              f"q41={len(acc['q41'])} q42={len(acc['q42'])} q46={len(acc['q46'])} q56={len(acc['q56'])} (cumulative)")
+              f"q41={len(acc['q41'])} q42={len(acc['q42'])} q46={len(acc['q46'])} "
+              f"q56={len(acc['q56'])} q113={len(acc['q113'])} (cumulative)")
 
     schemas = {
         "q41": pa.schema([("corpus_tag", pa.int64()), ("a", pa.int64()),
@@ -322,9 +349,12 @@ def main():
                           ("rnk", pa.int32()), ("n_id", pa.int64()), ("sim", pa.float64())]),
         "q56": pa.schema([("corpus_tag", pa.int64()), ("a", pa.int64()),
                           ("b", pa.int64()), ("sim", pa.float64())]),
+        "q113": pa.schema([("corpus_tag", pa.int64()), ("old_id", pa.int64()),
+                           ("new_id", pa.int64()), ("jaccard", pa.float64())]),
     }
     names = {"q41": "q41_dedup_minhash", "q42": "q42_dedup_simhash",
-             "q46": "q46_similarity_lsh", "q56": "q56_dedup_embedding_lsh"}
+             "q46": "q46_similarity_lsh", "q56": "q56_dedup_embedding_lsh",
+             "q113": "q113_dedup_incremental"}
     for q, rows in acc.items():
         cols = list(zip(*rows))
         table = pa.table(
