@@ -72,26 +72,11 @@ object Scale100Probe {
         build.write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
     }
-    def rot(s: String, by: Int) = s.drop(by % s.length) + s.take(by % s.length)
-    val lower = "abcdefghijklmnopqrstuvwxyz"
-    val upper = lower.toUpperCase
-    val digits = "0123456789"
-    def cipheredDocs(mult: Int): DataFrame = {
-      val d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-      (0 until mult).map { i =>
-        // 104 distinct bijections (26 rotations × reverse × case-swap): a
-        // rotation-only cipher repeats at i≥26 and plants ~4-member
-        // cross-copy twin classes, which showed up as a 2.3× superlinear
-        // candidate-pair jump in the 100× decade
-        val l0 = rot(lower, i % 26)
-        val u0 = rot(upper, i % 26)
-        val (l1, u1) = if ((i / 26) % 2 == 1) (l0.reverse, u0.reverse) else (l0, u0)
-        val (lTo, uTo) = if ((i / 52) % 2 == 1) (u1, l1) else (l1, u1)
-        val to = lTo + uTo + rot(digits, i % 10)
-        d.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
-          .withColumn("text", translate(col("text"), lower + upper + digits, to))
-      }.reduce(_ unionAll _).repartition(32)
-    }
+    // 104 distinct bijections (26 rotations × reverse × case-swap): a
+    // rotation-only cipher repeats at i≥26 and plants ~4-member cross-copy
+    // twin classes, which showed up as a 2.3× superlinear candidate-pair
+    // jump in the 100× decade — shared with IncrementalDedupProbe
+    def cipheredDocs(mult: Int): DataFrame = ProbeFixtures.cipheredDocs(spark, mult)
     def multEvents(mult: Int): DataFrame =
       spark.read.parquet("/root/testdata/sf0.1/events.parquet")
         .select(col("*"), explode(sequence(lit(0L), lit(mult - 1L))).as("_i"))
