@@ -139,6 +139,27 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.exists(t => t._2 < 10L))
   }
 
+  test("incremental minhash prebanded: the corpus is never shuffled (measured contract)") {
+    // The SCALE_INCR_DEDUP measurement (flat 0.21 MB shuffle across 100x
+    // corpus growth) holds because (a) the increment's band table
+    // broadcasts onto the corpus band table and (b) the increment-bounded
+    // candidate set broadcasts onto the corpus text projection. Pin both:
+    // every join the corpus side participates in must be a broadcast hash
+    // join with the corpus on the STREAMED side — a sort-merge join
+    // anywhere means a corpus exchange came back.
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val out = Dedup.incrementalMinhashMatchesPrebanded(
+      Dedup.minhashBandTable(corpus, "doc_id").withColumnRenamed("doc_id", "old_id"),
+      corpus.select(col("doc_id").as("old_id"), col("text").as("ta")),
+      docs.filter(col("doc_id") % 5 === 0), "doc_id", jaccardThreshold = 0.5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side exchange regressed into the incremental gate:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(out.count() > 0)
+  }
+
   test("incremental minhash equals the full pairing restricted to cross-slice pairs") {
     // The invariant that certifies the operator against the already-golden
     // full path: banded candidates + verify are the same construction, so
