@@ -128,7 +128,8 @@ object Bench {
   }
 
   /** Rewrites the generated per-query Spark-vs-DuckDB ratio table between
-    * the README's BENCH_RATIOS markers (appends the section on first run).
+    * the README's BENCH_RATIOS markers (no-op unless both markers are
+    * already present, so the rewrite can only ever target the repo README).
     * Regenerated by every bench run that finds a committed
     * `DUCKDB_BASELINE.json`, so the per-query floor-vs-plan decomposition
     * is a committed artifact instead of a per-round re-derivation.
@@ -139,8 +140,13 @@ object Bench {
     if (duckdbVals.isEmpty) return
     val rp = java.nio.file.Paths.get("README.md")
     if (!java.nio.file.Files.exists(rp)) return
+    // only rewrite a README that already carries the generated section's
+    // markers — a bench launched from a different cwd must not append a
+    // ratio table to whatever unrelated README.md it happens to find
+    val txt0 = java.nio.file.Files.readString(rp)
     val begin = "<!-- BENCH_RATIOS_BEGIN (generated by graft.Bench — do not edit by hand) -->"
     val end = "<!-- BENCH_RATIOS_END -->"
+    if (!txt0.contains(begin) || !txt0.contains(end)) return
     def f3(d: Double) = f"$d%.3f"
     val rows = results.sortBy(_._1).map { case (k, v) =>
       duckdbVals.get(k) match {
@@ -175,14 +181,8 @@ object Bench {
       "",
       "| query | spark s | duckdb s | spark÷duckdb | note |",
       "|---|---|---|---|---|") ++ rows ++ Seq("", end)).mkString("\n")
-    val txt = java.nio.file.Files.readString(rp)
-    val updated =
-      if (txt.contains(begin) && txt.contains(end)) {
-        val pre = txt.substring(0, txt.indexOf(begin))
-        val post = txt.substring(txt.indexOf(end) + end.length)
-        pre + table + post
-      } else txt.stripTrailing() +
-        "\n\n## Per-query Spark vs DuckDB (generated)\n\n" + table + "\n"
-    java.nio.file.Files.writeString(rp, updated)
+    val pre = txt0.substring(0, txt0.indexOf(begin))
+    val post = txt0.substring(txt0.indexOf(end) + end.length)
+    java.nio.file.Files.writeString(rp, pre + table + post)
   }
 }

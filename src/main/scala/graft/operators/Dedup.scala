@@ -108,11 +108,13 @@ object Dedup {
     */
   def incrementalMinhashMatches(existing: DataFrame, incoming: DataFrame,
                                 keyCol: String, k: Int = 5,
-                                jaccardThreshold: Double = 0.8): DataFrame =
+                                jaccardThreshold: Double = 0.8,
+                                maxCandidatesPerNewId: Int = 1024,
+                                broadcastPairLimit: Long = 4000000L): DataFrame =
     incrementalMinhashMatchesPrebanded(
       minhashBandTable(existing, keyCol, k).withColumnRenamed(keyCol, "old_id"),
       spread(existing).select(col(keyCol).as("old_id"), col("text").as("ta")),
-      incoming, keyCol, k, jaccardThreshold)
+      incoming, keyCol, k, jaccardThreshold, maxCandidatesPerNewId, broadcastPairLimit)
 
   /** The corpus band table `(keyCol, band, bh)` — in a deployment this is
     * a PERSISTED artifact (banded once when a doc enters the corpus,
@@ -124,6 +126,41 @@ object Dedup {
       posexplode(TextSignatures.minhashBandsCol(docs.sparkSession)(col("text"), k))
         .as(Seq("band", "bh")))
 
+  /** Capped candidate pairs of the incremental gate: the corpus band table
+    * joined to the increment band table on `(band, bh)`, deduped, then
+    * bounded to the `maxCandidatesPerNewId` SMALLEST `old_id`s per
+    * increment doc (deterministic top-N). The cap is what turns the
+    * "candidates are increment-bounded" ASSUMPTION into an enforced
+    * invariant: a boilerplate/template increment doc legitimately
+    * band-collides with an entire duplicate class — millions of corpus
+    * docs at web scale — and without the cap that one doc makes the
+    * candidate set corpus-sized. A doc with 10⁶ matches needs only one
+    * surviving match to be gated, so truncating its candidate list loses
+    * nothing the caller acts on (the pair LIST for such a doc is
+    * explicitly partial — it is a dedup gate, not an exhaustive pair
+    * enumeration, which for a template doc would be the corpus itself).
+    *
+    * Scale shape: the band join streams the corpus side (the increment
+    * band table is the small/build side — never the corpus), and the cap
+    * is a windowed rank over `(new_id)`-partitioned PAIRS, so even a
+    * pathological doc's corpus-sized candidate list is sorted/spilled
+    * distributed on executors, never collected.
+    */
+  def incrementalCandidates(existingBands: DataFrame, incoming: DataFrame,
+                            keyCol: String, k: Int = 5,
+                            maxCandidatesPerNewId: Int = 1024): DataFrame = {
+    val newBands = minhashBandTable(incoming, keyCol, k)
+      .withColumnRenamed(keyCol, "new_id")
+    existingBands
+      .join(newBands, Seq("band", "bh"))
+      .select("old_id", "new_id")
+      .dropDuplicates("old_id", "new_id")
+      .withColumn("cand_rank",
+        row_number().over(Window.partitionBy("new_id").orderBy("old_id")))
+      .filter(col("cand_rank") <= maxCandidatesPerNewId)
+      .drop("cand_rank")
+  }
+
   /** Deployment form of [[incrementalMinhashMatches]]: the corpus side
     * arrives as its two persisted artifacts — `existingBands(old_id, band,
     * bh)` and `existingTexts(old_id, ta)` — so the only per-run banding
@@ -131,27 +168,37 @@ object Dedup {
     * its band table and the corpus is never shuffled (scan + hash-probe
     * only); a corpus persisted bucketed by `(band, bh)` avoids even that
     * shuffle for TB-scale increments.
+    *
+    * The candidate set is BOUNDED, then SIZE-CHECKED, then joined:
+    * [[incrementalCandidates]] caps candidates per increment doc (the
+    * template-doc hazard — see its doc), the capped set is materialized
+    * once (`localCheckpoint`) and counted EXACTLY, and only a set at or
+    * under `broadcastPairLimit` rows is broadcast onto the corpus text
+    * projection (corpus scanned + hash-probed, never shuffled — without
+    * the hint Catalyst's size estimate picked a sort-merge join that
+    * shuffled 93 MB of corpus texts at 500k docs for a 500-doc
+    * increment). Past the limit — a TB-scale increment, or a
+    * contract-violating flood the cap alone can't shrink below it — the
+    * verify join degrades to a shuffle join: slower, but distributed and
+    * OOM-free, instead of force-broadcasting an unbounded set into the
+    * driver. The count is exact and free: the checkpoint already
+    * materialized the capped set, and everything downstream reuses it.
     */
   def incrementalMinhashMatchesPrebanded(existingBands: DataFrame,
                                          existingTexts: DataFrame,
                                          incoming: DataFrame, keyCol: String,
                                          k: Int = 5,
-                                         jaccardThreshold: Double = 0.8): DataFrame = {
+                                         jaccardThreshold: Double = 0.8,
+                                         maxCandidatesPerNewId: Int = 1024,
+                                         broadcastPairLimit: Long = 4000000L): DataFrame = {
     val spark = incoming.sparkSession
-    val newBands = minhashBandTable(incoming, keyCol, k)
-      .withColumnRenamed(keyCol, "new_id")
-    val candidates = existingBands
-      .join(newBands, Seq("band", "bh"))
-      .select("old_id", "new_id")
-      .dropDuplicates("old_id", "new_id")
-    // candidates are increment-bounded by contract (each increment doc hits
-    // its own duplicate class, not the corpus), so they BROADCAST onto the
-    // corpus text projection — the corpus is scanned and hash-probed but
-    // never shuffled; without this, Catalyst's size estimate for the joined
-    // candidate subtree picked a sort-merge join that shuffled the corpus
-    // texts (measured: 93 MB of corpus-side exchange at 500k docs for a
-    // 500-doc increment). A TB-scale increment is gated in batches.
-    existingTexts.join(broadcast(candidates), "old_id")
+    val candidates =
+      incrementalCandidates(existingBands, incoming, keyCol, k, maxCandidatesPerNewId)
+        .localCheckpoint(true)
+    val candSide =
+      if (candidates.count() <= broadcastPairLimit) broadcast(candidates)
+      else candidates
+    existingTexts.join(candSide, "old_id")
       .join(spread(incoming).select(col(keyCol).as("new_id"), col("text").as("tb")), "new_id")
       .withColumn("jaccard", TextSignatures.shingleJaccardCol(spark)(col("ta"), col("tb"), k))
       .filter(col("jaccard") >= jaccardThreshold)

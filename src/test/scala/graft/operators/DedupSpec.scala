@@ -160,6 +160,71 @@ class DedupSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("incremental minhash: candidate bound enforced under a planted template flood") {
+    // The 100 TB hot-bucket hazard: a boilerplate/template increment doc
+    // legitimately near-dups an ENTIRE corpus duplicate class, making the
+    // raw band-candidate set corpus-sized. Plant exactly that — a corpus
+    // of 200 identical boilerplate docs, an increment with one template
+    // copy (hits all 200) and one novel doc — and prove the enforcement:
+    //  (a) the per-new_id cap bounds candidates (raw = 200, kept = cap),
+    //      keeping the smallest old_ids deterministically;
+    //  (b) the gate STILL flags the template doc (a doc with 200 matches
+    //      needs only one surviving match to be gated) and stays silent
+    //      on the novel doc;
+    //  (c) past broadcastPairLimit the verify join degrades to a
+    //      non-broadcast (shuffle) join instead of force-broadcasting an
+    //      unbounded set — same rows either way.
+    val s = spark
+    import s.implicits._
+    val boiler = "standard cookie consent banner text repeated across every single page of the site verbatim"
+    val corpus = (0L until 200L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1000L, boiler),
+      (1001L, "genuinely novel article body sharing no shingles with that boilerplate wall"),
+    ).toDF("doc_id", "text")
+    val bands = Dedup.minhashBandTable(corpus, "doc_id").withColumnRenamed("doc_id", "old_id")
+    val texts = corpus.select(col("doc_id").as("old_id"), col("text").as("ta"))
+    val cap = 8
+
+    // (a) cap bounds the flood; survivors are the smallest old_ids
+    val raw = Dedup.incrementalCandidates(bands, incoming, "doc_id",
+      maxCandidatesPerNewId = Int.MaxValue)
+    assert(raw.filter(col("new_id") === 1000L).count() == 200L,
+      "fixture must actually flood: template doc should band-collide with the whole corpus")
+    val capped = Dedup.incrementalCandidates(bands, incoming, "doc_id",
+      maxCandidatesPerNewId = cap)
+    val perNew = capped.groupBy("new_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(perNew(1000L) == cap.toLong, s"cap must bind on the template doc: $perNew")
+    assert(capped.filter(col("new_id") === 1000L).select("old_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == (0L until cap.toLong),
+      "capped survivors must be the deterministic smallest old_ids")
+
+    // (b) gate semantics survive the cap
+    val gated = Dedup.incrementalMinhashMatchesPrebanded(bands, texts, incoming,
+      "doc_id", jaccardThreshold = 0.8, maxCandidatesPerNewId = cap)
+    val rows = gated.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._2).toSet == Set(1000L), s"only the template doc is gated: ${rows.toSeq}")
+    assert(rows.length == cap && rows.forall(_._3 == 1.0),
+      s"every kept candidate of the template verifies exactly: ${rows.toSeq}")
+
+    // (c) the size guard: no forced broadcast past the limit — and no
+    // auto-broadcast rescue either (threshold off), so the fallback shape
+    // is the honest one a contract-violating flood would get at scale
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fb = Dedup.incrementalMinhashMatchesPrebanded(bands, texts, incoming,
+        "doc_id", jaccardThreshold = 0.8, maxCandidatesPerNewId = cap,
+        broadcastPairLimit = 0L)
+      val plan = fb.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"guard must drop the broadcast hint past the pair limit:\n$plan")
+      val fbRows = fb.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(fbRows.toSet == rows.toSet, "fallback join must return identical rows")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("incremental minhash equals the full pairing restricted to cross-slice pairs") {
     // The invariant that certifies the operator against the already-golden
     // full path: banded candidates + verify are the same construction, so

@@ -163,9 +163,10 @@ object Scale100StreamProbe {
     if (args.contains("rocksdb"))
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val defaultOps = Set("tumbling", "interval_join", "outer_join", "upsert")
     val ops = {
       val names = args.filterNot(_.forall(_.isDigit)).toSet - "rocksdb"
-      if (names.isEmpty) Set("tumbling", "interval_join", "outer_join", "upsert") else names
+      if (names.isEmpty) defaultOps else names
     }
     for (mult <- mults) {
       val dir = fixture(mult)
@@ -214,7 +215,10 @@ object Scale100StreamProbe {
         s""""exponents":{${exponents.mkString(",")}}}"""
     // a filtered or rocksdb run is a scratch experiment — never overwrite
     // the committed full-matrix artifact with partial/off-default results
-    if (mults == Seq(6, 60, 600) && ops.size == 4 && !args.contains("rocksdb"))
+    // (ops must EQUAL the default set: four unrecognized names would run
+    // nothing yet still clobber the artifact with an empty matrix)
+    if (mults == Seq(6, 60, 600) && ops == defaultOps && results.nonEmpty &&
+        !args.contains("rocksdb"))
       Files.write(Paths.get("SCALE100_streaming.json"),
         (artifact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(artifact)
