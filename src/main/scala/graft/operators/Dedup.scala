@@ -205,6 +205,71 @@ object Dedup {
       .select(col("old_id"), col("new_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Managed-table names of the persisted incremental-dedup artifacts for a
+    * fixture tag — exposed so specs can read/plan against the same tables
+    * the gate maintains.
+    */
+  def incrementalArtifactNames(tag: String): (String, String) =
+    (s"graft_incr_bands_x$tag", s"graft_incr_texts_x$tag")
+
+  /** The incremental gate run the way a DEPLOYMENT runs it (q114): corpus
+    * artifacts are PERSISTED managed tables — the band table bucketed AND
+    * sorted by `(band, bh)`, plus the text projection — the increment is
+    * gated against the BUCKETED READ, and the increment's bands + texts are
+    * APPENDED afterward so the next increment's gate sees a corpus that
+    * already contains this one (the corpus-grows step; the reference's
+    * Modified-date skip is the analogous build-once/maintain-forever
+    * contract, `statline_bq/main.py:39-95`).
+    *
+    * Scale shape: bucketing moves the corpus-side band shuffle to WRITE
+    * time, paid once per doc when it enters the corpus — after that every
+    * gate reads `(band, bh)`-clustered buckets directly, so even when the
+    * increment is too large to broadcast (the shuffle-join fallback of
+    * [[incrementalMinhashMatchesPrebanded]]) the corpus side still joins
+    * with zero exchange; only the increment's bands move. Certification
+    * rebuilds the artifacts from the corpus slice on every call so the
+    * result is a pure function of the fixture (a deployment builds once);
+    * the gate result is materialized BEFORE the append so the returned
+    * frame is stable against the artifact mutation behind it.
+    */
+  def incrementalGateOverPersistedArtifacts(spark: SparkSession,
+                                            corpus: DataFrame,
+                                            incoming: DataFrame,
+                                            keyCol: String, tag: String,
+                                            k: Int = 5,
+                                            jaccardThreshold: Double = 0.8,
+                                            nBuckets: Int = 8): DataFrame = {
+    val (bandsTbl, textsTbl) = incrementalArtifactNames(tag)
+    // a previous JVM can leave the managed-table LOCATION populated while
+    // this JVM's in-memory catalog is empty — drop any entry AND clear the
+    // stale location before the overwrite (the q89 bucketed-join pattern)
+    Seq(bandsTbl, textsTbl).foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      graft.StageDir.deleteRecursively(java.nio.file.Paths.get(loc))
+    }
+    minhashBandTable(corpus, keyCol, k).withColumnRenamed(keyCol, "old_id")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "band", "bh").sortBy("band", "bh")
+      .saveAsTable(bandsTbl)
+    corpus.select(col(keyCol).as("old_id"), col("text").as("ta"))
+      .write.mode("overwrite").format("parquet").saveAsTable(textsTbl)
+    val out = incrementalMinhashMatchesPrebanded(
+      spark.table(bandsTbl), spark.table(textsTbl), incoming, keyCol, k,
+      jaccardThreshold)
+      .localCheckpoint(true)
+    // corpus-grows: the increment's banding is paid here, exactly once —
+    // the next increment gates against these rows without re-banding them
+    minhashBandTable(incoming, keyCol, k).withColumnRenamed(keyCol, "old_id")
+      .write.mode("append").format("parquet")
+      .bucketBy(nBuckets, "band", "bh").sortBy("band", "bh")
+      .saveAsTable(bandsTbl)
+    incoming.select(col(keyCol).as("old_id"), col("text").as("ta"))
+      .write.mode("append").format("parquet").saveAsTable(textsTbl)
+    out
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** Adds a 64-bit `simhash` column from whitespace tokens of `text`:
@@ -388,6 +453,19 @@ object Dedup {
         "doc_id", k = 5, jaccardThreshold = 0.5)
         .presented("old_id", "new_id")
     }),
+    // q113's semantics through the DEPLOYMENT path: persisted bucketed band
+    // table + text projection, gate against the bucketed read, append the
+    // increment afterward — same slices, same golden (the result must be
+    // identical to q113's in-memory-prebanded run)
+    "q114_dedup_incremental_persisted" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      incrementalGateOverPersistedArtifacts(s,
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", Integer.toHexString(dir.hashCode), k = 5,
+        jaccardThreshold = 0.5)
+        .presented("old_id", "new_id")
+    }),
     "q43_dedup_ngram_jaccard" -> ((s, dir) =>
       ngramJaccardPairs(Tables(s, dir).documents.filter(col("doc_id") <= 40), "doc_id", 3)
         .filter(col("jaccard") >= 0.1)
@@ -425,6 +503,12 @@ object Dedup {
     */
   val oracles: Map[String, String] = Map(
     "q113_dedup_incremental" ->
+      """SELECT old_id, new_id, jaccard FROM read_parquet('/root/repo/goldens/q113_dedup_incremental.parquet')
+         WHERE corpus_tag = (SELECT SUM(strlen(text) * (doc_id + 1)) FROM documents)
+         ORDER BY old_id, new_id""",
+    // identical semantics to q113 (the deployment path must reproduce the
+    // in-memory path bit-for-bit), so it certifies against the same golden
+    "q114_dedup_incremental_persisted" ->
       """SELECT old_id, new_id, jaccard FROM read_parquet('/root/repo/goldens/q113_dedup_incremental.parquet')
          WHERE corpus_tag = (SELECT SUM(strlen(text) * (doc_id + 1)) FROM documents)
          ORDER BY old_id, new_id""",

@@ -225,6 +225,54 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("persisted-artifact gate: equals the in-memory path, grows the corpus, zero corpus-side exchange") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val docs = graft.Tables(spark, graft.TestSpark.Sf0001).documents
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    val tag = "spec" + Integer.toHexString(graft.TestSpark.Sf0001.hashCode)
+
+    // the deployment path must reproduce the in-memory prebanded path
+    // bit-for-bit (it certifies against the same q113 golden)
+    val viaArtifacts = Dedup.incrementalGateOverPersistedArtifacts(spark, corpus,
+      incoming, "doc_id", tag, jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Dedup.incrementalMinhashMatches(corpus, incoming, "doc_id",
+      jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaArtifacts == direct && viaArtifacts.nonEmpty)
+
+    // corpus-grows: the append left the artifacts holding corpus+increment,
+    // banded once each — the next increment gates against them as-is
+    val (bandsTbl, textsTbl) = Dedup.incrementalArtifactNames(tag)
+    assert(spark.table(textsTbl).count() == docs.count())
+    assert(spark.table(bandsTbl).select("old_id").distinct().count() == docs.count())
+
+    // the 100 TB shape the bucketed layout buys: even with NO broadcast
+    // anywhere (auto-broadcast off — the TB-scale-increment fallback), the
+    // band join reads the corpus side's (band, bh) buckets directly and
+    // plans with ZERO corpus-side exchange; only the increment's bands move
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+                    "spark.sql.adaptive.enabled" -> "false")
+      .map { case (key, v) =>
+        val old = spark.conf.get(key); spark.conf.set(key, v); key -> old
+      }
+    try {
+      val cands = Dedup.incrementalCandidates(spark.table(bandsTbl), incoming, "doc_id")
+      val plan = cands.queryExecution.executedPlan
+      val smj = plan.collect { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, s"expected a sort-merge band join with broadcast off:\n$plan")
+      val corpusSide = smj.last.left // existingBands is the left side
+      assert(corpusSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"corpus band table must join from its buckets, never shuffle:\n$plan")
+      val scans = corpusSide.collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+        s"corpus side must be a bucketed scan:\n$plan")
+    } finally saved.foreach { case (key, old) => spark.conf.set(key, old) }
+  }
+
   test("incremental minhash equals the full pairing restricted to cross-slice pairs") {
     // The invariant that certifies the operator against the already-golden
     // full path: banded candidates + verify are the same construction, so
