@@ -54,8 +54,15 @@ final case class Tables(spark: SparkSession, dir: String) {
     * portable event-time representation. Works whatever type Spark read:
     * long nanos, timestamp, or timestamp_ntz.
     */
-  def eventsUs: DataFrame = {
-    val raw = table("events")
+  def eventsUs: DataFrame = Tables.withTsUs(table("events"))
+}
+
+object Tables {
+  /** Canonicalizes a raw events frame's `ts` to epoch-µs `ts_us` BIGINT,
+    * whatever type the read surfaced (long nanos under `nanosAsLong`,
+    * timestamp, or timestamp_ntz — fixture vintages differ), dropping `ts`.
+    */
+  def withTsUs(raw: DataFrame): DataFrame = {
     val tsUs = raw.schema("ts").dataType match {
       case LongType          => expr("ts div 1000")
       case TimestampNTZType  => unix_micros(col("ts").cast(TimestampType))
@@ -63,9 +70,7 @@ final case class Tables(spark: SparkSession, dir: String) {
     }
     raw.withColumn("ts_us", tsUs).drop("ts")
   }
-}
 
-object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
 

@@ -57,6 +57,68 @@ object Dedup {
 
   private def spread(df: DataFrame): DataFrame = Inputs.spread(df)
 
+  // ------------------------------------------------ hot-bucket bounding
+
+  /** Adds per-bucket rank (`_rn`, by ascending key) and population
+    * (`_bsz`) to a bucketed signature table — the bookkeeping
+    * [[boundedCandidates]] needs to bound hot buckets. One exchange on the
+    * bucket key, the same partitioning the candidate self-join uses.
+    */
+  private def withBucketRank(df: DataFrame, keyCol: String,
+                             bucketCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+    df.withColumn("_rn", row_number().over(w.orderBy(col(keyCol))))
+      .withColumn("_bsz", count(lit(1)).over(w))
+  }
+
+  /** Within-bucket candidate pairs with a HOT-BUCKET bound. Buckets at or
+    * under `maxBucket` pair exhaustively (`a < b`) exactly as before; an
+    * OVER-cap bucket — a degenerate signature flood: empty/boilerplate
+    * text, an identical-vector pile — emits CHAIN pairs instead (each key
+    * with its successor in key order): `m−1` pairs rather than
+    * `m(m−1)/2`, so one bad bucket costs linear work instead of going
+    * quadratic, while the flood class stays fully CONNECTED for the
+    * clustering/gate step (successive members of a same-content class
+    * verify against each other like any other pairing; `duplicateClusters`
+    * closes the chain transitively). The caps default far above any
+    * organically-occurring bucket (measured at 500k ciphered docs —
+    * `SCALE100.json` `bucket_histograms`: minhash band max 26, simhash
+    * chunk max 752 and flattening, embedding bucket max 20 at sf0.1 —
+    * hence 1024 defaults, 4096 for the deliberately-dense simhash
+    * chunks), so certified outputs are unchanged — the bound exists for
+    * the 100 TB failure mode, where a boilerplate class of 10⁶ docs must
+    * not cost 10¹² joined rows.
+    *
+    * Join-input restriction, not post-filter: the chain side joins on
+    * `bucket ∪ rank`, so the quadratic row set is never materialized
+    * inside the join.
+    *
+    * @param payload signature/vector columns carried to both sides
+    *   (emitted as `<c>_a` / `<c>_b`)
+    */
+  private def boundedCandidates(bucketed: DataFrame, keyCol: String,
+                                bucketCols: Seq[String],
+                                payload: Seq[String],
+                                maxBucket: Int): DataFrame = {
+    val ranked = withBucketRank(bucketed, keyCol, bucketCols)
+    def side(df: DataFrame, tag: String, rn: Option[Column]) =
+      df.select(col(keyCol).as(tag) +:
+        payload.map(c => col(c).as(s"${c}_$tag")) ++:
+        bucketCols.map(col) ++:
+        rn.map(_.as("_rn")).toSeq: _*)
+    val small = ranked.filter(col("_bsz") <= maxBucket)
+    val big = ranked.filter(col("_bsz") > maxBucket)
+    val out = Seq(col("a"), col("b")) ++ payload.flatMap(c =>
+      Seq(col(s"${c}_a"), col(s"${c}_b")))
+    side(small, "a", None).join(side(small, "b", None), bucketCols)
+      .filter(col("a") < col("b"))
+      .select(out: _*)
+      .unionByName(
+        side(big, "a", Some(col("_rn")))
+          .join(side(big, "b", Some(col("_rn") - 1)), bucketCols :+ "_rn")
+          .select(out: _*))
+  }
+
   /** Candidate near-duplicate pairs via banded LSH + exact Jaccard verify.
     *
     * Scale shape: signatures come from the native
@@ -68,18 +130,16 @@ object Dedup {
     * exact Jaccard directly ([[graft.expressions.ShingleJaccard]]).
     *
     * @param jaccardThreshold verification threshold on exact shingle Jaccard
+    * @param maxBucket hot-bucket bound — see [[boundedCandidates]]
     */
   def minhashPairs(docs: DataFrame, keyCol: String, k: Int = 5,
-                   jaccardThreshold: Double = 0.8): DataFrame = {
+                   jaccardThreshold: Double = 0.8,
+                   maxBucket: Int = 1024): DataFrame = {
     val spark = docs.sparkSession
     val d = spread(docs)
     val bands = d.select(col(keyCol),
       posexplode(TextSignatures.minhashBandsCol(spark)(col("text"), k)).as(Seq("band", "bh")))
-    val a = bands.select(col(keyCol).as("a"), col("band"), col("bh"))
-    val b = bands.select(col(keyCol).as("b"), col("band"), col("bh"))
-    val candidates = a.join(b, Seq("band", "bh"))
-      .filter(col("a") < col("b"))
-      .select("a", "b")
+    val candidates = boundedCandidates(bands, keyCol, Seq("band", "bh"), Nil, maxBucket)
       .dropDuplicates("a", "b")
     candidates
       .join(d.select(col(keyCol).as("a"), col("text").as("ta")), "a")
@@ -292,21 +352,25 @@ object Dedup {
     * every candidate pair into `dropDuplicates`.
     */
   def simhashPairs(docs: DataFrame, keyCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
-    val sigs = withSimhash(spread(docs), textCol).select(col(keyCol), col("simhash"))
-    val chunks = sigs.select(col(keyCol), col("simhash"),
-      posexplode(expr(
-        "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)"))
-        .as(Seq("chunk", "cv")))
-    val a = chunks.select(col(keyCol).as("a"), col("simhash").as("siga"), col("chunk"), col("cv"))
-    val b = chunks.select(col(keyCol).as("b"), col("simhash").as("sigb"), col("chunk"), col("cv"))
-    a.join(b, Seq("chunk", "cv"))
-      .filter(col("a") < col("b"))
-      .withColumn("hamming", bit_count(col("siga").bitwiseXOR(col("sigb"))))
+                   maxDist: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    boundedCandidates(simhashChunkTable(docs, keyCol, textCol), keyCol,
+      Seq("chunk", "cv"), Seq("simhash"), maxBucket)
+      .withColumn("hamming", bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))))
       .filter(col("hamming") <= maxDist)
       .select("a", "b", "hamming")
       .dropDuplicates("a", "b")
   }
+
+  /** The exploded 16-bit-chunk bucket table `(keyCol, simhash, chunk, cv)`
+    * behind [[simhashPairs]] — exposed for the bucket-population audit.
+    */
+  private[graft] def simhashChunkTable(docs: DataFrame, keyCol: String,
+                                       textCol: String): DataFrame =
+    withSimhash(spread(docs), textCol).select(col(keyCol), col("simhash"))
+      .select(col(keyCol), col("simhash"),
+        posexplode(expr(
+          "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)"))
+          .as(Seq("chunk", "cv")))
 
   // ---------------------------------------------------- n-gram Jaccard
 
@@ -370,7 +434,8 @@ object Dedup {
     * verify work).
     */
   def embeddingLshPairs(emb: DataFrame, keyCol: String, vecCol: String,
-                        minSim: Double = 0.9, nPlanes: Int = 8): DataFrame = {
+                        minSim: Double = 0.9, nPlanes: Int = 8,
+                        maxBucket: Int = 1024): DataFrame = {
     val cos = VectorFunctions.cosineNative(emb.sparkSession) _
     // dim discovery has no row to inspect on an empty corpus — degrade to
     // the (empty) result rather than erroring the pipeline
@@ -380,11 +445,10 @@ object Dedup {
         lit(0.0).as("sim")).limit(0)
     }
     val bucketed = graft.operators.Similarity.withLshBucket(emb, vecCol, nPlanes, dim)
-    val a = bucketed.select(col(keyCol).as("a"), col(vecCol).as("va"), col("bucket"))
-    val b = bucketed.select(col(keyCol).as("b"), col(vecCol).as("vb"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), round(cos(col("va"), col("vb")), 6).as("sim"))
+      .select(col(keyCol), col(vecCol), col("bucket"))
+    boundedCandidates(bucketed, keyCol, Seq("bucket"), Seq(vecCol), maxBucket)
+      .select(col("a"), col("b"),
+        round(cos(col(s"${vecCol}_a"), col(s"${vecCol}_b")), 6).as("sim"))
       .filter(col("sim") >= minSim)
   }
 

@@ -160,6 +160,57 @@ class DedupSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("batch LSH hot-bucket bound: a planted degenerate class completes linearly and stays connected") {
+    // The batch-family analog of the incremental candidate bound: a
+    // boilerplate class floods one LSH bucket, and exhaustive within-bucket
+    // pairing would cost m(m-1)/2 joined rows. With the cap under the flood
+    // size the bucket must degrade to CHAIN pairs — m-1 candidates, linear
+    // — while (a) the flood class still comes out of clustering as ONE
+    // component, and (b) pairs outside the flood are exactly the uncapped
+    // ones.
+    val s = spark
+    import s.implicits._
+    val boiler = "identical boilerplate navigation header repeated across every page of the crawl"
+    val flood = (100L until 300L).map(i => (i, boiler))
+    val organic = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"),
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"),
+      (2L, "completely different content about spark catalyst optimizer rules and physical plans"),
+    )
+    val docs = (organic ++ flood).toDF("doc_id", "text")
+    val cap = 16
+
+    val capped = Dedup.minhashPairs(docs, "doc_id", jaccardThreshold = 0.8, maxBucket = cap)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // flood pairs are the 199-edge chain (plus nothing quadratic): every
+    // emitted flood pair is adjacent, so candidate count is linear in m
+    val floodPairs = capped.filter { case (a, b) => a >= 100L && b >= 100L }
+    assert(floodPairs == (100L until 299L).map(i => (i, i + 1)).toSet,
+      s"expected the chain over the flood class, got ${floodPairs.size} pairs")
+    // organic pairs unaffected by the cap: the (0,1) exact-dup pair survives
+    assert(capped.contains((0L, 1L)))
+    // the flood stays ONE duplicate cluster through the chain
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minhashPairs(docs, "doc_id", jaccardThreshold = 0.8, maxBucket = cap))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((100L until 300L).forall(clusters(_) == 100L),
+      "chained flood class must collapse to one canonical doc")
+
+    // simhash: same contract through the chunk buckets
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3, maxBucket = cap)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simFlood = sim.filter { case (a, b) => a >= 100L && b >= 100L }
+    assert(simFlood == (100L until 299L).map(i => (i, i + 1)).toSet)
+
+    // embedding LSH: an identical-vector pile in one bucket chains too
+    val emb = ((0L until 50L).map(i => (i, Array(1.0f, 0.5f, 0.25f))) :+
+      (99L, Array(-1.0f, 0.4f, 0.0f))).toDF("vec_id", "embedding")
+    val embPairs = Dedup.embeddingLshPairs(emb, "vec_id", "embedding",
+      minSim = 0.9, maxBucket = 8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(embPairs == (0L until 49L).map(i => (i, i + 1)).toSet)
+  }
+
   test("incremental minhash: candidate bound enforced under a planted template flood") {
     // The 100 TB hot-bucket hazard: a boilerplate/template increment doc
     // legitimately near-dups an ENTIRE corpus duplicate class, making the

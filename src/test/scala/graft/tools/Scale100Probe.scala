@@ -41,7 +41,7 @@ import graft.SparkEntry
   */
 object Scale100Probe {
   def main(args: Array[String]): Unit = {
-    val families = if (args.isEmpty) Seq("dedup", "events") else args.toSeq
+    val families = if (args.isEmpty) Seq("dedup", "buckets", "events") else args.toSeq
     val spark = SparkEntry.configure(
       SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
@@ -106,8 +106,8 @@ object Scale100Probe {
 
     // JVM warm-up (JIT, codegen, noop write path) — not measured
     run(graft.operators.Funnels.cohortRetention(
-      spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-        .withColumn("ts_us", expr("ts div 1000")), "user_id", "ts_us"))
+      graft.Tables.withTsUs(
+        spark.read.parquet("/root/testdata/sf0.1/events.parquet")), "user_id", "ts_us"))
 
     if (families.contains("dedup")) for (mult <- Seq(1, 10, 100)) {
       val docs = ensure(s"$base/docs_$mult")(cipheredDocs(mult))
@@ -120,9 +120,49 @@ object Scale100Probe {
           graft.operators.Dedup.minhashPairs(docs, "doc_id")))
       }
     }
+    // Bucket-population audit for the LSH families: the hot-bucket skew
+    // evidence behind Dedup's boundedCandidates caps. Per signature table,
+    // the bucket count, the MAX population, and a log2 histogram
+    // (size-class 2^k -> buckets in class) — organic maxima must sit far
+    // under the maxBucket default (1024) for the bound to be inert on
+    // certified outputs, and the histogram shows how much headroom exists.
+    val bucketStats = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def auditBuckets(tag: String, table: DataFrame, keys: Seq[String]): Unit = {
+      val sizes = table.groupBy(keys.map(col): _*).count()
+      val hist = sizes
+        .groupBy(floor(log(2.0, col("count"))).cast("long").as("c2"))
+        .agg(count(lit(1)).as("n"), max("count").as("mx"))
+        .orderBy("c2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val total = hist.map(_._2).sum
+      val mx = if (hist.isEmpty) 0L else hist.map(_._3).max
+      bucketStats(tag) =
+        s"""{"buckets":$total,"max_population":$mx,"log2_hist":{${
+          hist.map { case (c, n, _) => s""""${1L << c}":$n""" }.mkString(",")}}}"""
+      println(s"SCALE100 buckets $tag: buckets=$total max=$mx " +
+        hist.map { case (c, n, _) => s"2^$c:$n" }.mkString(" "))
+    }
+    if (families.contains("buckets")) {
+      for (mult <- Seq(1, 10, 100)) {
+        val docs = ensure(s"$base/docs_$mult")(cipheredDocs(mult))
+        auditBuckets(s"minhash_bands_x$mult",
+          graft.operators.Dedup.minhashBandTable(docs, "doc_id"), Seq("band", "bh"))
+        auditBuckets(s"simhash_chunks_x$mult",
+          graft.operators.Dedup.simhashChunkTable(docs, "doc_id", "text"),
+          Seq("chunk", "cv"))
+      }
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      auditBuckets("embedding_buckets_sf01",
+        graft.operators.Similarity.withLshBucket(emb, "embedding", 8, dim),
+        Seq("bucket"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("SCALE100_buckets.json"),
+        (s"{${bucketStats.map { case (k, v) => s""""$k":$v""" }.mkString(",")}}\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
     if (families.contains("events")) for (mult <- Seq(6, 60, 600)) {
-      val ev = ensure(s"$base/events_$mult")(multEvents(mult))
-        .withColumn("ts_us", expr("ts div 1000"))
+      val ev = graft.Tables.withTsUs(ensure(s"$base/events_$mult")(multEvents(mult)))
       val nEv = ev.count()
       time("events", "retention", mult, nEv) {
         run(graft.operators.Funnels.cohortRetention(ev, "user_id", "ts_us"))
@@ -171,10 +211,15 @@ object Scale100Probe {
       val aShuf = math.log(math.max(l.shuffleMb, 0.1) / math.max(f.shuffleMb, 0.1)) / span
       s""""$op":{"wall":${j(aWall)},"shuffle":${j(aShuf)}}"""
     }
+    val bucketsPart = java.nio.file.Paths.get("SCALE100_buckets.json")
+    val bucketsJson =
+      if (java.nio.file.Files.exists(bucketsPart))
+        s""","bucket_histograms":${java.nio.file.Files.readString(bucketsPart).trim}"""
+      else ""
     val artifact =
       s"""{"probe":"scale100","base_sf":"sf0.1","cores":32,"protocol":"cold fresh plan, noop sink, single run per point",""" +
         s""""measurements":[${rowsJson(merged).mkString(",")}],""" +
-        s""""exponents":{${exponents.mkString(",")}}}"""
+        s""""exponents":{${exponents.mkString(",")}}$bucketsJson}"""
     write("SCALE100.json", artifact)
     println(artifact)
     spark.stop()

@@ -109,8 +109,7 @@ object ScaleProbe {
         .reduce(_ unionAll _)
         .repartition(32).write.mode("overwrite").parquet(evOut)
     }
-    val ev = spark.read.parquet(evOut)
-      .withColumn("ts_us", expr("ts div 1000"))
+    val ev = graft.Tables.withTsUs(spark.read.parquet(evOut))
     time("resample_6m_events") {
       graft.operators.Resample.gapFillResample(
         ev.filter(col("user_id") % 7 === 0), "user_id", "ts_us", "value",
