@@ -41,15 +41,23 @@ object MergeUpsert {
     *
     * `changes` is walked TWICE in the produced plan (the matched side's
     * broadcast-collect and the insert-side union are separate subtree
-    * evaluations): a changeset whose lineage is expensive to recompute
-    * (e.g. an aggregation over a large batch) should be persisted by the
-    * caller before the merge — see `EventStreams.streamUpsert`, where the
-    * un-persisted recompute made the 60M-event scale point super-linear.
+    * evaluations), so an UNCACHED changeset is localCheckpoint'ed here
+    * (lazily: materialized into executor blocks on first use, lineage
+    * truncated, blocks reclaimed by the ContextCleaner when the frame is
+    * collected) — the changeset is delta-sized by contract, so the blocks
+    * are small, while its LINEAGE can be arbitrarily expensive (an
+    * aggregation over a large batch): before this ran inside `merge`, the
+    * silent double-evaluation made `EventStreams.streamUpsert`'s 60M-event
+    * scale point super-linear (6.8 s at 6M → 287 s at 60M). A caller that
+    * already persisted/checkpointed the changeset is left alone.
     */
-  def merge(base: DataFrame, changes: DataFrame, keyCol: String,
+  def merge(base: DataFrame, changes0: DataFrame, keyCol: String,
             broadcastChangeset: Boolean = true): DataFrame = {
-    val payload = changes.columns.filter(c => c != keyCol && c != "op").toSeq
+    val payload = changes0.columns.filter(c => c != keyCol && c != "op").toSeq
     require(payload.nonEmpty, "changeset carries no payload columns")
+    val changes =
+      if (changes0.storageLevel != org.apache.spark.storage.StorageLevel.NONE) changes0
+      else changes0.localCheckpoint(false)
     // The changeset is typically DERIVED from the base (self-join lineage),
     // so every matched-side column gets a fresh alias — no ambiguous-attr
     // resolution, no accidental reference to the base's attribute ids.

@@ -71,6 +71,37 @@ class MergeUpsertSpec extends AnyFunSuite {
     assert(out.length == 2 && out.map(_.getDouble(2)).toSeq == Seq(11.0, 12.0))
   }
 
+  test("an uncached changeset is evaluated exactly once") {
+    // merge's plan walks the changeset twice (matched-side broadcast +
+    // insert-side union); the auto-localCheckpoint must collapse that to
+    // ONE evaluation of the changeset's lineage — the silent recompute it
+    // prevents is what made the 60M-event upsert probe super-linear before
+    // the streamUpsert caller-side fix. Instrument with an accumulator
+    // bumped per evaluated changeset row.
+    val s = spark
+    import s.implicits._
+    val acc = spark.sparkContext.longAccumulator("changeset-evals")
+    val tick = udf((k: Long, v: Double) => { acc.add(1L); v })
+    val base = baseOf((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+    val chRaw = Seq((2L, "U", "b2", 22.0), (4L, "I", "d", 40.0))
+      .toDF("k", "op", "name", "price")
+    val ch = chRaw.withColumn("price", tick(col("k"), col("price")))
+    val out = MergeUpsert.merge(base, ch, "k").collect()
+    assert(out.length == 4)
+    assert(acc.value == 2L,
+      s"changeset rows must be evaluated once each (2), saw ${acc.value}")
+    // a caller-persisted changeset is left alone (no double checkpoint) and
+    // still evaluates once
+    val acc2 = spark.sparkContext.longAccumulator("changeset-evals-2")
+    val tick2 = udf((k: Long, v: Double) => { acc2.add(1L); v })
+    val chP = chRaw.withColumn("price", tick2(col("k"), col("price")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assert(MergeUpsert.merge(base, chP, "k").collect().length == 4)
+      assert(acc2.value == 2L, s"persisted changeset evaluated ${acc2.value} times")
+    } finally chP.unpersist(true)
+  }
+
   test("the base side never shuffles (broadcast resolution)") {
     // pre-AQE initial plan: exchanges are real nodes, not query stages
     val df = graft.SparkEntry.queries("q90_merge_upsert")(spark, graft.TestSpark.Sf0001)
