@@ -13,14 +13,63 @@ re-planning and fetching all result rows. Writes one JSON object:
 
 so `bench_vs_baseline` is computable per query from committed artifacts
 (bench_out.json vs DUCKDB_BASELINE.json) with no archaeology.
+
+q74 exception (the honesty ledger's one special case): the committed
+recursive-CTE oracle re-evaluates its tokenizing CTE every recursion step,
+which is DuckDB fighting its own planner (~40-50 s at sf0.1 for a greedy
+pack both engines compute in <1 s of real work) — a suite total carrying it
+flatters Spark. The TIMED q74 is therefore an equivalent iterative
+temp-table walk (same ordered greedy fold, tokens materialized once, one
+tiny join per rank step, all work in-engine; constants parsed from the
+committed SQL so they cannot drift) whose rows are asserted identical to
+the recursive CTE's in-run. The recursive CTE remains the correctness
+cross-check in check_oracles.py, and its own wall time is recorded
+separately as `q74_recursive_cte_reference_s`.
 """
 import json
+import re
 import sys
 import time
 
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def q74_iterative(con, committed_sql):
+    """Equivalent greedy pack as an iterative temp-table walk; returns rows
+    sorted (shard, doc_id). Shard/budget constants are parsed out of the
+    committed oracle SQL so the two formulations cannot drift apart."""
+    shards = int(re.search(r"doc_id % (\d+) AS shard", committed_sql).group(1))
+    budget = int(re.search(r"o\.tokens > (\d+)", committed_sql).group(1))
+    con.execute(f"""CREATE OR REPLACE TEMP TABLE q74_ordered AS
+        WITH base AS (
+          SELECT doc_id % {shards} AS shard, doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) END AS tokens
+          FROM documents)
+        SELECT shard, doc_id, tokens,
+               ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM base""")
+    con.execute("""CREATE OR REPLACE TEMP TABLE q74_prev AS
+        SELECT shard, doc_id, tokens, rn, CAST(0 AS BIGINT) AS pack_id, tokens AS acc
+        FROM q74_ordered WHERE rn = 1""")
+    con.execute("CREATE OR REPLACE TEMP TABLE q74_result AS SELECT * FROM q74_prev")
+    max_rn = con.sql("SELECT MAX(rn) FROM q74_ordered").fetchone()[0]
+    for i in range(2, max_rn + 1):
+        con.execute(f"""CREATE OR REPLACE TEMP TABLE q74_cur AS
+            SELECT o.shard, o.doc_id, o.tokens, o.rn,
+                   CASE WHEN p.acc > 0 AND p.acc + o.tokens > {budget}
+                        THEN p.pack_id + 1 ELSE p.pack_id END AS pack_id,
+                   CASE WHEN p.acc > 0 AND p.acc + o.tokens > {budget}
+                        THEN o.tokens ELSE p.acc + o.tokens END AS acc
+            FROM q74_ordered o JOIN q74_prev p ON o.shard = p.shard
+            WHERE o.rn = {i}""")
+        con.execute("INSERT INTO q74_result SELECT * FROM q74_cur")
+        con.execute("CREATE OR REPLACE TEMP TABLE q74_prev AS SELECT * FROM q74_cur")
+    return con.sql(
+        "SELECT shard, doc_id, tokens, pack_id FROM q74_result ORDER BY shard, doc_id"
+    ).fetchall()
 
 
 def main():
@@ -32,14 +81,25 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracles = json.load(open(oracle_path))
     results = {}
+    q74_cte_ref = None
     for name, sql in sorted(oracles.items()):
+        is_q74 = name.startswith("q74_")
+
         def run_once():
             t0 = time.perf_counter()
-            con.sql(sql).fetchall()
-            return time.perf_counter() - t0
+            rows = q74_iterative(con, sql) if is_q74 else con.sql(sql).fetchall()
+            return time.perf_counter() - t0, rows
         try:
-            run_once()  # warmup: catalog + file-footer caches
-            results[name] = round(min(run_once() for _ in range(3)), 6)
+            _, warm_rows = run_once()  # warmup: catalog + file-footer caches
+            results[name] = round(min(run_once()[0] for _ in range(3)), 6)
+            if is_q74:
+                # ledger: one timed run of the committed recursive CTE, and
+                # an in-run proof the timed walk computes the same rows
+                t0 = time.perf_counter()
+                cte_rows = con.sql(sql).fetchall()
+                q74_cte_ref = round(time.perf_counter() - t0, 6)
+                if sorted(cte_rows) != sorted(warm_rows):
+                    raise RuntimeError("q74 iterative walk != recursive CTE rows")
         except Exception as e:
             print(f"DUCKDB-ERR {name}: {str(e)[:200]}", file=sys.stderr)
             results[name] = -1.0
@@ -51,6 +111,10 @@ def main():
         "queries": results,
         "total": round(sum(ok.values()), 6),
         "timed_queries": len(ok),
+        "q74_timed_formulation": "iterative temp-table walk, row-identical to "
+            "the committed recursive-CTE oracle (asserted in-run); the CTE "
+            "remains the correctness cross-check",
+        "q74_recursive_cte_reference_s": q74_cte_ref,
     }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
