@@ -417,11 +417,21 @@ object EventStreams {
       .presented("imp_id", "click_id")
 
   /** The q73 plan pre-sink (see [[tumblingFrame]] for why it is split out). */
-  private[graft] def attributionPairsFrame(spark: SparkSession, dir: String): DataFrame = {
-    val imps = readEvents(spark, dir).filter(col("event_type") === "view")
+  private[graft] def attributionPairsFrame(spark: SparkSession, dir: String): DataFrame =
+    attributionPairsFrom(readEvents(spark, dir), readEvents(spark, dir))
+
+  /** The q73 join over caller-provided event streams (same `ts_utc` +
+    * `event_type` shape as [[readEvents]]) — the certified plan decoupled
+    * from the default staging, so a paced/multi-batch source (the
+    * watermark-eviction probe, the restart spec) measures and restarts THIS
+    * plan, not a re-implementation.
+    */
+  private[graft] def attributionPairsFrom(impEvents: DataFrame,
+                                          clickEvents: DataFrame): DataFrame = {
+    val imps = impEvents.filter(col("event_type") === "view")
       .select(col("user_id").as("l_key"), col("ts_utc").as("imp_time"),
         col("event_id").as("imp_id"))
-    val clicks = readEvents(spark, dir).filter(col("event_type") === "click")
+    val clicks = clickEvents.filter(col("event_type") === "click")
       .select(col("user_id").as("r_key"), col("ts_utc").as("click_time"),
         col("event_id").as("click_id"))
     intervalJoin(imps, clicks, "30 minutes", "1 hour")
@@ -452,12 +462,19 @@ object EventStreams {
       .presented("imp_id", "click_id")
 
   /** The q80 plan pre-sink (see [[tumblingFrame]] for why it is split out). */
-  private[graft] def attributionOuterFrame(spark: SparkSession, dir: String): DataFrame = {
-    val imps = readEvents(spark, dir).filter(col("event_type") === "view")
+  private[graft] def attributionOuterFrame(spark: SparkSession, dir: String): DataFrame =
+    attributionOuterFrom(readEvents(spark, dir), readEvents(spark, dir))
+
+  /** The q80 join over caller-provided event streams — see
+    * [[attributionPairsFrom]] for why the plan is source-decoupled.
+    */
+  private[graft] def attributionOuterFrom(impEvents: DataFrame,
+                                          clickEvents: DataFrame): DataFrame = {
+    val imps = impEvents.filter(col("event_type") === "view")
       .select(col("user_id").as("l_key"), col("ts_utc").as("imp_time"),
         col("event_id").as("imp_id"))
       .withWatermark("imp_time", "1 hour")
-    val clicks = readEvents(spark, dir).filter(col("event_type") === "click")
+    val clicks = clickEvents.filter(col("event_type") === "click")
       .select(col("user_id").as("r_key"), col("ts_utc").as("click_time"),
         col("event_id").as("click_id"))
       .withWatermark("click_time", "1 hour")
@@ -591,11 +608,49 @@ object EventStreams {
     // would re-pay the ~0.3s batch floor for no new protocol coverage
     val src = readEvents(spark, dir, maxFilesPerTrigger = Some(3))
       .select("user_id", "ts_us", "event_id", "value")
+    val finalSnap = streamUpsertRun(spark, src, snapBase)
+    // Publish the FINAL version via StageDir: atomic rename into a
+    // signature-pinned dir outside the sweep namespace, so the returned
+    // LAZY read survives every later run (same fixture + same result →
+    // same published dir; regenerated fixture OR logic change that alters
+    // the snapshot → new dir, stale copy dropped — see [[contentSig]] for
+    // why the content hash is part of the identity). No collect, no
+    // coalesce(1): output partitions are sized to snapshot volume from the
+    // parquet footer row count (metadata-only with aggregate pushdown).
+    val snap = spark.read.parquet(finalSnap)
+    val published = graft.StageDir.publish(
+      s"graft_upsert_snap_x${dirTag(dir)}",
+      s"${eventsSig(dir)}:c${contentSig(snap)}") { tmp =>
+      val rpp = spark.conf.getOption("spark.graft.upsert.rowsPerPartition")
+        .map(_.toLong).getOrElse(4000000L)
+      val parts = math.max(1L, (snap.count() + rpp - 1) / rpp).toInt
+      snap.repartition(parts).write.mode("overwrite").parquet(tmp.toString)
+    }
+    spark.read.parquet(published.toString).presented("user_id")
+    } finally graft.StageDir.releaseRunDir(snapBase)
+  }
+
+  /** The upsert micro-batch loop: foreachBatch merge chain writing one
+    * snapshot version per batch under `snapBase`, checkpoint at
+    * `snapBase/ckpt`. RESTART-SAFE: the version chain is recovered from the
+    * highest existing `v<id>` snapshot on entry — a fresh run dir has none
+    * (bootstrap); a KILLED run re-invoked with the same dir resumes the
+    * merge from its last committed version while the checkpoint replays
+    * only the unprocessed source files, so kill + restore converges to the
+    * uninterrupted result (pinned by `StreamRestartSpec`).
+    *
+    * @return the final snapshot version's path
+    */
+  private[graft] def streamUpsertRun(spark: SparkSession, src: DataFrame,
+                                     snapBase: java.nio.file.Path): String = {
+    val recovered = Option(snapBase.toFile.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .sortBy(_.getName.drop(1).toLong).lastOption.map(_.getAbsolutePath)
     // written by the microbatch thread, read by the caller after
     // awaitTermination — an AtomicReference makes the cross-thread
     // publication explicit instead of leaning on the driver's internal
     // synchronization
-    val current = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val current = new java.util.concurrent.atomic.AtomicReference[String](recovered.orNull)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
       spark.conf.getOption("spark.graft.stream.partitions").getOrElse("4"))
@@ -647,27 +702,8 @@ object EventStreams {
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    val finalSnap = Option(current.get()).getOrElse(
+    Option(current.get()).getOrElse(
       sys.error("stream upsert produced no snapshot"))
-    // Publish the FINAL version via StageDir: atomic rename into a
-    // signature-pinned dir outside the sweep namespace, so the returned
-    // LAZY read survives every later run (same fixture + same result →
-    // same published dir; regenerated fixture OR logic change that alters
-    // the snapshot → new dir, stale copy dropped — see [[contentSig]] for
-    // why the content hash is part of the identity). No collect, no
-    // coalesce(1): output partitions are sized to snapshot volume from the
-    // parquet footer row count (metadata-only with aggregate pushdown).
-    val snap = spark.read.parquet(finalSnap)
-    val published = graft.StageDir.publish(
-      s"graft_upsert_snap_x${dirTag(dir)}",
-      s"${eventsSig(dir)}:c${contentSig(snap)}") { tmp =>
-      val rpp = spark.conf.getOption("spark.graft.upsert.rowsPerPartition")
-        .map(_.toLong).getOrElse(4000000L)
-      val parts = math.max(1L, (snap.count() + rpp - 1) / rpp).toInt
-      snap.repartition(parts).write.mode("overwrite").parquet(tmp.toString)
-    }
-    spark.read.parquet(published.toString).presented("user_id")
-    } finally graft.StageDir.releaseRunDir(snapBase)
   }
 
   // ------------------------------------------------------- declared queries
