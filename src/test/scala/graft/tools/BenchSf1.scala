@@ -1,0 +1,111 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+
+/** Dev tool: the sf1-scale ratio point. Densifies the sf0.1 fixtures ×10
+  * under `/tmp/graft_sf1` (disjoint keys per copy — the `Scale100Probe`
+  * recipe; documents use the substitution-cipher copies so duplicate-class
+  * structure stays constant) and benches the most data-proportional
+  * queries with the exact `graft.Bench` methodology (fresh plan, collect,
+  * one warmup then min of 3). Writes the Spark side to
+  * `/tmp/bench_sf1_spark.json`; `tools/bench_sf1.py` runs the same
+  * queries' committed oracle SQL in DuckDB over the SAME parquet and
+  * merges both maps into `BENCH_sf1.json`.
+  *
+  * Why these queries: each scans a fact table (lineitem/orders/events/
+  * documents) whose volume grew 10×, with no fixed-size floor dominating —
+  * the set where the per-query scheduling-floor argument predicts the
+  * Spark÷DuckDB ratio collapses as volume grows.
+  */
+object BenchSf1 {
+  val Queries: Seq[String] = Seq(
+    "q05_join_inner", "q10_join_range", "q11_star_join", "q13_agg_hash",
+    "q14_agg_distinct", "q17_window_rank", "q20_sort", "q40_dedup_exact",
+    "q53_text_tfidf", "q90_merge_upsert", "q96_gapfill_resample",
+    "q101_cohort_retention", "q102_funnel")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkEntry.configure(
+      SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.local.dir", graft.streaming.EventStreams.scratchBase)
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val src = "/root/testdata/sf0.1"
+    val dir = "/tmp/graft_sf1"
+    val mult = 10
+
+    def copies(df: DataFrame): DataFrame =
+      df.select(col("*"), explode(sequence(lit(0L), lit(mult - 1L))).as("_i"))
+
+    if (!Files.exists(Paths.get(dir, "_STAGED"))) {
+      Files.createDirectories(Paths.get(dir))
+      def write(name: String)(df: DataFrame): Unit =
+        df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      // dims unchanged: copies keep valid dim references
+      Seq("region", "nation", "supplier", "part", "embeddings").foreach { t =>
+        write(t)(spark.read.parquet(s"$src/$t.parquet"))
+      }
+      val orders0 = spark.read.parquet(s"$src/orders.parquet")
+      val cust0 = spark.read.parquet(s"$src/customer.parquet")
+      val li0 = spark.read.parquet(s"$src/lineitem.parquet")
+      // disjoint key spaces per copy, consistent ACROSS tables so the join
+      // graph is preserved (each copy joins only with itself)
+      val kOff = orders0.agg(max("o_orderkey")).head().getLong(0) + 1
+      val cOff = cust0.agg(max("c_custkey")).head().getLong(0) + 1
+      write("customer")(copies(cust0)
+        .withColumn("c_custkey", col("c_custkey") + col("_i") * cOff).drop("_i"))
+      write("orders")(copies(orders0)
+        .withColumn("o_orderkey", col("o_orderkey") + col("_i") * kOff)
+        .withColumn("o_custkey", col("o_custkey") + col("_i") * cOff).drop("_i"))
+      write("lineitem")(copies(li0)
+        .withColumn("l_orderkey", col("l_orderkey") + col("_i") * kOff).drop("_i")
+        .repartition(32))
+      write("events")(copies(spark.read.parquet(s"$src/events.parquet"))
+        .withColumn("user_id", col("user_id") + col("_i") * 10000000L)
+        .withColumn("event_id", col("event_id") + col("_i") * 1000000000L)
+        .drop("_i").repartition(32))
+      write("documents")(ProbeFixtures.cipheredDocs(spark, mult))
+      Files.createFile(Paths.get(dir, "_STAGED"))
+    }
+
+    def runOnce(name: String,
+                fn: (SparkSession, String) => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, dir).collect() } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCHFAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val all = SparkEntry.freshQueries
+    val results = Queries.map { name =>
+      val fn = all(name)
+      runOnce(name, fn) // warmup
+      val ts = Seq(runOnce(name, fn), runOnce(name, fn), runOnce(name, fn))
+      System.gc()
+      val ok = ts.filter(_ >= 0)
+      val v = if (ok.nonEmpty) ok.min else -1.0
+      println(f"BENCHSF1 $name%-24s $v%8.3f s")
+      name -> v
+    }
+    def j(d: Double) = f"$d%.3f"
+    val json =
+      s"""{"sf":"sf1-densified (10x sf0.1, disjoint keys)","dir":"$dir","cores":$cpus,""" +
+        s""""queries":{${results.map { case (n, v) => s""""$n":${j(v)}""" }.mkString(",")}},""" +
+        s""""total":${j(results.map(_._2).filter(_ >= 0).sum)}}"""
+    Files.write(Paths.get("/tmp/bench_sf1_spark.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}
