@@ -199,6 +199,12 @@ object Dedup {
     * nothing the caller acts on (the pair LIST for such a doc is
     * explicitly partial — it is a dedup gate, not an exhaustive pair
     * enumeration, which for a template doc would be the corpus itself).
+    * Keeping the smallest `old_id`s is safe because an over-cap candidate
+    * list is near-always one duplicate class, not an accidental pile-up:
+    * unrelated content co-hashing into the same `(band, bh)` bucket is a
+    * ~2⁻³¹ per-band event, so a doc whose candidates exceed any sane cap
+    * got there by sharing shingles with all of them — any kept candidate
+    * verifies as well as a dropped one.
     *
     * Scale shape: the band join streams the corpus side (the increment
     * band table is the small/build side — never the corpus), and the cap
