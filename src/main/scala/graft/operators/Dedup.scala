@@ -336,6 +336,65 @@ object Dedup {
     out
   }
 
+  // ------------------------------------------- containment (excerpt dedup)
+
+  /** Excerpt/containment near-dup pairs: the duplicate class symmetric
+    * Jaccard MISSES. A 100-word quote inside a 10k-word document shares
+    * almost all of its shingles with the host but has near-zero Jaccard
+    * (the union is host-sized), so MinHash banding never surfaces it. The
+    * right measure is the OVERLAP COEFFICIENT
+    * `|S(a) ∩ S(b)| / min(|S(a)|, |S(b)|)` — ≈1 whenever the smaller doc
+    * is contained in the larger, whatever their size ratio.
+    *
+    * Scale shape — rare-shingle inverted-index blocking:
+    *  1. one pass computes global shingle document frequencies (one
+    *     aggregation on the exploded shingle table);
+    *  2. each doc keeps its `kRare` RAREST shingles (window per doc,
+    *     rarest-first, deterministic `(df, shingle)` order) — rare keys
+    *     make bucket sizes small BY CONSTRUCTION, the opposite of hashing
+    *     blindly;
+    *  3. candidates come from joining those rare keys against the full
+    *     inverted index (any doc containing one of a's rare shingles is a
+    *     containment candidate for a — one equi-join, probe side
+    *     proportional to `kRare × docs`);
+    *  4. exact overlap verifies only candidates.
+    * The inverted-index side caps each shingle's posting list at
+    * `maxBucket` smallest doc ids (a doc made entirely of ultra-common
+    * shingles would otherwise pull a corpus-sized posting list — the same
+    * boilerplate hazard as [[boundedCandidates]]; the cap is mirrored in
+    * the DuckDB oracle so certification is exact).
+    */
+  def containmentPairs(docs: DataFrame, keyCol: String, k: Int = 5,
+                       kRare: Int = 4, minOverlap: Double = 0.5,
+                       maxBucket: Int = 1024): DataFrame = {
+    val g = spread(docs).filter(length(col("text")) >= k)
+      .select(col(keyCol), shingles("text", k).as("g"))
+    val ex = g.select(col(keyCol), explode(col("g")).as("sh"))
+    val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    val withDf = ex.join(dfreq, "sh")
+    val rare = withDf
+      .withColumn("_rr", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("df"), col("sh"))))
+      .filter(col("_rr") <= kRare)
+      .select(col(keyCol).as("a"), col("sh"))
+    val postings = withDf
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy(col("sh")).orderBy(col(keyCol))))
+      .filter(col("_pr") <= maxBucket)
+      .select(col(keyCol).as("b"), col("sh"))
+    val candidates = rare.join(postings, "sh")
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .dropDuplicates("a", "b")
+    candidates
+      .join(g.select(col(keyCol).as("a"), col("g").as("ga")), "a")
+      .join(g.select(col(keyCol).as("b"), col("g").as("gb")), "b")
+      .select(col("a"), col("b"),
+        round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          least(size(col("ga")), size(col("gb"))).cast("double"), 4).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** Adds a 64-bit `simhash` column from whitespace tokens of `text`:
@@ -536,6 +595,13 @@ object Dedup {
         jaccardThreshold = 0.5)
         .presented("old_id", "new_id")
     }),
+    // excerpt/containment dedup over the full table: rare-shingle blocking
+    // + overlap-coefficient verify, fully SQL-mirrored in the oracle
+    // (including the posting-list cap, so certification is exact)
+    "q115_dedup_containment" -> ((s, dir) =>
+      containmentPairs(Tables(s, dir).documents, "doc_id", k = 5,
+        kRare = 4, minOverlap = 0.5)
+        .presented("a", "b")),
     "q43_dedup_ngram_jaccard" -> ((s, dir) =>
       ngramJaccardPairs(Tables(s, dir).documents.filter(col("doc_id") <= 40), "doc_id", 3)
         .filter(col("jaccard") >= 0.1)
@@ -596,6 +662,27 @@ object Dedup {
          ORDER BY a, b""",
     "q40_dedup_exact" ->
       "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM documents GROUP BY text ORDER BY doc_id",
+    // the same rare-shingle blocking + overlap-coefficient construction,
+    // spelled relationally (posting-list cap mirrored at 1024)
+    "q115_dedup_containment" ->
+      """WITH g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1), i -> substring(text, i, 5))) AS g
+                    FROM documents WHERE length(text) >= 5),
+         ex AS (SELECT doc_id, unnest(g) AS sh FROM g),
+         dfreq AS (SELECT sh, COUNT(*) AS df FROM ex GROUP BY sh),
+         wd AS (SELECT ex.doc_id, ex.sh, dfreq.df FROM ex JOIN dfreq USING (sh)),
+         rare AS (SELECT doc_id AS a, sh FROM (
+                    SELECT doc_id, sh, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, sh) AS rr FROM wd)
+                  WHERE rr <= 4),
+         postings AS (SELECT doc_id AS b, sh FROM (
+                    SELECT doc_id, sh, ROW_NUMBER() OVER (PARTITION BY sh ORDER BY doc_id) AS pr FROM wd)
+                  WHERE pr <= 1024),
+         cand AS (SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+                  FROM rare JOIN postings USING (sh) WHERE a <> b)
+         SELECT cand.a, cand.b,
+                ROUND(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) / LEAST(len(ga.g), len(gb.g)), 4) AS overlap
+         FROM cand JOIN g ga ON ga.doc_id = cand.a JOIN g gb ON gb.doc_id = cand.b
+         WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) / LEAST(len(ga.g), len(gb.g)) >= 0.5
+         ORDER BY a, b""",
     "q43_dedup_ngram_jaccard" ->
       """SELECT a.doc_id AS a, b.doc_id AS b, ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)), 4) AS jaccard
          FROM (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1), i -> substring(text, i, 3))) AS g FROM documents WHERE doc_id <= 40 AND length(text) >= 3) a

@@ -160,6 +160,39 @@ class DedupSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("containment pairs: a planted excerpt is found at overlap ~1 where Jaccard misses it") {
+    val s = spark
+    import s.implicits._
+    val host = ("in the beginning the project loaded parquet tables into spark and " +
+      "computed aggregations over them with catalyst optimized plans while the " +
+      "ingest connector paged through the odata endpoints and wrote dated " +
+      "snapshots with json sidecars for every table it fetched from the service")
+    val excerpt = "the ingest connector paged through the odata endpoints"
+    val docs = Seq(
+      (0L, host),
+      (1L, excerpt), // contained in 0: overlap ~1, Jaccard tiny
+      (2L, "wholly unrelated text about streaming watermarks and state stores today"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", k = 5, kRare = 4, minOverlap = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out.contains((0L, 1L)), s"excerpt pair must surface: $out")
+    assert(out((0L, 1L)) >= 0.95, s"excerpt overlap should be ~1: ${out((0L, 1L))}")
+    assert(!out.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+    // the symmetric-Jaccard path does NOT see this pair even at a lax
+    // threshold — the duplicate class q115 exists for
+    val jac = Dedup.minhashPairs(docs, "doc_id", jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((0L, 1L)),
+      "fixture must exercise the containment-only regime (Jaccard misses the excerpt)")
+    // posting-list cap: with maxBucket=1, every posting list is one doc —
+    // the excerpt pair survives only through the excerpt's own rare keys
+    // probing the host's full index entry; a flood cannot explode the join
+    val capped = Dedup.containmentPairs(docs, "doc_id", k = 5, kRare = 4,
+      minOverlap = 0.5, maxBucket = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.forall(p => out.contains(p)), "capped pairs are a subset")
+  }
+
   test("batch LSH hot-bucket bound: a planted degenerate class completes linearly and stays connected") {
     // The batch-family analog of the incremental candidate bound: a
     // boilerplate class floods one LSH bucket, and exhaustive within-bucket
