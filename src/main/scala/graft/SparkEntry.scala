@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOfJoin, Curation, Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.operators.{AsOfJoin, Cleaning, Curation, Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
 import graft.queries.Relational
 import graft.streaming.EventStreams
 
@@ -80,6 +80,7 @@ object SparkEntry {
       Similarity.queries ++
       TextAnalysis.queries ++
       Curation.queries ++
+      Cleaning.queries ++
       Multimodal.queries ++
       graft.operators.MergeUpsert.queries ++
       graft.operators.Resample.queries ++
@@ -141,6 +142,7 @@ object SparkEntry {
       Similarity.oracles ++
       TextAnalysis.oracles ++
       Curation.oracles ++
+      Cleaning.oracles ++
       graft.operators.MergeUpsert.oracles ++
       graft.operators.Resample.oracles ++
       graft.operators.Profile.oracles ++

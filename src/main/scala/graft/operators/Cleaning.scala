@@ -1,0 +1,252 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Present._
+import graft.Tables
+
+/** Corpus-cleaning operators for training-data pipelines: the scrubbing /
+  * rebalancing steps that run before dedup and curation — PII redaction,
+  * corpus-level boilerplate-line removal (the CCNet/RefinedWeb line-dedup
+  * stage), and language-mixture rebalancing (downsample every language to
+  * the minority share).
+  *
+  * Scale-first shapes:
+  *
+  *  - '''PII scrub''' is pure per-row regexp math — one scan, zero
+  *    shuffles, everything inside whole-stage codegen. Patterns are
+  *    restricted to the Java-regex ∩ RE2 dialect (no backreferences, no
+  *    lookaround) so the DuckDB oracle evaluates the identical automaton.
+  *  - '''boilerplate strip''' never groups the corpus by document: lines
+  *    are counted with one exploded-line aggregate (map-side combined), and
+  *    the boilerplate dictionary — small BY DEFINITION, it holds only lines
+  *    repeated across >= minDf docs — rides back onto the un-exploded
+  *    per-document line arrays as a broadcast scalar, so the rewrite side
+  *    is map-only. The alternative explode→join→re-group shape pays a
+  *    second corpus shuffle to reassemble documents; this one pays none.
+  *  - '''mixture rebalance''' aggregates per-language counts (a
+  *    languages-sized table), derives integer per-mille keep rates, and
+  *    broadcasts them onto a [[Curation.portableHash]] filter — the corpus
+  *    itself is never shuffled, and the sample is reproducible across
+  *    engines, runs, and partitionings.
+  */
+object Cleaning {
+  type Q = (SparkSession, String) => DataFrame
+
+  // -------------------------------------------------------------- PII scrub
+
+  /** PII patterns, identical semantics in Java regex (Spark) and RE2 (the
+    * DuckDB oracle): character classes, bounded repetition, and `\b` word
+    * boundaries only — both engines run leftmost-first matching over these.
+    */
+  val EmailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val Ipv4Pattern = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  /** International-format phone as the fixture plants it: +CC-AA-NNNNNNN.
+    * Real deployments swap in their locale's pattern set; the operator
+    * shape (count-then-chain-replace) is pattern-agnostic.
+    */
+  val PhonePattern = """\+\d{2}-\d{2}-\d{7}"""
+
+  /** Detect-and-redact PII: per-document counts of each PII kind (measured
+    * on the ORIGINAL text, so the counts survive redaction) plus the
+    * scrubbed text with typed placeholders. Email is replaced first — it is
+    * the most specific pattern — then IPv4, then phone; the three patterns
+    * cannot overlap (an email needs `@`, an IPv4 needs dotted digit quads,
+    * a phone needs a leading `+`), so the chain order only matters for
+    * future pattern sets. One scan, zero shuffles, idempotent (placeholders
+    * contain no digits or `@`, so re-scrubbing is a no-op — pinned by spec).
+    */
+  def piiScrub(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(keyCol),
+      regexp_count(t, lit(EmailPattern)).cast(LongType).as("n_emails"),
+      regexp_count(t, lit(Ipv4Pattern)).cast(LongType).as("n_ips"),
+      regexp_count(t, lit(PhonePattern)).cast(LongType).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        PhonePattern, "<PHONE>").as("clean_text"))
+  }
+
+  // ------------------------------------------------------ boilerplate strip
+
+  /** Non-overlapping `lineTokens`-token windows of `_t` (an already-split
+    * token array column) — the "lines" the boilerplate pass counts. Same
+    * window formula as [[Curation.chunkDocuments]] with stride = chunk.
+    */
+  private def lineArray(lineTokens: Int): Column = expr(
+    s"""transform(
+          sequence(0, greatest(CAST(ceil((size(_t) - $lineTokens) / CAST($lineTokens AS DOUBLE)) AS INT), 0)),
+          i -> array_join(slice(_t, i * $lineTokens + 1, $lineTokens), ' '))""")
+
+  /** Corpus-level boilerplate removal (the CCNet / RefinedWeb line-dedup
+    * stage): split every document into fixed `lineTokens`-token lines,
+    * count each line's document frequency across the corpus, and drop every
+    * instance of any line appearing in >= `minDf` documents. Returns
+    * `(key, n_lines, n_dropped, clean_text)` with the surviving lines
+    * rejoined in original order; a document that was ALL boilerplate stays
+    * in the output with an empty `clean_text` (dropping the row would
+    * silently change corpus counts downstream).
+    *
+    * At 100 TB: the line-frequency aggregate is the only corpus shuffle
+    * (per-doc `array_distinct` first, so a doc's internal repetition never
+    * inflates the exploded stream), and the resulting dictionary is
+    * broadcast as one array row onto the un-exploded documents — the
+    * rewrite is map-only and per-doc line order is preserved for free,
+    * where the naive explode→join→`groupBy(doc)` shape would shuffle the
+    * whole corpus a second time to reassemble it. The broadcast assumes the
+    * dictionary stays driver-sized — true by construction for a sane
+    * `minDf` (it holds only lines REPEATED across documents); a corpus
+    * where near-all lines repeat needs the join shape instead, the same
+    * size-guarded fallback contract as
+    * [[Dedup.incrementalMinhashMatchesPrebanded]].
+    */
+  def boilerplateStrip(docs: DataFrame, keyCol: String, textCol: String,
+                       lineTokens: Int, minDf: Long): DataFrame = {
+    require(lineTokens > 0, s"lineTokens must be positive: $lineTokens")
+    require(minDf >= 2, s"minDf < 2 would drop every line: $minDf")
+    val withLines = docs
+      .filter(TextAnalysis.wsTokenCount(col(textCol)) >= 1)
+      .select(col(keyCol), split(trim(col(textCol)), " +").as("_t"))
+      .select(col(keyCol), lineArray(lineTokens).as("_lines"))
+    // Document frequency per line: distinct per doc BEFORE exploding, then
+    // a plain count — map-side partial aggregation applies.
+    val dict = withLines
+      .select(explode(array_distinct(col("_lines"))).as("line"))
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .agg(sort_array(collect_list(col("line"))).as("_bp"))
+    withLines
+      .crossJoin(broadcast(dict)) // 1-row dictionary ride, not a cartesian
+      .withColumn("_kept", filter(col("_lines"),
+        l => !array_contains(col("_bp"), l)))
+      .select(
+        col(keyCol),
+        size(col("_lines")).cast(LongType).as("n_lines"),
+        (size(col("_lines")) - size(col("_kept"))).cast(LongType).as("n_dropped"),
+        array_join(col("_kept"), " ").as("clean_text"))
+  }
+
+  // ------------------------------------------------------ mixture rebalance
+
+  /** Language-mixture rebalancing: downsample every language stratum to the
+    * minority language's share (the parameter-free "balance to smallest"
+    * mixing step). Keep rates are exact integer per-mille —
+    * `min(1000, (1000 * min_count) div count)` — and membership is the
+    * [[Curation.portableHash]] filter, so the sample is the SAME corpus in
+    * any engine and under any partitioning. Returns
+    * `(key, stratum, permille)` for every kept document.
+    *
+    * At 100 TB: the per-language count is a languages-sized aggregate, the
+    * rate table broadcasts, and the corpus passes through one map-only
+    * filter — zero corpus shuffles. Rate sampling is approximate per
+    * stratum (binomial around the target share); pipelines needing exact-k
+    * strata use [[Curation.sampleFixedK]], which pays the per-stratum rank
+    * shuffle instead.
+    */
+  def mixtureRebalance(docs: DataFrame, keyCol: String, stratumCol: String): DataFrame = {
+    val counts = docs.groupBy(col(stratumCol).as("stratum")).agg(count(lit(1)).as("n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n")).as("mn"))))
+      .select(col("stratum"), expr("least(CAST(1000 AS BIGINT), (1000 * mn) DIV n)").as("permille"))
+    docs
+      .join(broadcast(rates), col(stratumCol) === col("stratum"))
+      .filter(Curation.portableHash(col(keyCol)) % 1000 < col("permille"))
+      .select(col(keyCol), col("stratum"), col("permille"))
+  }
+
+  // ------------------------------------------------------- declared queries
+
+  private val LineTokens = 16
+  private val MinDf = 2L
+
+  /** The q116 fixture lacks organic PII (synthetic word-salad text), so the
+    * query plants it deterministically from `doc_id` — email on ids ≡ 0
+    * (mod 2), IPv4 on ids ≡ 0 (mod 3), phone on ids ≡ 0 (mod 5) — giving a
+    * mix of 0–3 findings per doc and docs the scrubber must leave intact.
+    * The oracle mirrors the identical injection, so redaction is certified
+    * against text where the patterns genuinely fire.
+    */
+  private def plantPii(keyCol: String, textCol: String): Column = {
+    val id = col(keyCol)
+    def s(c: Column) = c.cast("string")
+    concat(
+      col(textCol),
+      when(id % 2 === 0,
+        concat(lit(" contact user"), s(id), lit("@example.com"))).otherwise(lit("")),
+      when(id % 3 === 0,
+        concat(lit(" host 10."), s(id % 256), lit("."), s((id * 7) % 256),
+          lit("."), s((id * 13) % 256))).otherwise(lit("")),
+      when(id % 5 === 0,
+        concat(lit(" call +31-20-"), s(lit(1000000L) + id))).otherwise(lit("")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q116_pii_scrub" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      piiScrub(docs.select(col("doc_id"), plantPii("doc_id", "text").as("text")),
+        "doc_id", "text")
+        .presented("doc_id")
+    }),
+    "q117_boilerplate_strip" -> ((s, dir) =>
+      boilerplateStrip(Tables(s, dir).documents, "doc_id", "text", LineTokens, MinDf)
+        .presented("doc_id")),
+    "q118_mixture_rebalance" -> ((s, dir) =>
+      mixtureRebalance(Tables(s, dir).documents, "doc_id", "lang")
+        .presented("doc_id")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // single-quoted SQL strings pass backslashes through untouched, so the
+    // RE2 pattern text is byte-identical to the Java pattern above
+    "q116_pii_scrub" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  text
+                  || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+                  || CASE WHEN doc_id % 3 = 0 THEN ' host 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.' || ((doc_id * 13) % 256) ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0 THEN ' call +31-20-' || (1000000 + doc_id) ELSE '' END AS text
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+                CAST(len(regexp_extract_all(text, '\+\d{2}-\d{2}-\d{7}')) AS BIGINT) AS n_phones,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                  '\+\d{2}-\d{2}-\d{7}', '<PHONE>', 'g') AS clean_text
+         FROM aug ORDER BY doc_id""",
+    // same chunk formula as the q109 oracle with stride = chunk = 16
+    "q117_boilerplate_strip" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+                       WHERE length(trim(text)) > 0),
+              g AS (SELECT doc_id, t,
+                           unnest(range(0, GREATEST(CAST(CEIL((len(t) - 16) / 16.0) AS BIGINT), 0) + 1)) AS i
+                    FROM toks),
+              lines AS (SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+                               array_to_string(t[i * 16 + 1 : i * 16 + 16], ' ') AS line
+                        FROM g),
+              bp AS (SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+              flagged AS (SELECT l.doc_id, l.chunk_id, l.line, (b.line IS NOT NULL) AS is_bp
+                          FROM lines l LEFT JOIN bp b USING (line))
+         SELECT doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_lines,
+                CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                COALESCE(string_agg(line, ' ' ORDER BY chunk_id) FILTER (WHERE NOT is_bp), '') AS clean_text
+         FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+    "q118_mixture_rebalance" ->
+      """WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+              m AS (SELECT MIN(n) AS mn FROM cnt),
+              rates AS (SELECT lang, LEAST(CAST(1000 AS BIGINT), (1000 * mn) // n) AS permille
+                        FROM cnt, m)
+         SELECT d.doc_id, d.lang AS stratum, r.permille
+         FROM documents d JOIN rates r USING (lang)
+         WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 % 1000 < r.permille
+         ORDER BY d.doc_id""",
+  )
+}

@@ -22,6 +22,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
       Relational.queries.keys, operators.AsOfJoin.queries.keys,
       operators.Dedup.queries.keys, operators.Similarity.queries.keys,
       operators.TextAnalysis.queries.keys, operators.Curation.queries.keys,
+      operators.Cleaning.queries.keys,
       Multimodal.queries.keys, operators.MergeUpsert.queries.keys,
       operators.Resample.queries.keys, operators.Profile.queries.keys,
       operators.Funnels.queries.keys, operators.SkewJoin.queries.keys,

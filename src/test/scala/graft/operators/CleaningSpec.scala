@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CleaningSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  // ---------------------------------------------------------------- PII
+
+  test("pii scrub: known values — counts on the original, typed placeholders") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "mail me at alice.smith+spam@sub.example.org or bob@x.io today"),
+      (1L, "server 192.168.0.1 talked to 10.255.3.77 over the vpn"),
+      (2L, "call +31-20-5551234 about the invoice"),
+      (3L, "no pii here at all just words"),
+      (4L, "mixed: c@d.nl from 8.8.8.8 dial +49-30-1234567 now"),
+    ).toDF("doc_id", "text")
+    val out = Cleaning.piiScrub(docs, "doc_id", "text").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out(0) == ((0L, 2L, 0L, 0L, "mail me at <EMAIL> or <EMAIL> today")))
+    assert(out(1) == ((1L, 0L, 2L, 0L, "server <IP> talked to <IP> over the vpn")))
+    assert(out(2) == ((2L, 0L, 0L, 1L, "call <PHONE> about the invoice")))
+    assert(out(3) == ((3L, 0L, 0L, 0L, "no pii here at all just words")))
+    assert(out(4) == ((4L, 1L, 1L, 1L, "mixed: <EMAIL> from <IP> dial <PHONE> now")))
+  }
+
+  test("pii scrub: idempotent — re-scrubbing scrubbed text is a no-op") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "a@b.com and 1.2.3.4 and +31-20-1234567 walk into a bar"),
+      (1L, "clean text stays clean"),
+    ).toDF("doc_id", "text")
+    val once = Cleaning.piiScrub(docs, "doc_id", "text")
+    val twice = Cleaning.piiScrub(
+      once.select(col("doc_id"), col("clean_text").as("text")), "doc_id", "text")
+    val t = twice.orderBy("doc_id").collect()
+    assert(t.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L))
+    assert(t.map(_.getString(4)).toSeq ==
+      once.orderBy("doc_id").collect().map(_.getString(4)).toSeq)
+  }
+
+  test("pii scrub: map-only plan — no exchange anywhere") {
+    val docs = graft.Tables(spark, graft.TestSpark.Sf0001).documents
+    val plan = Cleaning.piiScrub(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"PII scrub grew a shuffle:\n$plan")
+  }
+
+  // -------------------------------------------------------- boilerplate
+
+  /** 4-token lines; "shared header line here" planted across docs 0/1/2. */
+  private def bpDocs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "shared header line here unique tail for zero"),
+      (1L, "shared header line here another tail entirely one"),
+      (2L, "shared header line here"), // ALL boilerplate
+      (3L, "totally original content that repeats nowhere else"),
+    ).toDF("doc_id", "text")
+  }
+
+  test("boilerplate strip: planted shared line drops everywhere, order kept") {
+    val out = Cleaning.boilerplateStrip(bpDocs, "doc_id", "text", lineTokens = 4, minDf = 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((0L, 2L, 1L, "unique tail for zero")))
+    assert(out(1) == ((1L, 2L, 1L, "another tail entirely one")))
+    // the all-boilerplate doc SURVIVES with empty text — dropping the row
+    // would silently change corpus counts downstream
+    assert(out(2) == ((2L, 1L, 1L, "")))
+    assert(out(3) == ((3L, 2L, 0L, "totally original content that repeats nowhere else")))
+  }
+
+  test("boilerplate strip: within-doc repetition does not reach minDf") {
+    val s = spark
+    import s.implicits._
+    // doc 0 repeats its line internally; df counts DOCUMENTS, so df=1 < 2
+    val docs = Seq(
+      (0L, "again and again now again and again now"),
+      (1L, "some other words making one line"),
+    ).toDF("doc_id", "text")
+    val out = Cleaning.boilerplateStrip(docs, "doc_id", "text", lineTokens = 4, minDf = 2L)
+      .orderBy("doc_id").collect()
+    assert(out.forall(_.getLong(2) == 0L), "nothing crosses minDf across docs")
+  }
+
+  test("boilerplate strip: rewrite side is map-only (one corpus shuffle total)") {
+    val docs = graft.Tables(spark, graft.TestSpark.Sf0001).documents
+    val plan = Cleaning.boilerplateStrip(docs, "doc_id", "text", 16, 2L)
+      .queryExecution.executedPlan
+    val planStr = plan.toString
+    // the dictionary rides back as a broadcast, never a join that would
+    // shuffle the corpus by line or re-group it by doc
+    assert(planStr.contains("BroadcastNestedLoopJoin"),
+      s"dictionary stopped broadcasting:\n$planStr")
+    assert(!planStr.contains("SortMergeJoin"), s"corpus-side join regressed:\n$planStr")
+    // exactly one shuffle exchange: the line-frequency aggregate (the
+    // corpus's document side is never exchanged)
+    val shuffles = planStr.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected 1 hash exchange (line agg), got $shuffles:\n$planStr")
+  }
+
+  // ----------------------------------------------------------- mixture
+
+  test("mixture rebalance: rates hit the minority share and cap at 1000") {
+    val s = spark
+    import s.implicits._
+    // 40 'en', 10 'fr' docs: fr keeps everything (permille 1000), en 250
+    val docs = (0L until 40L).map(i => (i, "en")) ++ (100L until 110L).map(i => (i, "fr"))
+    val df = docs.toDF("doc_id", "lang")
+    val out = Cleaning.mixtureRebalance(df, "doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byStratum = out.groupBy(_._2)
+    assert(byStratum("fr").size == 10, "minority stratum keeps every doc")
+    assert(byStratum("fr").forall(_._3 == 1000L))
+    assert(byStratum("en").forall(_._3 == 250L))
+    // membership is exactly the portable-hash rule — recompute independently
+    def keep(id: Long) = ((id % 2147483648L) * 2654435761L) % 4294967296L % 1000L < 250L
+    assert(byStratum("en").map(_._1).toSet == (0L until 40L).filter(keep).toSet)
+  }
+
+  test("mixture rebalance: corpus is never shuffled — broadcast rate table only") {
+    val docs = graft.Tables(spark, graft.TestSpark.Sf0001).documents
+    val plan = Cleaning.mixtureRebalance(docs, "doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rate table stopped broadcasting:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side exchange regressed:\n$plan")
+  }
+
+  test("mixture rebalance: deterministic under repartitioning") {
+    val docs = graft.Tables(spark, graft.TestSpark.Sf0001).documents
+    val a = Cleaning.mixtureRebalance(docs, "doc_id", "lang")
+      .orderBy("doc_id").collect().toSeq
+    val b = Cleaning.mixtureRebalance(docs.repartition(7), "doc_id", "lang")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+}

@@ -41,7 +41,7 @@ import graft.SparkEntry
   */
 object Scale100Probe {
   def main(args: Array[String]): Unit = {
-    val families = if (args.isEmpty) Seq("dedup", "buckets", "events") else args.toSeq
+    val families = if (args.isEmpty) Seq("dedup", "buckets", "cleaning", "events") else args.toSeq
     val spark = SparkEntry.configure(
       SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
@@ -161,6 +161,27 @@ object Scale100Probe {
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
 
+    // Cleaning trio, same 5k → 50k → 500k docs: the ciphered copies have
+    // DISJOINT line sets across copies (a bijective char map is bijective
+    // on 16-token lines) while within-copy duplicate classes are preserved,
+    // so the boilerplate dictionary stays FIXED-SIZE as the corpus grows —
+    // exactly the regime the broadcast-dictionary rewrite claims to scale
+    // in. piiScrub and mixtureRebalance must show ~zero corpus shuffle at
+    // every scale (map-only / broadcast-rates contracts).
+    if (families.contains("cleaning")) for (mult <- Seq(1, 10, 100)) {
+      val docs = ensure(s"$base/docs_$mult")(cipheredDocs(mult))
+      val nDocs = docs.count()
+      time("cleaning", "pii_scrub", mult, nDocs) {
+        run(graft.operators.Cleaning.piiScrub(docs, "doc_id", "text"))
+      }
+      time("cleaning", "boilerplate_strip", mult, nDocs) {
+        run(graft.operators.Cleaning.boilerplateStrip(docs, "doc_id", "text", 16, 2L))
+      }
+      time("cleaning", "mixture_rebalance", mult, nDocs) {
+        run(graft.operators.Cleaning.mixtureRebalance(docs, "doc_id", "lang"))
+      }
+    }
+
     if (families.contains("events")) for (mult <- Seq(6, 60, 600)) {
       val ev = graft.Tables.withTsUs(ensure(s"$base/events_$mult")(multEvents(mult)))
       val nEv = ev.count()
@@ -191,7 +212,7 @@ object Scale100Probe {
     }
     // merge every part present into the committed artifact + exponents
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val merged = Seq("dedup", "events").flatMap { fam =>
+    val merged = Seq("dedup", "cleaning", "events").flatMap { fam =>
       val p = java.nio.file.Paths.get(s"SCALE100_$fam.json")
       if (!java.nio.file.Files.exists(p)) Seq.empty
       else {
