@@ -346,6 +346,16 @@ object Dedup {
     * `|S(a) ∩ S(b)| / min(|S(a)|, |S(b)|)` — ≈1 whenever the smaller doc
     * is contained in the larger, whatever their size ratio.
     *
+    * Shingles are WORD `n`-grams (Broder's w-shingling), not the char
+    * k-grams of the Jaccard family: containment is a phrase-reuse
+    * question, and char shingles over a shared vocabulary are so dense
+    * that blocking degenerates — measured on the sf0.1 fixture, char-5
+    * shingles produced ~2M candidates and a 335k-pair answer (the verify
+    * tier, not the operator, became the cost), where word 3-grams give
+    * ~67k candidates and an answer of a few hundred genuine excerpt
+    * pairs. Low-entropy corpora make char-gram blocking quadratic-ish at
+    * ANY scale; word shingles keep the rare-key premise true.
+    *
     * Scale shape — rare-shingle inverted-index blocking:
     *  1. one pass computes global shingle document frequencies (one
     *     aggregation on the exploded shingle table);
@@ -364,11 +374,13 @@ object Dedup {
     * boilerplate hazard as [[boundedCandidates]]; the cap is mirrored in
     * the DuckDB oracle so certification is exact).
     */
-  def containmentPairs(docs: DataFrame, keyCol: String, k: Int = 5,
+  def containmentPairs(docs: DataFrame, keyCol: String, n: Int = 3,
                        kRare: Int = 4, minOverlap: Double = 0.5,
                        maxBucket: Int = 1024): DataFrame = {
-    val g = spread(docs).filter(length(col("text")) >= k)
-      .select(col(keyCol), shingles("text", k).as("g"))
+    val g = spread(docs).filter(TextAnalysis.wsTokenCount(col("text")) >= n)
+      .select(col(keyCol), split(trim(col("text")), " +").as("_toks"))
+      .select(col(keyCol),
+        array_distinct(Curation.wordNgramsOfTokens(col("_toks"), n)).as("g"))
     val ex = g.select(col(keyCol), explode(col("g")).as("sh"))
     val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
     val withDf = ex.join(dfreq, "sh")
@@ -595,11 +607,11 @@ object Dedup {
         jaccardThreshold = 0.5)
         .presented("old_id", "new_id")
     }),
-    // excerpt/containment dedup over the full table: rare-shingle blocking
-    // + overlap-coefficient verify, fully SQL-mirrored in the oracle
-    // (including the posting-list cap, so certification is exact)
+    // excerpt/containment dedup over the full table: rare word-shingle
+    // blocking + overlap-coefficient verify, fully SQL-mirrored in the
+    // oracle (including the posting-list cap, so certification is exact)
     "q115_dedup_containment" -> ((s, dir) =>
-      containmentPairs(Tables(s, dir).documents, "doc_id", k = 5,
+      containmentPairs(Tables(s, dir).documents, "doc_id", n = 3,
         kRare = 4, minOverlap = 0.5)
         .presented("a", "b")),
     "q43_dedup_ngram_jaccard" -> ((s, dir) =>
@@ -662,11 +674,14 @@ object Dedup {
          ORDER BY a, b""",
     "q40_dedup_exact" ->
       "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM documents GROUP BY text ORDER BY doc_id",
-    // the same rare-shingle blocking + overlap-coefficient construction,
-    // spelled relationally (posting-list cap mirrored at 1024)
+    // the same rare word-shingle blocking + overlap-coefficient
+    // construction, spelled relationally (posting-list cap mirrored at
+    // 1024; same ' +' tokenization and short-doc-gram formula as q75/q109)
     "q115_dedup_containment" ->
-      """WITH g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1), i -> substring(text, i, 5))) AS g
-                    FROM documents WHERE length(text) >= 5),
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+                    WHERE CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), ' +')) END >= 3),
+         g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1), i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+               FROM t),
          ex AS (SELECT doc_id, unnest(g) AS sh FROM g),
          dfreq AS (SELECT sh, COUNT(*) AS df FROM ex GROUP BY sh),
          wd AS (SELECT ex.doc_id, ex.sh, dfreq.df FROM ex JOIN dfreq USING (sh)),

@@ -173,7 +173,7 @@ class DedupSpec extends AnyFunSuite {
       (1L, excerpt), // contained in 0: overlap ~1, Jaccard tiny
       (2L, "wholly unrelated text about streaming watermarks and state stores today"),
     ).toDF("doc_id", "text")
-    val out = Dedup.containmentPairs(docs, "doc_id", k = 5, kRare = 4, minOverlap = 0.5)
+    val out = Dedup.containmentPairs(docs, "doc_id", n = 3, kRare = 4, minOverlap = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(out.contains((0L, 1L)), s"excerpt pair must surface: $out")
     assert(out((0L, 1L)) >= 0.95, s"excerpt overlap should be ~1: ${out((0L, 1L))}")
@@ -187,7 +187,7 @@ class DedupSpec extends AnyFunSuite {
     // posting-list cap: with maxBucket=1, every posting list is one doc —
     // the excerpt pair survives only through the excerpt's own rare keys
     // probing the host's full index entry; a flood cannot explode the join
-    val capped = Dedup.containmentPairs(docs, "doc_id", k = 5, kRare = 4,
+    val capped = Dedup.containmentPairs(docs, "doc_id", n = 3, kRare = 4,
       minOverlap = 0.5, maxBucket = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped.forall(p => out.contains(p)), "capped pairs are a subset")
