@@ -92,21 +92,32 @@ object Cleaning {
     * in the output with an empty `clean_text` (dropping the row would
     * silently change corpus counts downstream).
     *
-    * At 100 TB: the line-frequency aggregate is the only corpus shuffle
-    * (per-doc `array_distinct` first, so a doc's internal repetition never
-    * inflates the exploded stream), and the resulting dictionary is
-    * broadcast as one array row onto the un-exploded documents — the
-    * rewrite is map-only and per-doc line order is preserved for free,
-    * where the naive explode→join→`groupBy(doc)` shape would shuffle the
-    * whole corpus a second time to reassemble it. The broadcast assumes the
-    * dictionary stays driver-sized — true by construction for a sane
-    * `minDf` (it holds only lines REPEATED across documents); a corpus
-    * where near-all lines repeat needs the join shape instead, the same
-    * size-guarded fallback contract as
-    * [[Dedup.incrementalMinhashMatchesPrebanded]].
+    * At 100 TB: the line-frequency aggregate (per-doc `array_distinct`
+    * first, so a doc's internal repetition never inflates the exploded
+    * stream) feeds one of two rewrite shapes, picked by MEASURED dictionary
+    * size — the dictionary is persisted and counted once, never assumed
+    * small (the [[Dedup.incrementalMinhashMatches]] discipline):
+    *
+    *  - '''tiny dictionary''' (≤ `smallDictLimit`): the lines ride back as
+    *    one broadcast array onto the un-exploded documents — map-only
+    *    rewrite, zero extra shuffle, per-doc order free. This shape is
+    *    O(corpus lines × dictionary) because the per-line `array_contains`
+    *    probe is a linear scan, which is exactly why the limit is small and
+    *    enforced: the boilerplate dictionary GROWS with corpus diversity
+    *    (more sites, more templates), and the ×100 scale probe measured the
+    *    unguarded array ride at 608 s against a 6.9k-line dictionary where
+    *    the join shape takes seconds.
+    *  - '''anything bigger''': explode → hash join on the line key →
+    *    re-group by document. One more corpus-volume shuffle (the regroup),
+    *    but every probe is a hash lookup; Catalyst auto-broadcasts the
+    *    dictionary while it fits and shuffle-joins past that — linear at
+    *    every dictionary size, no OOM cliff.
+    *
+    * Both shapes produce identical rows (pinned by spec).
     */
   def boilerplateStrip(docs: DataFrame, keyCol: String, textCol: String,
-                       lineTokens: Int, minDf: Long): DataFrame = {
+                       lineTokens: Int, minDf: Long,
+                       smallDictLimit: Long = 1024L): DataFrame = {
     require(lineTokens > 0, s"lineTokens must be positive: $lineTokens")
     require(minDf >= 2, s"minDf < 2 would drop every line: $minDf")
     val withLines = docs
@@ -115,20 +126,42 @@ object Cleaning {
       .select(col(keyCol), lineArray(lineTokens).as("_lines"))
     // Document frequency per line: distinct per doc BEFORE exploding, then
     // a plain count — map-side partial aggregation applies.
-    val dict = withLines
+    val bpLines = withLines
       .select(explode(array_distinct(col("_lines"))).as("line"))
       .groupBy("line").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-      .agg(sort_array(collect_list(col("line"))).as("_bp"))
-    withLines
-      .crossJoin(broadcast(dict)) // 1-row dictionary ride, not a cartesian
-      .withColumn("_kept", filter(col("_lines"),
-        l => !array_contains(col("_bp"), l)))
-      .select(
-        col(keyCol),
-        size(col("_lines")).cast(LongType).as("n_lines"),
-        (size(col("_lines")) - size(col("_kept"))).cast(LongType).as("n_dropped"),
-        array_join(col("_kept"), " ").as("clean_text"))
+      .select("line")
+      .persist() // the guard's count() materializes it; both shapes reuse it
+    if (bpLines.count() <= smallDictLimit) {
+      val dict = bpLines.agg(sort_array(collect_list(col("line"))).as("_bp"))
+      withLines
+        .crossJoin(broadcast(dict)) // 1-row dictionary ride, not a cartesian
+        .withColumn("_kept", filter(col("_lines"),
+          l => !array_contains(col("_bp"), l)))
+        .select(
+          col(keyCol),
+          size(col("_lines")).cast(LongType).as("n_lines"),
+          (size(col("_lines")) - size(col("_kept"))).cast(LongType).as("n_dropped"),
+          array_join(col("_kept"), " ").as("clean_text"))
+    } else {
+      // Grown dictionary: hash-probe per line (explode + line-keyed join)
+      // and re-group by document. The dictionary side is NOT force-broadcast:
+      // Catalyst broadcasts it while small and shuffle-joins past the
+      // threshold, so there is no size at which this shape falls over.
+      withLines
+        .select(col(keyCol), posexplode(col("_lines")).as(Seq("_pos", "line")))
+        .join(bpLines.withColumn("_bp", lit(true)), Seq("line"), "left")
+        .groupBy(keyCol)
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(when(col("_bp").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+          array_join(
+            transform(
+              array_sort(collect_list( // collect_list drops null (= dropped) lines
+                when(col("_bp").isNull, struct(col("_pos"), col("line"))))),
+              x => x.getField("line")),
+            " ").as("clean_text"))
+    }
   }
 
   // ------------------------------------------------------ mixture rebalance

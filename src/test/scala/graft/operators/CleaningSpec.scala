@@ -99,10 +99,30 @@ class CleaningSpec extends AnyFunSuite {
     assert(planStr.contains("BroadcastNestedLoopJoin"),
       s"dictionary stopped broadcasting:\n$planStr")
     assert(!planStr.contains("SortMergeJoin"), s"corpus-side join regressed:\n$planStr")
-    // exactly one shuffle exchange: the line-frequency aggregate (the
-    // corpus's document side is never exchanged)
-    val shuffles = planStr.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(shuffles == 1, s"expected 1 hash exchange (line agg), got $shuffles:\n$planStr")
+    // the document side is never exchanged: the only hash exchange in the
+    // whole tree is the line-frequency aggregate's, keyed by line — any
+    // doc-keyed repartition means the re-group shape came back
+    assert(!planStr.contains("Exchange hashpartitioning(doc_id"),
+      s"corpus re-grouped by doc:\n$planStr")
+    val hashEx = planStr.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.forall(_.contains("line#")),
+      s"every hash exchange must be line-keyed (the frequency agg):\n$planStr")
+  }
+
+  test("boilerplate strip: over-limit dictionary switches to the join shape with identical rows") {
+    val docs = graft.Tables(spark, graft.TestSpark.Sf0001).documents
+    val viaBroadcast = Cleaning.boilerplateStrip(docs, "doc_id", "text", 16, 2L)
+    // limit 0 forces the join shape for ANY non-empty dictionary
+    val viaJoin = Cleaning.boilerplateStrip(docs, "doc_id", "text", 16, 2L,
+      smallDictLimit = 0L)
+    val joinPlan = viaJoin.queryExecution.executedPlan.toString
+    assert(!joinPlan.contains("BroadcastNestedLoopJoin"),
+      s"fallback must not broadcast the dictionary array:\n$joinPlan")
+    val a = viaBroadcast.orderBy("doc_id").collect().toSeq
+    val b = viaJoin.orderBy("doc_id").collect().toSeq
+    assert(a == b, "the two shapes must produce identical rows")
+    assert(a.exists(_.getLong(2) > 0L), "fixture must exercise actual drops")
   }
 
   // ----------------------------------------------------------- mixture

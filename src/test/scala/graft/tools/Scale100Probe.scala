@@ -174,8 +174,13 @@ object Scale100Probe {
       time("cleaning", "pii_scrub", mult, nDocs) {
         run(graft.operators.Cleaning.piiScrub(docs, "doc_id", "text"))
       }
+      // smallDictLimit=0 pins the JOIN shape at every scale (the dedup-leg
+      // precedent of disabling auto-broadcast): the dictionary grows with
+      // corpus diversity, so the array-ride fast path only covers the small
+      // points and a shape crossover mid-sweep would read as superlinearity.
       time("cleaning", "boilerplate_strip", mult, nDocs) {
-        run(graft.operators.Cleaning.boilerplateStrip(docs, "doc_id", "text", 16, 2L))
+        run(graft.operators.Cleaning.boilerplateStrip(docs, "doc_id", "text", 16, 2L,
+          smallDictLimit = 0L))
       }
       time("cleaning", "mixture_rebalance", mult, nDocs) {
         run(graft.operators.Cleaning.mixtureRebalance(docs, "doc_id", "lang"))
