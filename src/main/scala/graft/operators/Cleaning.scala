@@ -118,19 +118,48 @@ object Cleaning {
   def boilerplateStrip(docs: DataFrame, keyCol: String, textCol: String,
                        lineTokens: Int, minDf: Long,
                        smallDictLimit: Long = 1024L): DataFrame = {
-    require(lineTokens > 0, s"lineTokens must be positive: $lineTokens")
     require(minDf >= 2, s"minDf < 2 would drop every line: $minDf")
-    val withLines = docs
+    val withLines = docLines(docs, keyCol, textCol, lineTokens)
+    stripAgainst(withLines, keyCol,
+      lineDocFrequencies(docs, keyCol, textCol, lineTokens)
+        .filter(col("df") >= minDf).select("line"),
+      smallDictLimit)
+  }
+
+  /** `(key, _lines)` — each doc's line array (the shared rewrite input). */
+  private def docLines(docs: DataFrame, keyCol: String, textCol: String,
+                       lineTokens: Int): DataFrame = {
+    require(lineTokens > 0, s"lineTokens must be positive: $lineTokens")
+    docs
       .filter(TextAnalysis.wsTokenCount(col(textCol)) >= 1)
       .select(col(keyCol), split(trim(col(textCol)), " +").as("_t"))
       .select(col(keyCol), lineArray(lineTokens).as("_lines"))
-    // Document frequency per line: distinct per doc BEFORE exploding, then
-    // a plain count — map-side partial aggregation applies.
-    val bpLines = withLines
+  }
+
+  /** Per-line document frequency over `docs`: `(line, df)`. Distinct per
+    * doc BEFORE exploding, then a plain count — map-side partial
+    * aggregation applies. `df` is ADDITIVE across disjoint document sets
+    * (each doc contributes 0 or 1 per line), which is what makes the
+    * dictionary incrementally maintainable ([[mergeLineFrequencies]]).
+    */
+  def lineDocFrequencies(docs: DataFrame, keyCol: String, textCol: String,
+                         lineTokens: Int): DataFrame =
+    docLines(docs, keyCol, textCol, lineTokens)
       .select(explode(array_distinct(col("_lines"))).as("line"))
       .groupBy("line").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf)
-      .select("line")
+
+  /** Merge a maintained `(line, df)` table with a new increment's counts —
+    * the daily-batch dictionary update that never re-scans the corpus
+    * (exact because df is additive over disjoint doc sets; pinned by the
+    * maintained-equals-recomputed spec).
+    */
+  def mergeLineFrequencies(existing: DataFrame, delta: DataFrame): DataFrame =
+    existing.unionByName(delta).groupBy("line").agg(sum(col("df")).as("df"))
+
+  /** The guarded two-shape rewrite of [[boilerplateStrip]] (see its doc). */
+  private def stripAgainst(withLines: DataFrame, keyCol: String,
+                           dictLines: DataFrame, smallDictLimit: Long): DataFrame = {
+    val bpLines = dictLines
       .persist() // the guard's count() materializes it; both shapes reuse it
     if (bpLines.count() <= smallDictLimit) {
       val dict = bpLines.agg(sort_array(collect_list(col("line"))).as("_bp"))
@@ -162,6 +191,30 @@ object Cleaning {
               x => x.getField("line")),
             " ").as("clean_text"))
     }
+  }
+
+  /** Incremental boilerplate removal — the deployment form (the
+    * q113/q114 incremental-dedup discipline applied to cleaning): the
+    * standing corpus is represented ONLY by its maintained `(line, df)`
+    * frequency table ([[lineDocFrequencies]], persisted once, updated per
+    * batch with [[mergeLineFrequencies]] — df is additive over disjoint doc
+    * sets, so the update is exact and the corpus text is never re-scanned).
+    * The increment's own counts merge in BEFORE thresholding, so a line
+    * that only crosses `minDf` across corpus + increment is still caught;
+    * then only the increment's documents are rewritten. Per daily batch the
+    * work is the increment's lines plus one dictionary-sized merge — the
+    * 100 TB daily-clean shape.
+    */
+  def boilerplateStripIncrement(corpusCounts: DataFrame, increment: DataFrame,
+                                keyCol: String, textCol: String,
+                                lineTokens: Int, minDf: Long,
+                                smallDictLimit: Long = 1024L): DataFrame = {
+    require(minDf >= 2, s"minDf < 2 would drop every line: $minDf")
+    val dict = mergeLineFrequencies(corpusCounts,
+      lineDocFrequencies(increment, keyCol, textCol, lineTokens))
+      .filter(col("df") >= minDf).select("line")
+    stripAgainst(docLines(increment, keyCol, textCol, lineTokens), keyCol,
+      dict, smallDictLimit)
   }
 
   // ------------------------------------------------------ mixture rebalance
@@ -231,6 +284,18 @@ object Cleaning {
     "q118_mixture_rebalance" -> ((s, dir) =>
       mixtureRebalance(Tables(s, dir).documents, "doc_id", "lang")
         .presented("doc_id")),
+    // incremental deployment form: every 5th doc plays today's batch, the
+    // rest are the standing corpus — represented ONLY by its maintained
+    // (line, df) table, never re-scanned for text
+    "q119_boilerplate_increment" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      boilerplateStripIncrement(
+        lineDocFrequencies(docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", LineTokens),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", LineTokens, MinDf)
+        .presented("doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -267,6 +332,27 @@ object Cleaning {
               bp AS (SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
               flagged AS (SELECT l.doc_id, l.chunk_id, l.line, (b.line IS NOT NULL) AS is_bp
                           FROM lines l LEFT JOIN bp b USING (line))
+         SELECT doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_lines,
+                CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                COALESCE(string_agg(line, ' ' ORDER BY chunk_id) FILTER (WHERE NOT is_bp), '') AS clean_text
+         FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+    // the oracle certifies the ADDITIVITY claim: it computes the dictionary
+    // over the WHOLE table from scratch — maintained corpus counts merged
+    // with the increment's counts must land on exactly that dictionary
+    "q119_boilerplate_increment" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+                       WHERE length(trim(text)) > 0),
+              g AS (SELECT doc_id, t,
+                           unnest(range(0, GREATEST(CAST(CEIL((len(t) - 16) / 16.0) AS BIGINT), 0) + 1)) AS i
+                    FROM toks),
+              lines AS (SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+                               array_to_string(t[i * 16 + 1 : i * 16 + 16], ' ') AS line
+                        FROM g),
+              bp AS (SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+              inc AS (SELECT * FROM lines WHERE doc_id % 5 = 0),
+              flagged AS (SELECT i.doc_id, i.chunk_id, i.line, (b.line IS NOT NULL) AS is_bp
+                          FROM inc i LEFT JOIN bp b USING (line))
          SELECT doc_id,
                 CAST(COUNT(*) AS BIGINT) AS n_lines,
                 CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,

@@ -125,6 +125,57 @@ class CleaningSpec extends AnyFunSuite {
     assert(a.exists(_.getLong(2) > 0L), "fixture must exercise actual drops")
   }
 
+  test("incremental boilerplate: maintained counts equal a from-scratch recompute") {
+    val docs = graft.Tables(spark, graft.TestSpark.Sf0001).documents
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val inc = docs.filter(col("doc_id") % 5 === 0)
+    val maintained = Cleaning.mergeLineFrequencies(
+      Cleaning.lineDocFrequencies(corpus, "doc_id", "text", 16),
+      Cleaning.lineDocFrequencies(inc, "doc_id", "text", 16))
+      .orderBy("line").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val scratch = Cleaning.lineDocFrequencies(docs, "doc_id", "text", 16)
+      .orderBy("line").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(maintained == scratch, "df additivity over disjoint doc sets broke")
+  }
+
+  test("incremental boilerplate: a line crossing minDf only across the slices is caught") {
+    val s = spark
+    import s.implicits._
+    // the shared line appears ONCE in the corpus and ONCE in the increment:
+    // neither slice alone reaches minDf=2 — only the merged dictionary does
+    val corpus = Seq((1L, "shared header line here corpus body text")).toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, "shared header line here fresh tail words"),
+      (11L, "wholly original increment content words here")).toDF("doc_id", "text")
+    val out = Cleaning.boilerplateStripIncrement(
+      Cleaning.lineDocFrequencies(corpus, "doc_id", "text", 4),
+      inc, "doc_id", "text", 4, 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((10L, 2L, 1L, "fresh tail words")),
+      s"cross-slice boilerplate must be caught: ${out.toSeq}")
+    assert(out(1) == ((11L, 2L, 0L, "wholly original increment content words here")))
+  }
+
+  test("incremental boilerplate: the corpus text is never re-scanned") {
+    // deployment layout: the maintained counts and today's batch are their
+    // own parquet artifacts; the corpus DOCUMENTS table must not appear
+    // anywhere in the gate's plan — its only representative is the counts
+    val docs = graft.Tables(spark, graft.TestSpark.Sf0001).documents
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incbp").toString
+    Cleaning.lineDocFrequencies(docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", 16).write.mode("overwrite").parquet(s"$tmp/counts")
+    docs.filter(col("doc_id") % 5 === 0)
+      .write.mode("overwrite").parquet(s"$tmp/inc")
+    val out = Cleaning.boilerplateStripIncrement(
+      spark.read.parquet(s"$tmp/counts"), spark.read.parquet(s"$tmp/inc"),
+      "doc_id", "text", 16, 2L)
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(!planStr.contains("documents"),
+      s"corpus text snuck back into the incremental gate:\n$planStr")
+    assert(out.count() > 0)
+  }
+
   // ----------------------------------------------------------- mixture
 
   test("mixture rebalance: rates hit the minority share and cap at 1000") {
