@@ -377,10 +377,18 @@ object Dedup {
   def containmentPairs(docs: DataFrame, keyCol: String, n: Int = 3,
                        kRare: Int = 4, minOverlap: Double = 0.5,
                        maxBucket: Int = 1024): DataFrame = {
+    // The gram table feeds FIVE consumers (the df aggregate, both window
+    // inputs, and the two verify sides), and Spark's exchange reuse cannot
+    // unify them (different partitioning keys), so without a cache the
+    // ngram computation — the single most expensive expression here,
+    // measured 0.77 s of a 3.9 s total at sf0.1 — re-runs per consumer.
+    // Persist it once (docs × one gram array ≈ input-sized, the q113
+    // candidate-persist precedent); the whole query drops to ~1/3 the wall.
     val g = spread(docs).filter(TextAnalysis.wsTokenCount(col("text")) >= n)
       .select(col(keyCol), split(trim(col("text")), " +").as("_toks"))
       .select(col(keyCol),
         array_distinct(Curation.wordNgramsOfTokens(col("_toks"), n)).as("g"))
+      .persist()
     val ex = g.select(col(keyCol), explode(col("g")).as("sh"))
     val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
     val withDf = ex.join(dfreq, "sh")
