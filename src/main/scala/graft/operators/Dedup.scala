@@ -578,6 +578,36 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("lbl").as("canonical"))
   }
 
+  /** Duplicate RESOLUTION — the step that actually applies dedup: given the
+    * corpus and a near-dup pair source, cluster the pairs
+    * ([[duplicateClusters]]) and, per cluster, KEEP the best document by
+    * quality score ([[TextAnalysis.qualityScoreFromStats]], ties to the
+    * smallest key) and mark the rest dropped. Emits
+    * `(key, cluster, quality_score, keep)` for every clustered document —
+    * the keep/drop decision list a pipeline applies (unclustered docs are
+    * unique and never at risk).
+    *
+    * Scale shape: the cluster table holds only documents that appeared in a
+    * pair — the duplicate fraction of the corpus, not the corpus — so the
+    * quality join and the per-cluster rank window move duplicate-sized
+    * data; the corpus itself contributes one scan for the scores of the
+    * clustered keys (semi-join pushdown when the planner sees the join).
+    */
+  def resolveDuplicates(docs: DataFrame, pairs: DataFrame,
+                        keyCol: String, textCol: String): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+      .withColumnRenamed("canonical", "cluster")
+    val st = graft.expressions.TextStats.statsCol(docs.sparkSession)(col(textCol))
+    val scored = docs.withColumn("_st", st)
+      .select(col(keyCol),
+        TextAnalysis.qualityScoreFromStats(col("_st")).as("quality_score"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("quality_score").desc, col(keyCol))
+    clusters.join(scored, Seq(keyCol))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col(keyCol), col("cluster"), col("quality_score"), col("keep"))
+  }
+
   // ------------------------------------------------------- declared queries
 
   val queries: Map[String, Q] = Map(
@@ -646,6 +676,16 @@ object Dedup {
         ngramJaccardPairs(Tables(s, dir).documents.filter(col("doc_id") <= 40), "doc_id", 3)
           .filter(col("jaccard") >= 0.1))
         .presented("doc_id")),
+    // dedup applied end-to-end: same pair source as q85, clustered, then
+    // per-cluster keep-the-best-quality (the decision list a pipeline acts on)
+    "q120_dedup_resolve" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      resolveDuplicates(docs,
+        ngramJaccardPairs(docs.filter(col("doc_id") <= 40), "doc_id", 3)
+          .filter(col("jaccard") >= 0.1),
+        "doc_id", "text")
+        .presented("doc_id")
+    }),
   )
 
   /** Oracles: the SQL-expressible semantics run directly in DuckDB; the
@@ -738,5 +778,31 @@ object Dedup {
            UNION
            SELECT reach.node, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r)
          SELECT node AS doc_id, MIN(r) AS canonical FROM reach GROUP BY node ORDER BY doc_id""",
+    // q85's transitive closure + q79's quality formula + per-cluster argmax
+    "q120_dedup_resolve" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1), i -> substring(text, i, 3))) AS g FROM documents WHERE doc_id <= 40 AND length(text) >= 3) a
+           JOIN (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1), i -> substring(text, i, 3))) AS g FROM documents WHERE doc_id <= 40 AND length(text) >= 3) b
+           ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)) >= 0.1),
+         edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+         reach AS (
+           SELECT DISTINCT src AS node, src AS r FROM edges
+           UNION
+           SELECT reach.node, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r),
+         clusters AS (SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node),
+         scored AS (
+           SELECT doc_id, ROUND(CAST(least(n_words, 50) * alpha AS DOUBLE) * 10000 / (50 * greatest(n_chars, 1))) / 10000 AS quality_score
+           FROM (SELECT doc_id,
+                        CAST(length(text) AS BIGINT) AS n_chars,
+                        CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) END AS n_words,
+                        CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha
+                 FROM documents) f),
+         ranked AS (
+           SELECT c.doc_id, c.cluster, s.quality_score,
+                  ROW_NUMBER() OVER (PARTITION BY c.cluster ORDER BY s.quality_score DESC, c.doc_id) AS rk
+           FROM clusters c JOIN scored s USING (doc_id))
+         SELECT doc_id, cluster, quality_score, (rk = 1) AS keep FROM ranked ORDER BY doc_id""",
   )
 }

@@ -193,6 +193,33 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.forall(p => out.contains(p)), "capped pairs are a subset")
   }
 
+  test("duplicate resolution: per cluster exactly one keeper, the best by quality") {
+    val s = spark
+    import s.implicits._
+    // cluster {1,2,3} via chain pairs; {7,9} island; doc 5 unpaired (unique)
+    val docs = Seq(
+      (1L, "short junk ////"), // low alpha ratio -> low quality
+      (2L, "a perfectly ordinary sentence with plain words throughout"),
+      (3L, "another wordy doc of middling quality overall today"),
+      (5L, "never paired with anything"),
+      (7L, "island text one"),
+      (9L, "island text two"),
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val out = Dedup.resolveDuplicates(docs, pairs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    // unique docs are not at risk and do not appear
+    assert(!out.exists(_._1 == 5L))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 7L, 9L))
+    // one keeper per cluster
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster.size == 2)
+    assert(byCluster.values.forall(_.count(_._3) == 1), s"one keeper per cluster: ${out.toSeq}")
+    // the junk doc never wins its cluster
+    assert(!out.find(_._1 == 1L).get._3, "low-quality doc must be dropped")
+  }
+
   test("batch LSH hot-bucket bound: a planted degenerate class completes linearly and stays connected") {
     // The batch-family analog of the incremental candidate bound: a
     // boilerplate class floods one LSH bucket, and exhaustive within-bucket
