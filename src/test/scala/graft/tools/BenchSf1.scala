@@ -27,7 +27,12 @@ object BenchSf1 {
     "q05_join_inner", "q10_join_range", "q11_star_join", "q13_agg_hash",
     "q14_agg_distinct", "q17_window_rank", "q20_sort", "q40_dedup_exact",
     "q53_text_tfidf", "q90_merge_upsert", "q96_gapfill_resample",
-    "q101_cohort_retention", "q102_funnel")
+    "q101_cohort_retention", "q102_funnel",
+    // round-9 additions whose work is documents-proportional: containment
+    // dedup (ciphered copies keep candidate structure per copy), the PII
+    // scan, both boilerplate modes, and the mixture filter
+    "q115_dedup_containment", "q116_pii_scrub", "q117_boilerplate_strip",
+    "q118_mixture_rebalance", "q119_boilerplate_increment")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
