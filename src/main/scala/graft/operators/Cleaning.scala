@@ -227,20 +227,29 @@ object Cleaning {
     * any engine and under any partitioning. Returns
     * `(key, stratum, permille)` for every kept document.
     *
-    * At 100 TB: the per-language count is a languages-sized aggregate, the
+    * At 100 TB: the per-stratum count is a strata-sized aggregate, the
     * rate table broadcasts, and the corpus passes through one map-only
     * filter — zero corpus shuffles. Rate sampling is approximate per
     * stratum (binomial around the target share); pipelines needing exact-k
     * strata use [[Curation.sampleFixedK]], which pays the per-stratum rank
     * shuffle instead.
+    *
+    * "Strata are few" is a CONTRACT, not a given — languages are hundreds,
+    * but a caller stratifying by domain has millions — so it is enforced,
+    * not assumed: the rate table is persisted and counted once, broadcast
+    * under `broadcastStrataLimit` and shuffle-joined past it (one corpus
+    * exchange, no OOM cliff). Same rows either way (pinned by spec).
     */
-  def mixtureRebalance(docs: DataFrame, keyCol: String, stratumCol: String): DataFrame = {
+  def mixtureRebalance(docs: DataFrame, keyCol: String, stratumCol: String,
+                       broadcastStrataLimit: Long = 4000000L): DataFrame = {
     val counts = docs.groupBy(col(stratumCol).as("stratum")).agg(count(lit(1)).as("n"))
     val rates = counts
       .crossJoin(broadcast(counts.agg(min(col("n")).as("mn"))))
       .select(col("stratum"), expr("least(CAST(1000 AS BIGINT), (1000 * mn) DIV n)").as("permille"))
+      .persist() // the guard's count() materializes it; the join reuses it
+    val rateSide = if (rates.count() <= broadcastStrataLimit) broadcast(rates) else rates
     docs
-      .join(broadcast(rates), col(stratumCol) === col("stratum"))
+      .join(rateSide, col(stratumCol) === col("stratum"))
       .filter(Curation.portableHash(col(keyCol)) % 1000 < col("permille"))
       .select(col(keyCol), col("stratum"), col("permille"))
   }

@@ -203,6 +203,29 @@ class CleaningSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"corpus-side exchange regressed:\n$plan")
   }
 
+  test("mixture rebalance: over-limit strata fall back to the shuffle join with identical rows") {
+    val docs = graft.Tables(spark, graft.TestSpark.Sf0001).documents
+    val a = Cleaning.mixtureRebalance(docs, "doc_id", "lang")
+      .orderBy("doc_id").collect().toSeq
+    // limit 0 drops OUR broadcast hint; auto-broadcast must also be off to
+    // see the fallback shape (Catalyst still broadcasts any tiny table by
+    // size, which is exactly the intended post-guard behavior)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val forced = Cleaning.mixtureRebalance(docs, "doc_id", "lang",
+        broadcastStrataLimit = 0L)
+      assert(!forced.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "limit 0 + no auto-broadcast must yield the shuffle join")
+      assert(forced.orderBy("doc_id").collect().toSeq == a)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+    }
+  }
+
   test("mixture rebalance: deterministic under repartitioning") {
     val docs = graft.Tables(spark, graft.TestSpark.Sf0001).documents
     val a = Cleaning.mixtureRebalance(docs, "doc_id", "lang")
