@@ -266,6 +266,8 @@ object Cleaning {
     * The oracle mirrors the identical injection, so redaction is certified
     * against text where the patterns genuinely fire.
     */
+  private[graft] def plantPiiCol(keyCol: String, textCol: String): Column = plantPii(keyCol, textCol)
+
   private def plantPii(keyCol: String, textCol: String): Column = {
     val id = col(keyCol)
     def s(c: Column) = c.cast("string")

@@ -67,9 +67,30 @@ object DocPipeline {
       cleanDocsStream(s, dir, minQuality = 0.5)
         .select(col("fp"), col("quality_score"))
         .presented("fp")
+    }),
+    // q121: the PII scrub as a STREAM — the batch operator composes with
+    // readStream unchanged (map-only, stateless, append mode), so the
+    // certified rows are exactly q116's and the oracle is shared verbatim.
+    // This is the continuous-ingestion form of the cleaning stage: each
+    // arriving document is scrubbed in its micro-batch with zero state.
+    "q121_stream_pii_scrub" -> ((s, dir) => {
+      import graft.Present._
+      import graft.operators.Cleaning
+      val schema = graft.Tables(s, dir).table("documents").schema
+      val stageDir = ReplayStage.stage(s, s"$dir/documents.parquet",
+        s"graft_docs_stage_${Integer.toHexString(dir.hashCode)}", n = 4)
+      val stream = s.readStream.schema(schema).parquet(stageDir)
+      val scrubbed = Cleaning.piiScrub(
+        stream.select(col("doc_id"),
+          Cleaning.plantPiiCol("doc_id", "text").as("text")),
+        "doc_id", "text")
+      EventStreams.runToMemory(s, scrubbed, "append")
+        .presented("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
+    // identical rows to q116 (map-only operator, append mode): share its SQL
+    "q121_stream_pii_scrub" -> graft.operators.Cleaning.oracles("q116_pii_scrub"),
     "q86_stream_doc_clean" ->
       """WITH f AS (
            SELECT list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) AS fp,
