@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,6 +48,57 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
         round(cos(col("qv"), col("nv")), 6).as("sim"))
     topKPerGroup(scored, "q_id", "sim", "n_id", k)
+  }
+
+  /** Scalar-quantization (int8) ANN — the memory-bounded embedding-search
+    * play: L2-normalize each vector, then quantize every coordinate to a
+    * signed byte `floor(x/‖x‖ · 127 + 0.5)`. Codes of unit vectors make
+    * the integer dot product a 127²-scaled cosine, so ranking tracks the
+    * exact cosine baseline (recall pinned by spec) while vectors shrink 4×
+    * vs float32 — and unlike the float-cosine family the search arithmetic
+    * is exact INTEGER end to end, so the whole construction (norms via
+    * IEEE-exact sqrt and a left-fold sum both engines replay, codes,
+    * scores, ranks) is value-certifiable against SQL with no rounding
+    * contract. No training pass at all: no bounds, no codebook — each
+    * vector quantizes from its own norm, map-only.
+    *
+    * Scale shape: quantization is a projection (zero shuffles, zero
+    * corpus aggregates); scoring is the [[bruteForceTopK]] broadcast-probe
+    * shape over codes (swap in the LSH/IVF blockers for billion-vector
+    * corpora — quantization composes with any of them, it changes the
+    * PAYLOAD, not the search strategy). Integer scores stay exact in the
+    * top-k heap's double slot up to 2^53 (dim·127² ≈ 1M here).
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, keyCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    // dim from data: 1-row probe, the lshTopK precedent
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    // left-fold the squared coordinates (array order, not partition order —
+    // deterministic and exactly replayed by the oracle's list_reduce); the
+    // norm is hoisted into its OWN projection so the fold runs once per
+    // row, not once per dimension (the wordNgramsOfTokens rule)
+    def normExpr(vc: String): Column = expr(
+      s"""CASE WHEN sqrt(aggregate($vc, 0.0D,
+              (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0.0D
+          THEN 1.0D
+          ELSE sqrt(aggregate($vc, 0.0D,
+              (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) END""")
+    def codes(vc: String): Column = expr(
+      s"""transform(sequence(1, $dim), i ->
+            CAST(floor(least(greatest(
+                   CAST(element_at($vc, i) AS DOUBLE) / _nm,
+                   -1.0D), 1.0D) * 127.0D + 0.5D) AS BIGINT))""")
+    val q = queries.select(col(keyCol).as("q_id"), col(vecCol).as("qv"))
+      .select(col("q_id"), col("qv"), normExpr("qv").as("_nm"))
+      .select(col("q_id"), codes("qv").as("qc"))
+    val c = corpus.select(col(keyCol).as("n_id"), col(vecCol).as("nv"))
+      .select(col("n_id"), col("nv"), normExpr("nv").as("_nm"))
+      .select(col("n_id"), codes("nv").as("nc"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        expr("aggregate(zip_with(qc, nc, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+          .as("score"))
+    topKPerGroup(scored, "q_id", "score", "n_id", k)
   }
 
   /** Per-group top-k via the bounded-heap aggregate; returns
@@ -319,9 +370,41 @@ object Similarity {
       ivfTopK(emb.filter(col("vec_id") <= 5), emb, "vec_id", "embedding", k = 3)
         .presented("q_id", "rnk")
     }),
+    // int8 scalar quantization: exact-integer codes + scores, so the whole
+    // construction (bounds, codes, dot products, ranks) is value-certified
+    "q122_similarity_quantized" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      quantizedTopK(emb.filter(col("vec_id") <= 5), emb, "vec_id", "embedding", k = 3)
+        .presented("q_id", "rnk")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    // exact-integer search end to end: per-vector L2 norm via the SAME
+    // left-fold sum Spark's aggregate() computes (the q86 prepend-fold
+    // pattern), signed half-up int8 codes, BIGINT dots, rank (score desc, id)
+    "q122_similarity_quantized" ->
+      """WITH norms AS (
+           SELECT vec_id, embedding,
+                  CASE WHEN nm = 0.0 THEN 1.0 ELSE nm END AS nm
+           FROM (SELECT vec_id, embedding,
+                        sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nm
+                 FROM embeddings) e),
+         codes AS (
+           SELECT vec_id,
+                  list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(floor(least(greatest(CAST(embedding[i] AS DOUBLE) / nm, -1.0), 1.0) * 127.0 + 0.5) AS BIGINT)) AS c
+           FROM norms),
+         scored AS (
+           SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                  CAST(list_sum(list_transform(range(1, len(q.c) + 1), i -> q.c[i] * n.c[i])) AS BIGINT) AS score
+           FROM codes q JOIN codes n ON q.vec_id <> n.vec_id
+           WHERE q.vec_id <= 5)
+         SELECT q_id, rnk, n_id, CAST(score AS DOUBLE) AS score FROM (
+           SELECT q_id, n_id, score,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rnk
+           FROM scored) t
+         WHERE rnk <= 3 ORDER BY q_id, rnk""",
     // Seeded-hash query certified against a committed golden recomputed by
     // an independent Python implementation (tools/gen_lsh_goldens.py); the
     // corpus_tag row filter picks the scale factor — see Dedup.oracles.

