@@ -343,9 +343,45 @@ object TextAnalysis {
         (pA * log(pA / pB) * lit(1000000000.0)).as("raw_nano"))
   }
 
+  /** Per-source corpus diversity statistics — the corpus-health monitoring
+    * step a training pipeline runs after every curation stage: document
+    * count, token volume, vocabulary size, type–token ratio, and distinct
+    * word-bigram diversity, each as exact counts with the engine's
+    * scaled-integer ratio rounding (q77's portability contract).
+    *
+    * Scale shape: one exploded token stream and one exploded bigram stream,
+    * each collapsing through a map-side-combined distinct aggregate keyed
+    * `(source, gram)`, then source-sized tables join — the output is
+    * sources-sized, never corpus-sized, and nothing wider than a gram ever
+    * shuffles.
+    */
+  def corpusDiversity(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    def ratio4(num: Column, den: Column): Column =
+      round(num.cast("double") * 10000d / greatest(den, lit(1L)).cast("double")) / 10000d
+    val base = docs.filter(wsTokenCount(col(textCol)) >= 1)
+      .select(col(sourceCol).as("source"), split(trim(col(textCol)), " +").as("_toks"))
+    val toks = base.select(col("source"), explode(col("_toks")).as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("total_tokens"),
+        countDistinct(col("tok")).as("distinct_tokens"))
+    val bigs = base
+      .select(col("source"),
+        explode(array_distinct(Curation.wordNgramsOfTokens(col("_toks"), 2))).as("bg"))
+      .groupBy("source").agg(countDistinct(col("bg")).as("distinct_bigrams"))
+    val nd = docs.groupBy(col(sourceCol).as("source")).agg(count(lit(1)).as("n_docs"))
+    nd.join(toks, "source").join(bigs, "source")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("distinct_tokens"),
+        ratio4(col("distinct_tokens"), col("total_tokens")).as("ttr"),
+        col("distinct_bigrams"))
+  }
+
   // ------------------------------------------------------- declared queries
 
   val queries: Map[String, Q] = Map(
+    "q123_corpus_diversity" -> ((s, dir) =>
+      corpusDiversity(Tables(s, dir).documents, "source", "text")
+        .presented("source")),
     "q112_kl_drift" -> ((s, dir) =>
       klDriftTopK(Tables(s, dir).documents, "text",
         sliceA = col("doc_id") % 2 === 0, k = 20)),
@@ -419,6 +455,25 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // same ' +' tokenization + q77 ratio rounding; bigrams per doc are
+    // distinct-ed before the per-source distinct (mirrors array_distinct)
+    "q123_corpus_diversity" ->
+      """WITH base AS (SELECT source, string_split_regex(trim(text), ' +') AS t FROM documents
+                       WHERE length(trim(text)) > 0),
+              toks AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS total_tokens,
+                              CAST(COUNT(DISTINCT tok) AS BIGINT) AS distinct_tokens
+                       FROM (SELECT source, unnest(t) AS tok FROM base) GROUP BY source),
+              bigs AS (SELECT source, CAST(COUNT(DISTINCT bg) AS BIGINT) AS distinct_bigrams
+                       FROM (SELECT source,
+                                    unnest(list_distinct(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                                                                        i -> array_to_string(list_slice(t, i, i + 1), ' ')))) AS bg
+                             FROM base) GROUP BY source),
+              nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source)
+         SELECT nd.source, n_docs, total_tokens, distinct_tokens,
+                ROUND(CAST(distinct_tokens AS DOUBLE) * 10000 / greatest(total_tokens, 1)) / 10000 AS ttr,
+                distinct_bigrams
+         FROM nd JOIN toks ON nd.source = toks.source JOIN bigs ON nd.source = bigs.source
+         ORDER BY nd.source""",
     // same ' +' tokenization contract as q53/q75; DuckDB lists are
     // 1-indexed so range(1, len) yields the (t[i], t[i+1]) bigrams; rn cast
     // to INTEGER to match Spark's row_number type
