@@ -99,6 +99,22 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(out.filter(_._1 == 2L).flatMap(_._3.split(" ")).toSet == (1 to 5).map(i => s"t$i").toSet)
   }
 
+  test("corpusDiversity: known values — within-source duplication shrinks ttr, not volume") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "a", "one two three four"),   // 4 tokens, all distinct, 3 bigrams
+      (1L, "a", "one two three four"),   // exact dup: volume doubles, vocab doesn't
+      (2L, "b", "five five five"),       // 3 tokens, 1 distinct, 1 distinct bigram
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.corpusDiversity(docs, "source", "text")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(out(0) == (("a", 2L, 8L, 4L, 0.5, 3L)), s"source a: ${out.toSeq}")
+    assert(out(1) == (("b", 1L, 3L, 1L, 0.3333, 1L)), s"source b: ${out.toSeq}")
+  }
+
   test("dedup pipelines return no pairs on an empty corpus") {
     val s = spark
     import s.implicits._
