@@ -55,7 +55,15 @@ object Bench {
       // JMH-style hygiene between queries (untimed): collect the previous
       // query's garbage now, instead of as a pause inside the next query's
       // timed run - without this the tail of the suite measures the head's
-      // allocation debt.
+      // allocation debt. Also drop cached data the finished query pinned
+      // (q115's gram table, the boilerplate dictionaries, the mixture rate
+      // tables, IVF index halves): each fresh plan persists a NEW copy, so
+      // without this the suite accumulates one pinned cache per run per
+      // caching query. Safe for the deliberately-cached ANN index: its
+      // reuse window is the query's own warmup+timed runs, all of which
+      // complete before this point.
+      try spark.sharedState.cacheManager.clearCache()
+      catch { case _: Exception => () }
       System.gc()
       // min over the SUCCESSFUL runs: a transient failure (-1.0) must
       // surface as the failure marker only when every run failed, not

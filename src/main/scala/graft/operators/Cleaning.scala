@@ -90,7 +90,11 @@ object Cleaning {
     * `(key, n_lines, n_dropped, clean_text)` with the surviving lines
     * rejoined in original order; a document that was ALL boilerplate stays
     * in the output with an empty `clean_text` (dropping the row would
-    * silently change corpus counts downstream).
+    * silently change corpus counts downstream). Documents with NO tokens
+    * at all (empty/whitespace-only text) are out of scope and excluded —
+    * they carry no lines to count or strip; the oracle mirrors the same
+    * exclusion, and pipelines that must preserve such rows filter them out
+    * before this stage and union them back.
     *
     * At 100 TB: the line-frequency aggregate (per-doc `array_distinct`
     * first, so a doc's internal repetition never inflates the exploded
@@ -248,8 +252,11 @@ object Cleaning {
       .select(col("stratum"), expr("least(CAST(1000 AS BIGINT), (1000 * mn) DIV n)").as("permille"))
       .persist() // the guard's count() materializes it; the join reuses it
     val rateSide = if (rates.count() <= broadcastStrataLimit) broadcast(rates) else rates
-    docs
-      .join(rateSide, col(stratumCol) === col("stratum"))
+    // project the doc side down to an unambiguous pair first: a caller whose
+    // frame already carries a "stratum" column (stratumCol == "stratum", or
+    // e.g. stratifiedSample output) must not make the join key ambiguous
+    docs.select(col(keyCol), col(stratumCol).as("_doc_stratum"))
+      .join(rateSide, col("_doc_stratum") === col("stratum"))
       .filter(Curation.portableHash(col(keyCol)) % 1000 < col("permille"))
       .select(col(keyCol), col("stratum"), col("permille"))
   }

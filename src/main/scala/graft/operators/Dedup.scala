@@ -406,13 +406,17 @@ object Dedup {
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .dropDuplicates("a", "b")
+    // threshold on the RAW ratio, round only for presentation — the oracle
+    // does the same, so certification stays exact at the boundary (a raw
+    // value in [minOverlap - 5e-5, minOverlap) must not round its way in)
     candidates
       .join(g.select(col(keyCol).as("a"), col("g").as("ga")), "a")
       .join(g.select(col(keyCol).as("b"), col("g").as("gb")), "b")
       .select(col("a"), col("b"),
-        round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          least(size(col("ga")), size(col("gb"))).cast("double"), 4).as("overlap"))
-      .filter(col("overlap") >= minOverlap)
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          least(size(col("ga")), size(col("gb"))).cast("double")).as("_ov"))
+      .filter(col("_ov") >= minOverlap)
+      .select(col("a"), col("b"), round(col("_ov"), 4).as("overlap"))
   }
 
   // ---------------------------------------------------------------- simhash
@@ -595,8 +599,10 @@ object Dedup {
     */
   def resolveDuplicates(docs: DataFrame, pairs: DataFrame,
                         keyCol: String, textCol: String): DataFrame = {
+    // duplicateClusters emits fixed (doc_id, canonical) names — re-key to
+    // the caller's keyCol so a non-doc_id key (e.g. a fingerprint) joins
     val clusters = duplicateClusters(pairs)
-      .withColumnRenamed("canonical", "cluster")
+      .select(col("doc_id").as(keyCol), col("canonical").as("cluster"))
     val st = graft.expressions.TextStats.statsCol(docs.sparkSession)(col(textCol))
     val scored = docs.withColumn("_st", st)
       .select(col(keyCol),

@@ -75,25 +75,25 @@ object Similarity {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     // left-fold the squared coordinates (array order, not partition order —
     // deterministic and exactly replayed by the oracle's list_reduce); the
-    // norm is hoisted into its OWN projection so the fold runs once per
-    // row, not once per dimension (the wordNgramsOfTokens rule)
-    def normExpr(vc: String): Column = expr(
-      s"""CASE WHEN sqrt(aggregate($vc, 0.0D,
-              (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0.0D
-          THEN 1.0D
-          ELSE sqrt(aggregate($vc, 0.0D,
-              (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) END""")
+    // RAW norm gets its own projection (one fold per row) and the zero
+    // guard applies to that column, so the fold is never evaluated twice
+    def rawNorm(vc: String): Column = expr(
+      s"""sqrt(aggregate($vc, 0.0D,
+            (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))""")
     def codes(vc: String): Column = expr(
       s"""transform(sequence(1, $dim), i ->
             CAST(floor(least(greatest(
                    CAST(element_at($vc, i) AS DOUBLE) / _nm,
                    -1.0D), 1.0D) * 127.0D + 0.5D) AS BIGINT))""")
-    val q = queries.select(col(keyCol).as("q_id"), col(vecCol).as("qv"))
-      .select(col("q_id"), col("qv"), normExpr("qv").as("_nm"))
-      .select(col("q_id"), codes("qv").as("qc"))
-    val c = corpus.select(col(keyCol).as("n_id"), col(vecCol).as("nv"))
-      .select(col("n_id"), col("nv"), normExpr("nv").as("_nm"))
-      .select(col("n_id"), codes("nv").as("nc"))
+    def side(df: DataFrame, id: String, vc: String, out: String) = df
+      .select(col(id), col(vc), rawNorm(vc).as("_rawnm"))
+      .select(col(id), col(vc),
+        when(col("_rawnm") === 0.0d, 1.0d).otherwise(col("_rawnm")).as("_nm"))
+      .select(col(id), codes(vc).as(out))
+    val q = side(queries.select(col(keyCol).as("q_id"), col(vecCol).as("qv")),
+      "q_id", "qv", "qc")
+    val c = side(corpus.select(col(keyCol).as("n_id"), col(vecCol).as("nv")),
+      "n_id", "nv", "nc")
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         expr("aggregate(zip_with(qc, nc, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")

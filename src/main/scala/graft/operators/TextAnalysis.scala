@@ -356,8 +356,6 @@ object TextAnalysis {
     * shuffles.
     */
   def corpusDiversity(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
-    def ratio4(num: Column, den: Column): Column =
-      round(num.cast("double") * 10000d / greatest(den, lit(1L)).cast("double")) / 10000d
     val base = docs.filter(wsTokenCount(col(textCol)) >= 1)
       .select(col(sourceCol).as("source"), split(trim(col(textCol)), " +").as("_toks"))
     val toks = base.select(col("source"), explode(col("_toks")).as("tok"))
@@ -369,11 +367,16 @@ object TextAnalysis {
         explode(array_distinct(Curation.wordNgramsOfTokens(col("_toks"), 2))).as("bg"))
       .groupBy("source").agg(countDistinct(col("bg")).as("distinct_bigrams"))
     val nd = docs.groupBy(col(sourceCol).as("source")).agg(count(lit(1)).as("n_docs"))
-    nd.join(toks, "source").join(bigs, "source")
-      .select(col("source"), col("n_docs"), col("total_tokens"),
-        col("distinct_tokens"),
-        ratio4(col("distinct_tokens"), col("total_tokens")).as("ttr"),
-        col("distinct_bigrams"))
+    // LEFT joins from the doc counts: a source whose documents are ALL
+    // empty must show up as (n_docs, 0, 0, 0.0, 0) — a health monitor that
+    // silently drops the fully-degenerate source misses the worst case
+    nd.join(toks, Seq("source"), "left").join(bigs, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+        coalesce(col("distinct_tokens"), lit(0L)).as("distinct_tokens"),
+        ratio4(coalesce(col("distinct_tokens"), lit(0L)),
+          coalesce(col("total_tokens"), lit(0L))).as("ttr"),
+        coalesce(col("distinct_bigrams"), lit(0L)).as("distinct_bigrams"))
   }
 
   // ------------------------------------------------------- declared queries
@@ -469,10 +472,12 @@ object TextAnalysis {
                                                                         i -> array_to_string(list_slice(t, i, i + 1), ' ')))) AS bg
                              FROM base) GROUP BY source),
               nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source)
-         SELECT nd.source, n_docs, total_tokens, distinct_tokens,
-                ROUND(CAST(distinct_tokens AS DOUBLE) * 10000 / greatest(total_tokens, 1)) / 10000 AS ttr,
-                distinct_bigrams
-         FROM nd JOIN toks ON nd.source = toks.source JOIN bigs ON nd.source = bigs.source
+         SELECT nd.source, n_docs,
+                COALESCE(total_tokens, 0) AS total_tokens,
+                COALESCE(distinct_tokens, 0) AS distinct_tokens,
+                ROUND(CAST(COALESCE(distinct_tokens, 0) AS DOUBLE) * 10000 / greatest(COALESCE(total_tokens, 0), 1)) / 10000 AS ttr,
+                COALESCE(distinct_bigrams, 0) AS distinct_bigrams
+         FROM nd LEFT JOIN toks ON nd.source = toks.source LEFT JOIN bigs ON nd.source = bigs.source
          ORDER BY nd.source""",
     // same ' +' tokenization contract as q53/q75; DuckDB lists are
     // 1-indexed so range(1, len) yields the (t[i], t[i+1]) bigrams; rn cast

@@ -44,13 +44,20 @@ object DocPipeline {
     * the first *arrival*; batch keeps an arbitrary member — compare on the
     * content fingerprint set, which is deterministic for both).
     */
-  def cleanDocsStream(spark: SparkSession, dir: String, minQuality: Double): DataFrame = {
+  /** The staged documents table as a file-source stream — the ONE place
+    * the stage name, signature scheme, and replay partitioning (n=4) live;
+    * both streaming document queries read through it.
+    */
+  private def documentsStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = graft.Tables(spark, dir).table("documents").schema
     val stageDir = ReplayStage.stage(spark, s"$dir/documents.parquet",
       s"graft_docs_stage_${Integer.toHexString(dir.hashCode)}", n = 4)
-    val stream = spark.readStream.schema(schema).parquet(stageDir)
-    EventStreams.runToMemory(spark, cleanDocs(stream, minQuality), "append")
+    spark.readStream.schema(schema).parquet(stageDir)
   }
+
+  def cleanDocsStream(spark: SparkSession, dir: String, minQuality: Double): DataFrame =
+    EventStreams.runToMemory(spark,
+      cleanDocs(documentsStream(spark, dir), minQuality), "append")
 
   // ------------------------------------------------------- declared queries
 
@@ -76,12 +83,8 @@ object DocPipeline {
     "q121_stream_pii_scrub" -> ((s, dir) => {
       import graft.Present._
       import graft.operators.Cleaning
-      val schema = graft.Tables(s, dir).table("documents").schema
-      val stageDir = ReplayStage.stage(s, s"$dir/documents.parquet",
-        s"graft_docs_stage_${Integer.toHexString(dir.hashCode)}", n = 4)
-      val stream = s.readStream.schema(schema).parquet(stageDir)
       val scrubbed = Cleaning.piiScrub(
-        stream.select(col("doc_id"),
+        documentsStream(s, dir).select(col("doc_id"),
           Cleaning.plantPiiCol("doc_id", "text").as("text")),
         "doc_id", "text")
       EventStreams.runToMemory(s, scrubbed, "append")

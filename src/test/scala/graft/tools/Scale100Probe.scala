@@ -6,12 +6,17 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkEntry
 
-/** Dev tool: TWO-DECADE scale probe for the two operator families whose
+/** Dev tool: TWO-DECADE scale probe for the operator families whose
   * 100 TB story rests on linearity claims:
   *
   *  - dedup family, 5k → 50k → 500k documents (×1/×10/×100 of sf0.1):
   *    minhash candidate pairs, and the full minhash → label-propagation
   *    cluster chain;
+  *  - buckets: LSH bucket-population histograms at the same three scales
+  *    (the hot-bucket-cap sizing evidence, own artifact
+  *    `SCALE100_buckets.json`);
+  *  - cleaning family, same 5k → 50k → 500k documents: PII scrub,
+  *    boilerplate strip (join shape pinned), mixture rebalance;
   *  - events family, 600k → 6M → 60M rows (×6/×60/×600 of sf0.1):
   *    retention / funnel / gap-fill resample.
   *
@@ -34,7 +39,8 @@ import graft.SparkEntry
   * exchange", not CPU seconds. alpha = ln(t_last/t_first)/ln(rows ratio),
   * computed for wall AND shuffle — alpha ≈ 1 is linear growth.
   *
-  * One family per invocation (arg: `dedup` | `events`; default both) so a
+  * One family per invocation (args: `dedup` | `buckets` | `cleaning` |
+  * `events`; default all four) so a
   * leg fits a bounded runner; each leg writes `SCALE100_<family>.json` and
   * the merged committed artifact `SCALE100.json` is rebuilt from all part
   * files present.
