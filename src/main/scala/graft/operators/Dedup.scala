@@ -541,6 +541,53 @@ object Dedup {
       .filter(col("sim") >= minSim)
   }
 
+  /** Semantic dedup (the SemDeDup shape): block by TRAINED k-means cell
+    * instead of random hyperplanes — each vector is assigned to its nearest
+    * [[Similarity.kmeansCentroids]] centroid, and cosine ≥ `minSim`
+    * verifies only within-cell pairs. Where [[embeddingLshPairs]]' buckets
+    * are data-oblivious (fixed seeded planes), the cells here FOLLOW the
+    * corpus' density: semantically clustered near-dups land in the same
+    * cell by construction, which is why the published semantic-dedup
+    * pipelines (SemDeDup-family) block on learned clusters.
+    *
+    * Scale shape: centroid training is the amortized IVF index build (one
+    * broadcast + argmax + bounded shuffle per Lloyd iteration); assignment
+    * is one broadcast join; pairing is an EQUI-join on the dense `cent_id`
+    * key through [[boundedCandidates]], so a degenerate cell (an
+    * identical-vector pile) costs linear chain pairs, never quadratic. At
+    * 100 TB, `nlist` scales with the corpus (target cell size stays
+    * bounded, e.g. √N cells) — the per-cell pair cost is (N/nlist)²·nlist,
+    * so doubling `nlist` halves total verify work; nothing else changes.
+    *
+    * Blocking tradeoff (documented, same as LSH): a near-dup pair split
+    * across a cell boundary is missed — recall against the exhaustive
+    * [[embeddingCosinePairs]] baseline is pinned by spec, and identical
+    * vectors always share a cell (identical round-6 cosines to every
+    * centroid ⇒ identical argmax), so exact duplicates have recall 1.
+    *
+    * Training, assignment, and verify all rank on 6-decimal-rounded
+    * cosines with id tiebreaks (the q55 reproducibility contract), so the
+    * whole pipeline — trained centroids included — is DuckDB-oracled.
+    */
+  def semanticDedupPairs(emb: DataFrame, keyCol: String, vecCol: String,
+                         minSim: Double = 0.9, nlist: Int = 16,
+                         kmeansIters: Int = 2, maxCell: Int = 4096): DataFrame = {
+    val spark = emb.sparkSession
+    val cos = graft.functions.VectorFunctions.cosineNative(spark) _
+    val cent = Similarity.kmeansCentroids(emb, keyCol, vecCol, nlist, kmeansIters)
+    val assigned = spread(emb.select(col(keyCol).as("_id"), col(vecCol).as("_v")))
+      .join(broadcast(cent))
+      .select(col("_id"), col("cent_id"),
+        round(cos(col("_v"), col("cvec")), 6).as("_s"))
+    val cells = Similarity.topKPerGroup(assigned, "_id", "_s", "cent_id", 1)
+      .select(col("_id"), col("cent_id"))
+    val sided = cells.join(emb.select(col(keyCol).as("_id"), col(vecCol).as("_v")), "_id")
+    boundedCandidates(sided, "_id", Seq("cent_id"), Seq("_v"), maxCell)
+      .select(col("a"), col("b"),
+        round(cos(col("_v_a"), col("_v_b")), 6).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   // --------------------------------------------- duplicate clustering
 
   /** Connected components over a near-duplicate pair set + canonical
@@ -672,6 +719,14 @@ object Dedup {
     "q56_dedup_embedding_lsh" -> ((s, dir) =>
       embeddingLshPairs(Tables(s, dir).embeddings, "vec_id", "embedding", minSim = 0.3)
         .presented("a", "b")),
+    // semantic dedup over the full corpus: TRAINED-cell blocking (SemDeDup
+    // shape) + within-cell cosine verify — value-certified through the
+    // training because every ranking step rounds to 6 decimals (the q55
+    // k-means replay provides the oracle's cell assignment)
+    "q124_dedup_semantic" -> ((s, dir) =>
+      semanticDedupPairs(Tables(s, dir).embeddings, "vec_id", "embedding",
+        minSim = 0.35)
+        .presented("a", "b")),
     "q68_dedup_levenshtein" -> ((s, dir) =>
       levenshteinPairs(Tables(s, dir).documents.filter(col("doc_id") <= 30), "doc_id", "text")
         .presented("a", "b")),
@@ -764,6 +819,47 @@ object Dedup {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE a.vec_id <= 20 AND b.vec_id <= 20
          ORDER BY a, b""",
+    // mirrors semanticDedupPairs end to end: the q55 k-means replay (same
+    // seeds, same two round-6 Lloyd iterations, same round-6 argmax cells)
+    // followed by within-cell pairwise round-6 cosine ≥ 0.35. The Scala
+    // side's hot-cell cap (4096) cannot bind at ≤2000 corpus vectors, so
+    // the uncapped SQL is exact.
+    "q124_dedup_semantic" ->
+      """WITH c0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cent_id, cvec FROM (
+                       SELECT ROW_NUMBER() OVER (ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id) AS rn,
+                              CAST(embedding AS DOUBLE[]) AS cvec
+                       FROM embeddings) s
+                     WHERE rn <= 16),
+              a1 AS (SELECT vec_id, cent_id FROM (
+                       SELECT e.vec_id, c.cent_id,
+                              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC, c.cent_id) AS rn
+                       FROM embeddings e CROSS JOIN c0 c) x WHERE rn = 1),
+              m1 AS (SELECT a1.cent_id, t.pos, ROUND(AVG(CAST(e.embedding[t.pos] AS DOUBLE)), 6) AS v
+                     FROM a1 JOIN embeddings e USING (vec_id), LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS pos) t
+                     GROUP BY a1.cent_id, t.pos),
+              c1 AS (SELECT s.cent_id, COALESCE(r.cvec, s.cvec) AS cvec
+                     FROM c0 s LEFT JOIN (SELECT cent_id, list(v ORDER BY pos) AS cvec FROM m1 GROUP BY cent_id) r USING (cent_id)),
+              a2 AS (SELECT vec_id, cent_id FROM (
+                       SELECT e.vec_id, c.cent_id,
+                              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC, c.cent_id) AS rn
+                       FROM embeddings e CROSS JOIN c1 c) x WHERE rn = 1),
+              m2 AS (SELECT a2.cent_id, t.pos, ROUND(AVG(CAST(e.embedding[t.pos] AS DOUBLE)), 6) AS v
+                     FROM a2 JOIN embeddings e USING (vec_id), LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS pos) t
+                     GROUP BY a2.cent_id, t.pos),
+              c2 AS (SELECT s.cent_id, COALESCE(r.cvec, s.cvec) AS cvec
+                     FROM c1 s LEFT JOIN (SELECT cent_id, list(v ORDER BY pos) AS cvec FROM m2 GROUP BY cent_id) r USING (cent_id)),
+              ca AS (SELECT e.vec_id, c.cent_id,
+                            ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) AS s
+                     FROM embeddings e CROSS JOIN c2 c),
+              cells AS (SELECT vec_id AS c_id, cent_id FROM
+                          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id) AS rn FROM ca) x
+                        WHERE rn = 1),
+              sided AS (SELECT c.c_id, c.cent_id, CAST(e.embedding AS DOUBLE[]) AS v
+                        FROM cells c JOIN embeddings e ON e.vec_id = c.c_id)
+         SELECT a, b, sim FROM (
+           SELECT x.c_id AS a, y.c_id AS b, ROUND(list_cosine_similarity(x.v, y.v), 6) AS sim
+           FROM sided x JOIN sided y ON x.cent_id = y.cent_id AND x.c_id < y.c_id) p
+         WHERE sim >= 0.35 ORDER BY a, b""",
     "q68_dedup_levenshtein" ->
       """SELECT a.doc_id AS a, b.doc_id AS b, levenshtein(a.text, b.text) AS dist
          FROM documents a JOIN documents b ON a.doc_id < b.doc_id

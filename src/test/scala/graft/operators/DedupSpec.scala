@@ -271,6 +271,65 @@ class DedupSpec extends AnyFunSuite {
     assert(embPairs == (0L until 49L).map(i => (i, i + 1)).toSet)
   }
 
+  test("semantic dedup: planted duplicate found via shared trained cell, equi-join plan, subset of exhaustive") {
+    val s = spark
+    import s.implicits._
+    // 80 spread-out vectors + one planted exact duplicate of id 9:
+    // identical vectors have identical round-6 cosines to every centroid,
+    // so they share a cell by construction — exact-dup recall is 1
+    val corpus = (0 until 80).map(i =>
+      (i.toLong, Array.tabulate(24)(d => math.sin(i * 24 + d).toFloat)))
+    val emb = (corpus :+ (900L, corpus(9)._2)).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticDedupPairs(emb, "vec_id", "embedding", minSim = 0.99)
+    val plan = pairs.queryExecution.executedPlan.toString
+    // The PAIRING must be an equi-join on the trained cell id — an
+    // all-pairs corpus fallback would plan a cartesian/nested-loop join of
+    // the corpus against itself. (Centroid ASSIGNMENT is a broadcast
+    // nested-loop by design: corpus × nlist pinned centroid rows, the
+    // bounded q55 shape — so BNLJ is asserted per-occurrence to build on
+    // the local centroid relation, never on a corpus-sized side.)
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(Seq("SortMergeJoin [cent_id", "ShuffledHashJoin [cent_id",
+        "BroadcastHashJoin [cent_id").exists(plan.contains),
+      s"pairing is not an equi-join on cent_id:\n$plan")
+    val bnljBuilds = "BroadcastNestedLoopJoin BuildRight".r
+      .findAllMatchIn(plan).size
+    val localCentScans = "LocalTableScan \\[cent_id".r.findAllMatchIn(plan).size
+    assert(bnljBuilds <= localCentScans,
+      s"a BroadcastNestedLoopJoin builds on a non-centroid side:\n$plan")
+    val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(found.exists { case (a, b, sim) => a == 9L && b == 900L && sim == 1.0 },
+      s"planted duplicate not found: ${found.toSeq}")
+    // blocking can only REMOVE pairs vs the exhaustive baseline, never
+    // invent or rescore one
+    val exhaustive = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding")
+      .filter(col("sim") >= 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(found.toSet.subsetOf(exhaustive),
+      s"semantic pairs not a subset of exhaustive: ${found.toSet -- exhaustive}")
+  }
+
+  test("semantic dedup hot-cell bound: an identical-vector pile chains linearly and stays connected") {
+    val s = spark
+    import s.implicits._
+    // 60 identical vectors all land in one cell; with maxCell=8 the cell
+    // must degrade to chain pairs (m-1, all sim 1.0), not m(m-1)/2
+    val emb = ((0L until 60L).map(i => (i, Array(1.0f, 0.5f, 0.25f))) :+
+      (99L, Array(-1.0f, 0.4f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticDedupPairs(emb, "vec_id", "embedding",
+      minSim = 0.9, nlist = 4, maxCell = 8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pile = pairs.filter { case (a, b) => a < 99L && b < 99L }
+    assert(pile == (0L until 59L).map(i => (i, i + 1)).toSet,
+      s"expected the 59-edge chain over the pile, got ${pile.size} pairs")
+    // the pile still collapses to ONE duplicate cluster through the chain
+    val clusters = Dedup.duplicateClusters(
+      Dedup.semanticDedupPairs(emb, "vec_id", "embedding",
+        minSim = 0.9, nlist = 4, maxCell = 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L until 60L).forall(clusters(_) == 0L))
+  }
+
   test("incremental minhash: candidate bound enforced under a planted template flood") {
     // The 100 TB hot-bucket hazard: a boilerplate/template increment doc
     // legitimately near-dups an ENTIRE corpus duplicate class, making the
