@@ -271,6 +271,89 @@ object EventStreams {
       .presented("user_id")
   }
 
+  /** q125: custom session state machine — the `flatMapGroupsWithState` +
+    * event-time-TIMEOUT surface (q64 exercises explicit state without
+    * timeouts; `session_window` (q62) can't express custom
+    * emission/eviction). Per-user 30-minute-gap sessions, emitted only once
+    * CLOSED by the watermark: a session whose `last event + gap` the
+    * watermark has strictly passed can never grow again, so its summary
+    * row is final — exactly-once by construction, no batch-side collapse.
+    *
+    * Protocol (mirrored µs-exactly by the oracle):
+    *  - watermark = `max(event ts in ms) − 10 min` (Spark tracks event-time
+    *    stats in whole ms — the oracle replays the ms floor, then scales
+    *    back to µs);
+    *  - events join a session while `ts − prev ≤ gap`; a strictly larger
+    *    step starts a new session;
+    *  - a session is EMITTED when `end + gap < watermark` (strict — the
+    *    same strictness as Spark's timeout firing `timeoutTs < watermark`,
+    *    so firing and emission can't disagree at the boundary);
+    *  - state holds only the events of sessions NOT yet closed — everything
+    *    older has been emitted and dropped, so per-key state is bounded by
+    *    the watermark lag + gap window, not by history (the q73/q80
+    *    watermark-eviction discipline, here enforced by the operator's own
+    *    code).
+    *
+    * The timeout timestamp is the earliest pending closure (floor-ms of
+    * `end + gap`): floor aligns Spark's strict ms firing predicate with the
+    * strict µs emission predicate, and the `wm + 1` clamp (Spark rejects
+    * timeouts ≤ current watermark) can only defer a boundary-straddling
+    * closure by <1 ms of watermark advance.
+    */
+  def gapSessions(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, gapSessionsFrom(readEvents(spark, dir)), "append",
+      availableNow = true, noDataBatch = true)
+      .presented("user_id", "session_start_us")
+
+  /** The q125 plan pre-sink — shared by the certified replay and the
+    * multi-batch protocol spec (which drives it through a MemoryStream to
+    * observe mid-stream closure and state eviction batch by batch).
+    * Expects `user_id`/`ts_us`/`ts_utc` columns, watermark not yet applied.
+    */
+  private[graft] def gapSessionsFrom(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = 30L * 60 * 1000000
+    events
+      .withWatermark("ts_utc", "10 minutes")
+      // the watermarked column must survive into the grouped Dataset (the
+      // analyzer requires it for event-time timeouts); ts_us is its µs twin
+      .select(col("user_id"), col("ts_us"), col("ts_utc"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[Array[Long]]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val buf = (state.getOption.getOrElse(Array.empty[Long]) ++ rows.map(_._2))
+            .sorted
+          // split the sorted buffer into gap sessions
+          val sessions = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+          var start = 0
+          var i = 1
+          while (i <= buf.length) {
+            if (i == buf.length || buf(i) - buf(i - 1) > gapUs) {
+              sessions += java.util.Arrays.copyOfRange(buf, start, i)
+              start = i
+            }
+            i += 1
+          }
+          val (closed, open) = sessions.partition(s => s.last + gapUs < wmUs)
+          val retained = open.flatten.toArray
+          if (retained.isEmpty) state.remove()
+          else {
+            state.update(retained)
+            val earliestCloseMs = (open.head.last + gapUs) / 1000L
+            state.setTimeoutTimestamp(
+              math.max(earliestCloseMs, state.getCurrentWatermarkMs() + 1))
+          }
+          closed.iterator.map(s => (user, s.head, s.last, s.length.toLong))
+      }
+      .toDF("user_id", "session_start_us", "session_end_us", "n_events")
+  }
+
   /** B32 with a hard CORRECTNESS row: watermark late-data DROP over a
     * crafted THREE-batch replay whose batch split — and therefore the exact
     * drop set — is a deterministic function of the data, so a DuckDB oracle
@@ -714,6 +797,7 @@ object EventStreams {
     "q62_stream_session" -> ((s, dir) => sessionCounts(s, dir)),
     "q63_stream_sliding" -> ((s, dir) => slidingCounts(s, dir)),
     "q64_stream_stateful_count" -> ((s, dir) => statefulUserCounts(s, dir)),
+    "q125_stream_sessionize" -> ((s, dir) => gapSessions(s, dir)),
     "q70_stream_late_drop" -> ((s, dir) => lateDropCounts(s, dir)),
     "q73_stream_interval_join" -> ((s, dir) => attributionPairs(s, dir)),
     "q80_stream_outer_join" -> ((s, dir) => attributionOuter(s, dir)),
@@ -813,6 +897,29 @@ object EventStreams {
     // batch split by (event_id % 97, 2h tail), wm1 = max(batch1) - 10min
     // drops batch-2 rows whose hour window closed below it, and only windows
     // closed by the final watermark (max(all) - 10min) are emitted.
+    // q125: gap sessionization + watermark closure, µs-exact. The watermark
+    // replays Spark's ms-floored event-time stats ((max µs // 1000 − 10 min
+    // in ms) × 1000); sessions join while the step is ≤ 30 min; only
+    // sessions the watermark STRICTLY passed (end + gap < wm) are emitted —
+    // the operator's own closure predicate.
+    "q125_stream_sessionize" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+              m AS (SELECT ((max(ts_us) // 1000) - 600000) * 1000 AS wm_us FROM t),
+              g AS (SELECT user_id, ts_us,
+                           CASE WHEN lag(ts_us) OVER w IS NULL
+                                  OR ts_us - lag(ts_us) OVER w > 1800000000
+                                THEN 1 ELSE 0 END AS brk
+                    FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+              s AS (SELECT user_id, ts_us,
+                           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM g),
+              sess AS (SELECT user_id, sid, MIN(ts_us) AS session_start_us,
+                              MAX(ts_us) AS session_end_us, COUNT(*) AS n_events
+                       FROM s GROUP BY user_id, sid)
+         SELECT user_id, session_start_us, session_end_us, n_events
+         FROM sess
+         WHERE session_end_us + 1800000000 < (SELECT wm_us FROM m)
+         ORDER BY user_id, session_start_us""",
     "q70_stream_late_drop" ->
       """WITH t AS (SELECT event_id, epoch_us(ts) AS ts_us,
                            (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us

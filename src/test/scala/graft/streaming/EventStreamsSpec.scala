@@ -71,6 +71,52 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out(ts(10, 0)) == 2L, s"hour-10 window must count only on-time events: $out")
   }
 
+  test("q125 protocol: sessions close mid-stream on watermark advance and state evicts") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val src = mem.toDF().toDF("user_id", "ts_utc")
+      .withColumn("ts_us", unix_micros(col("ts_utc")))
+    val name = s"graft_sess_${System.nanoTime()}"
+    val q = EventStreams.gapSessionsFrom(src)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def us(h: Int, m: Int) = ts(h, m).getTime * 1000L
+    def emitted() = s.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch 1: user 1 has two sessions (10:00+10:10, then 11:30 after a
+    // >30min gap). The data batch runs with no watermark, then the trailing
+    // no-data batch runs under wm = 11:30-10min = 11:20, which strictly
+    // passed session 1's closure (10:10+30min = 10:40) → session 1 emits
+    // via TIMEOUT; session 2 (closure 12:00) stays open.
+    mem.addData((1L, ts(10, 0)), (1L, ts(10, 10)), (1L, ts(11, 30)))
+    q.processAllAvailable()
+    assert(emitted() == Set((1L, us(10, 0), us(10, 10), 2L)),
+      s"batch-1 emissions: ${emitted()}")
+    // batch 2: user 2 arrives at 13:00 → wm advances to 12:50 → user 1's
+    // second session (closure 12:00) emits via timeout and user 1's state
+    // is REMOVED; user 2's open session (closure 13:30) is retained.
+    mem.addData((2L, ts(13, 0)))
+    q.processAllAvailable()
+    assert(emitted() == Set(
+      (1L, us(10, 0), us(10, 10), 2L),
+      (1L, us(11, 30), us(11, 30), 1L)), s"batch-2 emissions: ${emitted()}")
+    // state now holds ONLY user 2's open buffer — user 1 evicted entirely
+    val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+    assert(stateRows == 1L, s"state must hold exactly user 2's buffer: $stateRows")
+    // batch 3: 14:00 starts a NEW user-2 session (gap 60min) and its
+    // watermark (13:50) closes the 13:00 one — mid-stream closure on the
+    // same key that received data.
+    mem.addData((2L, ts(14, 0)))
+    q.processAllAvailable()
+    assert(emitted() == Set(
+      (1L, us(10, 0), us(10, 10), 2L),
+      (1L, us(11, 30), us(11, 30), 1L),
+      (2L, us(13, 0), us(13, 0), 1L)), s"batch-3 emissions: ${emitted()}")
+    q.stop()
+  }
+
   test("B34: streaming dedup keeps one copy per event_id") {
     val n = EventStreams.dedupCounts(spark, TestSpark.Sf0001)
       .agg(sum("n")).collect().head.getLong(0)
