@@ -233,7 +233,41 @@ object ScaleLayouts {
       targetBytes = 256 * 1024)
   }
 
+  /** q126: [[writeZOrdered]] end-to-end. A lineitem projection is staged
+    * once per fixture signature, clustered on the Morton curve of
+    * `(l_partkey, l_suppkey)`, and the measured query answers a RECTANGLE
+    * predicate on both dimensions from the clustered layout — the oracle
+    * recomputes it from the original table, so the hash certifies the
+    * rewrite lost and duplicated nothing inside the predicate. The pruning
+    * claim itself (clustered files/rowgroups cover small rectangles, so
+    * min/max stats exclude most of them; an unclustered layout excludes
+    * none) is pinned by the footer-stats spec, which counts overlapping
+    * rowgroups in both layouts.
+    */
+  private def ensureZOrdered(s: SparkSession, dir: String): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(s"$dir/lineitem.parquet")
+    val sig = s"zorder-v1:${java.nio.file.Files.size(p)}:${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+    val tag = Integer.toHexString(dir.hashCode)
+    graft.StageDir.publish(s"graft_q126_zorder_$tag", sig) { tmp =>
+      writeZOrdered(graft.Tables(s, dir).lineitem
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_returnflag", "l_quantity"),
+        "l_partkey", "l_suppkey", nFiles = 8, tmp.toString)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_zorder_layout" -> ((s, dir) => {
+      import graft.Present._
+      s.read.parquet(ensureZOrdered(s, dir).toString)
+        .filter(col("l_partkey").between(50, 199) &&
+          col("l_suppkey").between(2, 60))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Exact.dsum(col("l_quantity")).as("sq"),
+          min(col("l_orderkey")).as("k0"), max(col("l_orderkey")).as("k1"))
+        .presented("l_returnflag")
+    }),
     "q106_compaction" -> ((s, dir) => {
       import graft.Present._
       s.read.parquet(ensureCompacted(s, dir).toString)
@@ -273,6 +307,13 @@ object ScaleLayouts {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q126_zorder_layout" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+                MIN(l_orderkey) AS k0, MAX(l_orderkey) AS k1
+         FROM lineitem
+         WHERE l_partkey BETWEEN 50 AND 199 AND l_suppkey BETWEEN 2 AND 60
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q106_compaction" ->
       """SELECT l_returnflag, COUNT(*) AS n,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,

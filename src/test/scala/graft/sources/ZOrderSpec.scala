@@ -53,4 +53,65 @@ class ZOrderSpec extends AnyFunSuite {
     assert(s1 < globalSpan / 2, s"d1 not clustered: mean file span $s1")
     assert(s2 < globalSpan / 2, s"d2 not clustered: mean file span $s2")
   }
+
+  /** Parquet footer min/max ranges of `cols`, one entry per rowgroup. */
+  private def rowGroupRanges(dir: String, cols: Seq[String]): Seq[Map[String, (Long, Long)]] = {
+    import scala.jdk.CollectionConverters._
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    files.toSeq.flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+        cols.map { c =>
+          val cc = b.getColumns.asScala.find(_.getPath.toDotString == c)
+            .getOrElse(sys.error(s"column $c missing from footer of $f"))
+          val st = cc.getStatistics
+          c -> (st.genericGetMin.toString.toLong, st.genericGetMax.toString.toLong)
+        }.toMap
+      } finally r.close()
+    }
+  }
+
+  test("z-order rowgroup stats exclude most of a rectangle scan; an unclustered layout excludes nothing") {
+    // The at-scale claim behind q126, measured at the STORAGE level: every
+    // rowgroup's footer min/max either overlaps the query rectangle (must
+    // be read) or excludes it (pruned before any page IO). A dense 256×256
+    // grid makes the arithmetic exact: the x<64 ∧ y<64 quadrant is the
+    // first 1/16 of the Morton curve, so of 8 equal z-range files at most
+    // one overlaps — while a round-robin layout spans the full domain in
+    // every file and can prune NONE.
+    val s = spark
+    import s.implicits._
+    val grid = s.range(65536).select(
+      (col("id") % 256).cast("int").as("x"),
+      (col("id") / 256).cast("int").as("y"))
+    val zdir = java.nio.file.Files.createTempDirectory("graft_zprune").toString
+    val rdir = java.nio.file.Files.createTempDirectory("graft_rprune").toString
+    ScaleLayouts.writeZOrdered(grid, "x", "y", 8, zdir)
+    grid.repartition(8).write.mode("overwrite").parquet(rdir)
+    def overlapping(dir: String): (Int, Int) = {
+      val rgs = rowGroupRanges(dir, Seq("x", "y"))
+      val hit = rgs.count { rg =>
+        val (xlo, xhi) = rg("x"); val (ylo, yhi) = rg("y")
+        xlo <= 63 && xhi >= 0 && ylo <= 63 && yhi >= 0
+      }
+      (hit, rgs.size)
+    }
+    val (zHit, zTotal) = overlapping(zdir)
+    val (rHit, rTotal) = overlapping(rdir)
+    assert(zTotal >= 8 && zHit <= 2,
+      s"z-ordered layout must confine the rectangle to ~1 of $zTotal rowgroups, hit $zHit")
+    assert(rHit == rTotal,
+      s"round-robin layout should overlap everywhere ($rHit of $rTotal) — baseline invalid")
+    // and the engine pushes the rectangle to the scan, where those stats
+    // are actually consulted
+    val plan = s.read.parquet(zdir)
+      .filter(col("x").between(0, 63) && col("y").between(0, 63))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThanOrEqual(x,63)"),
+      s"rectangle not pushed to the parquet scan:\n$plan")
+  }
 }
