@@ -61,4 +61,25 @@ class ResampleProfileSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(out == Seq(("k", 1L, 1L), ("v", 1L, 2L)))
   }
+
+  test("correlation matrix: known values, one aggregate, partition-count invariant") {
+    val s = spark
+    import s.implicits._
+    // y = 2x (corr +1), z = -x (corr -1 with x, -1 with y)
+    val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0),
+      (4.0, 8.0, -4.0)).toDF("x", "y", "z")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.correlationMatrix(d, Seq("x", "y", "z"))
+        .orderBy("col_a", "col_b").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    val out = run(df)
+    assert(out == Seq(("x", "y", 1.0), ("x", "z", -1.0), ("y", "z", -1.0)),
+      out.toString)
+    // exact decimal moments ⇒ the result cannot move with partitioning
+    assert(run(df.repartition(7)) == out)
+    // one pass: a single aggregate over the table, no join/self-join
+    val plan = Profile.correlationMatrix(df, Seq("x", "y", "z"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan)
+  }
 }
