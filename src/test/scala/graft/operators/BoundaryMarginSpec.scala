@@ -61,6 +61,34 @@ class BoundaryMarginSpec extends AnyFunSuite {
     }
   }
 
+  test("q128: log-bucket index and round-4 estimate stay clear of their boundaries at every SF") {
+    // Two cross-engine float functions feed q128: ln (bucket index, ceil
+    // decided at INTEGERS) and pow (estimate, round-4 decided at .5 of the
+    // 1e4-scaled value). Both engines' libm implementations may differ in
+    // the last ulps, so the fixture must keep every value clear of its
+    // decision boundary. ln values are ≤ ~700 (≈4e-13 accumulated error —
+    // floor 1e-9 is ~2500×); pow·1e4 values reach ~1e9 (≈2.4e-7 error —
+    // floor 1e-5 is ~40×).
+    for (sf <- sfs) {
+      val li = graft.Tables(spark, s"/root/testdata/$sf").lineitem
+      val v = li.filter(col("l_extendedprice") > 0)
+        .select((log(col("l_extendedprice")) / lit(math.log(1.02))).as("v"))
+      val lnMargin = v
+        .select(least(col("v") - floor(col("v")), ceil(col("v")) - col("v")).as("d"))
+        .agg(min("d")).head().getDouble(0)
+      assert(lnMargin > 1e-9,
+        s"$sf: a log-bucket index sits $lnMargin from an integer — ceil may " +
+          "flip across engines; re-derive gamma or the fixture")
+      val powMargin = v.select(ceil(col("v")).cast("long").as("b")).distinct()
+        .select((pow(lit(1.02), col("b")) * 1e4).as("e"))
+        .select(abs(col("e") % lit(1.0) - lit(0.5)).as("d"))
+        .agg(min("d")).head().getDouble(0)
+      assert(powMargin > 1e-5,
+        s"$sf: a round-4 estimate sits $powMargin from a .5 boundary — " +
+          "rounding may flip across engines; coarsen the estimate rounding")
+    }
+  }
+
   test("the margin check fires on a boundary corpus") {
     val s = spark
     import s.implicits._

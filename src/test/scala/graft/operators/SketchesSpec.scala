@@ -31,4 +31,29 @@ class SketchesSpec extends AnyFunSuite {
     val b = Sketches.cmsEstimates(li, "l_suppkey", Seq(1L, 5L, 9L)).collect().toSeq
     assert(a == b)
   }
+
+  test("log-bucket quantiles: γ relative-error bound vs exact ranks, partition-invariant") {
+    val gamma = 1.02
+    val li = Tables(spark, TestSpark.Sf0001).lineitem
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    val sketch = Sketches.logHistQuantiles(li, "l_extendedprice", "l_returnflag", qs, gamma)
+      .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(3))).toMap
+    // exact rank quantiles per group (6k rows — sort locally)
+    val byFlag = li.select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).filter(_ > 0).sorted }
+    for ((flag, vals) <- byFlag; q <- qs) {
+      val exact = vals(math.ceil(q * vals.length).toInt - 1)
+      val est = sketch((flag, q))
+      // bucket b contains the rank-⌈qn⌉ value x: γ^(b−1) < x ≤ γ^b, and the
+      // reported boundary γ^b satisfies x ≤ est < x·γ (round-4 slack aside)
+      assert(est >= exact - 1e-4 && est <= exact * gamma + 1e-4,
+        s"$flag q=$q: est $est outside [$exact, ${exact * gamma}]")
+    }
+    // additive counts ⇒ the sketch cannot move with partitioning
+    val again = Sketches.logHistQuantiles(li.repartition(13), "l_extendedprice",
+      "l_returnflag", qs, gamma)
+      .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(3))).toMap
+    assert(again == sketch)
+  }
 }
