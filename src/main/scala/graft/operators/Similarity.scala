@@ -350,6 +350,89 @@ object Similarity {
     topKPerGroup(scored, "q_id", "sim", "n_id", k)
   }
 
+  def ivfArtifactNames(tag: String): (String, String) =
+    (s"graft_ivf_cent_x$tag", s"graft_ivf_cells_x$tag")
+
+  /** IVF search run the way a DEPLOYMENT runs it (q129): the index halves
+    * are PERSISTED managed tables — the trained centroids, plus the
+    * inverted lists as a `(c_id, cent_id, vector)` table bucketed AND
+    * sorted by `cent_id` — today's increment searches against the BUCKETED
+    * READ, and the increment's own cell assignments are APPENDED afterward
+    * so the next increment probes a corpus that already contains this one
+    * (the corpus-grows step; q114 is the dedup twin of this contract).
+    *
+    * Scale shape: bucketing moves the corpus-side cell shuffle to WRITE
+    * time, paid once per vector when it enters the index. The cells table
+    * CARRIES its vectors, so the probe join delivers candidate vectors
+    * directly from the clustered read — the corpus is never re-joined by
+    * key, never exchanged; only the (increment-sized) probe set shuffles
+    * to meet the buckets. Centroids are read from the artifact and ride a
+    * broadcast. Search cost per query stays `nprobe/nlist` of the corpus
+    * regardless of index age.
+    *
+    * Certification rebuilds both artifacts from the corpus slice on every
+    * call so the result is a pure function of the fixture (a deployment
+    * builds once); the search result is materialized BEFORE the append so
+    * the returned frame is stable against the artifact mutation behind it.
+    */
+  def ivfSearchOverPersistedIndex(spark: SparkSession, corpus: DataFrame,
+                                  queries: DataFrame, keyCol: String,
+                                  vecCol: String, tag: String, k: Int = 3,
+                                  nlist: Int = 16, nprobe: Int = 4,
+                                  kmeansIters: Int = 2,
+                                  nBuckets: Int = 8): DataFrame = {
+    val (centTbl, cellsTbl) = ivfArtifactNames(tag)
+    // a previous JVM can leave the managed-table LOCATION populated while
+    // this JVM's in-memory catalog is empty — drop any entry AND clear the
+    // stale location before the overwrite (the q89/q114 pattern)
+    Seq(centTbl, cellsTbl).foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      graft.StageDir.deleteRecursively(java.nio.file.Paths.get(loc))
+    }
+    val cos = VectorFunctions.cosineNative(spark) _
+    kmeansCentroids(corpus, keyCol, vecCol, nlist, kmeansIters)
+      .write.mode("overwrite").format("parquet").saveAsTable(centTbl)
+    val cent = spark.table(centTbl)
+    def assignTo(df: DataFrame, idAs: String): DataFrame =
+      topKPerGroup(
+        df.select(col(keyCol).as(idAs), col(vecCol))
+          .join(broadcast(cent))
+          .select(col(idAs), col("cent_id"),
+            round(cos(col(vecCol), col("cvec")), 6).as("s")),
+        idAs, "s", "cent_id", 1)
+        .select(col(idAs), col("cent_id"))
+    def cellRows(df: DataFrame): DataFrame =
+      assignTo(df, "c_id")
+        .join(df.select(col(keyCol).as("c_id"), col(vecCol).as("nv")), "c_id")
+    cellRows(corpus)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "cent_id").sortBy("cent_id")
+      .saveAsTable(cellsTbl)
+    // ---- search: increment probes against the bucketed read
+    val probes = topKPerGroup(
+      queries.select(col(keyCol).as("q_id"), col(vecCol))
+        .join(broadcast(cent))
+        .select(col("q_id"), col("cent_id"),
+          round(cos(col(vecCol), col("cvec")), 6).as("s")),
+      "q_id", "s", "cent_id", nprobe)
+      .select(col("q_id"), col("cent_id"))
+    val scored = probes.join(spark.table(cellsTbl), "cent_id")
+      .filter(col("q_id") =!= col("c_id"))
+      .join(queries.select(col(keyCol).as("q_id"), col(vecCol).as("qv")), "q_id")
+      .select(col("q_id"), col("c_id").as("n_id"),
+        round(cos(col("qv"), col("nv")), 6).as("sim"))
+    val out = topKPerGroup(scored, "q_id", "sim", "n_id", k)
+      .localCheckpoint(true)
+    // corpus-grows: the increment's assignments are paid here, exactly once
+    cellRows(queries)
+      .write.mode("append").format("parquet")
+      .bucketBy(nBuckets, "cent_id").sortBy("cent_id")
+      .saveAsTable(cellsTbl)
+    out
+  }
+
   // ------------------------------------------------------- declared queries
 
   val queries: Map[String, Q] = Map(
@@ -368,6 +451,18 @@ object Similarity {
     "q55_similarity_ivf" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
       ivfTopK(emb.filter(col("vec_id") <= 5), emb, "vec_id", "embedding", k = 3)
+        .presented("q_id", "rnk")
+    }),
+    // q55's semantics through the DEPLOYMENT path: persisted centroid +
+    // bucketed vector-carrying cell tables, increment searched against the
+    // bucketed read, its assignments appended after — corpus slices match
+    // the q113/q114 convention (corpus %5≠0, increment %5=0)
+    "q129_similarity_ivf_persisted" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      ivfSearchOverPersistedIndex(s,
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", Integer.toHexString(dir.hashCode), k = 3)
         .presented("q_id", "rnk")
     }),
     // int8 scalar quantization: exact-integer codes + scores, so the whole
@@ -427,6 +522,54 @@ object Similarity {
     // old centroid), then the IVF probe over the trained centroids. The
     // 6-decimal rounding at every step is what makes the two engines'
     // double math collapse to identical values.
+    // q129: the q55 k-means replay trained on the CORPUS slice (%5≠0),
+    // probed by the increment slice (%5=0) — the persisted-index path must
+    // produce exactly what a from-scratch IVF over the same slices produces
+    "q129_similarity_ivf_persisted" ->
+      """WITH corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+              incr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+              c0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cent_id, cvec FROM (
+                       SELECT ROW_NUMBER() OVER (ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id) AS rn,
+                              CAST(embedding AS DOUBLE[]) AS cvec
+                       FROM corp) s
+                     WHERE rn <= 16),
+              a1 AS (SELECT vec_id, cent_id FROM (
+                       SELECT e.vec_id, c.cent_id,
+                              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC, c.cent_id) AS rn
+                       FROM corp e CROSS JOIN c0 c) x WHERE rn = 1),
+              m1 AS (SELECT a1.cent_id, t.pos, ROUND(AVG(CAST(e.embedding[t.pos] AS DOUBLE)), 6) AS v
+                     FROM a1 JOIN corp e USING (vec_id), LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS pos) t
+                     GROUP BY a1.cent_id, t.pos),
+              c1 AS (SELECT s.cent_id, COALESCE(r.cvec, s.cvec) AS cvec
+                     FROM c0 s LEFT JOIN (SELECT cent_id, list(v ORDER BY pos) AS cvec FROM m1 GROUP BY cent_id) r USING (cent_id)),
+              a2 AS (SELECT vec_id, cent_id FROM (
+                       SELECT e.vec_id, c.cent_id,
+                              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC, c.cent_id) AS rn
+                       FROM corp e CROSS JOIN c1 c) x WHERE rn = 1),
+              m2 AS (SELECT a2.cent_id, t.pos, ROUND(AVG(CAST(e.embedding[t.pos] AS DOUBLE)), 6) AS v
+                     FROM a2 JOIN corp e USING (vec_id), LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS pos) t
+                     GROUP BY a2.cent_id, t.pos),
+              c2 AS (SELECT s.cent_id, COALESCE(r.cvec, s.cvec) AS cvec
+                     FROM c1 s LEFT JOIN (SELECT cent_id, list(v ORDER BY pos) AS cvec FROM m2 GROUP BY cent_id) r USING (cent_id)),
+              ca AS (SELECT e.vec_id, c.cent_id,
+                            ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) AS s
+                     FROM corp e CROSS JOIN c2 c),
+              cells AS (SELECT vec_id AS c_id, cent_id FROM
+                          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id) AS rn FROM ca) x
+                        WHERE rn = 1),
+              caq AS (SELECT i.vec_id, c.cent_id,
+                             ROUND(list_cosine_similarity(CAST(i.embedding AS DOUBLE[]), c.cvec), 6) AS s
+                      FROM incr i CROSS JOIN c2 c),
+              probes AS (SELECT vec_id AS q_id, cent_id FROM
+                           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id) AS rn FROM caq) y
+                         WHERE rn <= 4),
+              cand AS (SELECT q_id, c_id AS n_id FROM probes JOIN cells USING (cent_id) WHERE c_id <> q_id),
+              scored AS (SELECT q_id, n_id,
+                                ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+                         FROM cand JOIN incr a ON a.vec_id = q_id JOIN corp b ON b.vec_id = n_id)
+         SELECT q_id, rnk, n_id, sim FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk FROM scored) z
+         WHERE rnk <= 3 ORDER BY q_id, rnk""",
     "q55_similarity_ivf" ->
       """WITH c0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cent_id, cvec FROM (
                        SELECT ROW_NUMBER() OVER (ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id) AS rn,

@@ -166,4 +166,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top1.getAs[Long]("n_id") == 999L)
     assert(top1.getAs[Double]("sim") == 1.0)
   }
+
+  test("persisted IVF index: equals from-scratch IVF, grows the cells, zero corpus-side exchange") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val s = spark
+    import s.implicits._
+    val emb = graft.Tables(spark, graft.TestSpark.Sf0001).embeddings
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val incoming = emb.filter(col("vec_id") % 5 === 0)
+    val tag = "spec" + Integer.toHexString(graft.TestSpark.Sf0001.hashCode)
+
+    // the deployment path must reproduce a from-scratch IVF over the same
+    // slices exactly (it certifies against the same SQL replay)
+    val via = Similarity.ivfSearchOverPersistedIndex(spark, corpus, incoming,
+      "vec_id", "embedding", tag, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val direct = Similarity.ivfTopK(incoming, corpus, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(via == direct && via.nonEmpty)
+
+    // corpus-grows: the append left the cell table holding corpus +
+    // increment assignments (one row per vector), centroids untouched
+    val (centTbl, cellsTbl) = Similarity.ivfArtifactNames(tag)
+    assert(spark.table(cellsTbl).count() == emb.count())
+    assert(spark.table(cellsTbl).select("c_id").distinct().count() == emb.count())
+    assert(spark.table(centTbl).count() == 16)
+
+    // the 100 TB shape the bucketed vector-carrying layout buys: with NO
+    // broadcast anywhere, the probe join reads the cent_id buckets (vectors
+    // riding along) and plans ZERO corpus-side exchange — the index is
+    // never re-shuffled or re-joined per search
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+                    "spark.sql.adaptive.enabled" -> "false")
+      .map { case (key, v) =>
+        val old = spark.conf.get(key); spark.conf.set(key, v); key -> old
+      }
+    try {
+      val probes = Seq((9000L, 0L), (9001L, 3L)).toDF("q_id", "cent_id")
+      val j = probes.join(spark.table(cellsTbl), "cent_id")
+      val plan = j.queryExecution.executedPlan
+      val smj = plan.collect { case x: SortMergeJoinExec => x }
+      assert(smj.nonEmpty, s"expected a sort-merge probe join with broadcast off:\n$plan")
+      val cellsSide = smj.last.right // probes joined LEFT, the table is right
+      assert(cellsSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"cell table must join from its buckets, never shuffle:\n$plan")
+      val scans = cellsSide.collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+        s"cells side must be a bucketed scan:\n$plan")
+    } finally saved.foreach { case (key, old) => spark.conf.set(key, old) }
+  }
 }
