@@ -327,31 +327,121 @@ object EventStreams {
         (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
          state: GroupState[Array[Long]]) =>
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val buf = (state.getOption.getOrElse(Array.empty[Long]) ++ rows.map(_._2))
-            .sorted
-          // split the sorted buffer into gap sessions
-          val sessions = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
-          var start = 0
-          var i = 1
-          while (i <= buf.length) {
-            if (i == buf.length || buf(i) - buf(i - 1) > gapUs) {
-              sessions += java.util.Arrays.copyOfRange(buf, start, i)
-              start = i
-            }
-            i += 1
-          }
-          val (closed, open) = sessions.partition(s => s.last + gapUs < wmUs)
-          val retained = open.flatten.toArray
+          val (closed, retained, earliestCloseUs) = sessionStep(
+            state.getOption.getOrElse(Array.empty[Long]), rows.map(_._2), wmUs, gapUs)
           if (retained.isEmpty) state.remove()
           else {
             state.update(retained)
-            val earliestCloseMs = (open.head.last + gapUs) / 1000L
             state.setTimeoutTimestamp(
-              math.max(earliestCloseMs, state.getCurrentWatermarkMs() + 1))
+              math.max(earliestCloseUs / 1000L, state.getCurrentWatermarkMs() + 1))
           }
           closed.iterator.map(s => (user, s.head, s.last, s.length.toLong))
       }
       .toDF("user_id", "session_start_us", "session_end_us", "n_events")
+  }
+
+  /** One sessionizer transition, shared by the q125 (`GroupState`) and q130
+    * (`StatefulProcessor`) surfaces so the two APIs certify the SAME
+    * semantics: merge new event times into the buffer, split into gap
+    * sessions, close the ones the watermark strictly passed.
+    *
+    * @return (closed sessions, retained buffer, earliest pending closure µs
+    *   — the floor-ms of which is the next timer; 0 when nothing retained)
+    */
+  private[streaming] def sessionStep(buffered: Array[Long], incoming: Iterator[Long],
+                                     wmUs: Long, gapUs: Long)
+      : (Seq[Array[Long]], Array[Long], Long) = {
+    val buf = (buffered ++ incoming).sorted
+    val sessions = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    var start = 0
+    var i = 1
+    while (i <= buf.length) {
+      if (i == buf.length || buf(i) - buf(i - 1) > gapUs) {
+        sessions += java.util.Arrays.copyOfRange(buf, start, i)
+        start = i
+      }
+      i += 1
+    }
+    val (closed, open) = sessions.partition(s => s.last + gapUs < wmUs)
+    (closed.toSeq, open.flatten.toArray,
+      if (open.isEmpty) 0L else open.head.last + gapUs)
+  }
+
+  /** q130: q125's session semantics through the NEW arbitrary-state API
+    * (`transformWithState` / `StatefulProcessor`, Spark 4) — typed
+    * `ValueState` + explicit event-time TIMERS instead of the single
+    * implicit `GroupState` timeout. Both queries run [[sessionStep]] and
+    * certify against the SAME oracle SQL, so the two state APIs are pinned
+    * to identical semantics (the q113/q114 two-paths-one-golden
+    * discipline). Requires the RocksDB state-store provider — the
+    * changelog-checkpointed store TWS is built for; the replay sets it for
+    * this query only.
+    *
+    * Timer discipline: one timer per key at the earliest pending closure
+    * (floor-ms — strict-µs alignment as q125); a fired timer re-runs the
+    * same transition, and a stale timer (the state has since advanced) is
+    * harmless because closure is decided by the CURRENT watermark, never by
+    * which timer fired.
+    */
+  def gapSessionsTws(spark: SparkSession, dir: String): DataFrame = {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runToMemory(spark, gapSessionsTwsFrom(readEvents(spark, dir)), "append",
+      availableNow = true, noDataBatch = true)
+      .presented("user_id", "session_start_us")
+    finally prev.fold(spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+  }
+
+  private[graft] def gapSessionsTwsFrom(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .withWatermark("ts_utc", "10 minutes")
+      .select(col("user_id"), col("ts_us"), col("ts_utc"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new GapSessionProcessor(30L * 60 * 1000000,
+          implicitly[org.apache.spark.sql.Encoder[Array[Long]]]),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "session_start_us", "session_end_us", "n_events")
+  }
+
+  private class GapSessionProcessor(gapUs: Long,
+                                    bufEnc: org.apache.spark.sql.Encoder[Array[Long]])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, java.sql.Timestamp), (Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var buf: ValueState[Array[Long]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getValueState[Array[Long]]("buf", bufEnc, TTLConfig.NONE)
+
+    private def step(user: Long, incoming: Iterator[Long],
+                     timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val wmMs = timers.getCurrentWatermarkInMs()
+      val (closed, retained, earliestCloseUs) = sessionStep(
+        Option(buf.get()).getOrElse(Array.empty[Long]), incoming,
+        wmMs * 1000L, gapUs)
+      if (retained.isEmpty) buf.clear()
+      else {
+        buf.update(retained)
+        getHandle.registerTimer(math.max(earliestCloseUs / 1000L, wmMs + 1))
+      }
+      closed.iterator.map(s => (user, s.head, s.last, s.length.toLong))
+    }
+
+    override def handleInputRows(user: Long,
+                                 rows: Iterator[(Long, Long, java.sql.Timestamp)],
+                                 timers: TimerValues): Iterator[(Long, Long, Long, Long)] =
+      step(user, rows.map(_._2), timers)
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] =
+      step(user, Iterator.empty, timers)
   }
 
   /** B32 with a hard CORRECTNESS row: watermark late-data DROP over a
@@ -798,6 +888,7 @@ object EventStreams {
     "q63_stream_sliding" -> ((s, dir) => slidingCounts(s, dir)),
     "q64_stream_stateful_count" -> ((s, dir) => statefulUserCounts(s, dir)),
     "q125_stream_sessionize" -> ((s, dir) => gapSessions(s, dir)),
+    "q130_stream_sessionize_tws" -> ((s, dir) => gapSessionsTws(s, dir)),
     "q70_stream_late_drop" -> ((s, dir) => lateDropCounts(s, dir)),
     "q73_stream_interval_join" -> ((s, dir) => attributionPairs(s, dir)),
     "q80_stream_outer_join" -> ((s, dir) => attributionOuter(s, dir)),
@@ -897,6 +988,26 @@ object EventStreams {
     // batch split by (event_id % 97, 2h tail), wm1 = max(batch1) - 10min
     // drops batch-2 rows whose hour window closed below it, and only windows
     // closed by the final watermark (max(all) - 10min) are emitted.
+    // q130: the identical semantics through transformWithState — certified
+    // against q125's SQL verbatim (two state APIs, one oracle)
+    "q130_stream_sessionize_tws" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+              m AS (SELECT ((max(ts_us) // 1000) - 600000) * 1000 AS wm_us FROM t),
+              g AS (SELECT user_id, ts_us,
+                           CASE WHEN lag(ts_us) OVER w IS NULL
+                                  OR ts_us - lag(ts_us) OVER w > 1800000000
+                                THEN 1 ELSE 0 END AS brk
+                    FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+              s AS (SELECT user_id, ts_us,
+                           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM g),
+              sess AS (SELECT user_id, sid, MIN(ts_us) AS session_start_us,
+                              MAX(ts_us) AS session_end_us, COUNT(*) AS n_events
+                       FROM s GROUP BY user_id, sid)
+         SELECT user_id, session_start_us, session_end_us, n_events
+         FROM sess
+         WHERE session_end_us + 1800000000 < (SELECT wm_us FROM m)
+         ORDER BY user_id, session_start_us""",
     // q125: gap sessionization + watermark closure, µs-exact. The watermark
     // replays Spark's ms-floored event-time stats ((max µs // 1000 − 10 min
     // in ms) × 1000); sessions join while the step is ≤ 30 min; only

@@ -117,6 +117,45 @@ class EventStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("q130 protocol: transformWithState sessions match the q125 machine batch by batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp)]
+      val src = mem.toDF().toDF("user_id", "ts_utc")
+        .withColumn("ts_us", unix_micros(col("ts_utc")))
+      val name = s"graft_tws_${System.nanoTime()}"
+      val q = EventStreams.gapSessionsTwsFrom(src)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      def us(h: Int, m: Int) = ts(h, m).getTime * 1000L
+      def emitted() = s.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // the exact q125 protocol replay: same batches, same expected closures
+      mem.addData((1L, ts(10, 0)), (1L, ts(10, 10)), (1L, ts(11, 30)))
+      q.processAllAvailable()
+      assert(emitted() == Set((1L, us(10, 0), us(10, 10), 2L)),
+        s"batch-1 emissions: ${emitted()}")
+      mem.addData((2L, ts(13, 0)))
+      q.processAllAvailable()
+      assert(emitted() == Set(
+        (1L, us(10, 0), us(10, 10), 2L),
+        (1L, us(11, 30), us(11, 30), 1L)), s"batch-2 emissions: ${emitted()}")
+      mem.addData((2L, ts(14, 0)))
+      q.processAllAvailable()
+      assert(emitted() == Set(
+        (1L, us(10, 0), us(10, 10), 2L),
+        (1L, us(11, 30), us(11, 30), 1L),
+        (2L, us(13, 0), us(13, 0), 1L)), s"batch-3 emissions: ${emitted()}")
+      q.stop()
+    } finally prev.fold(s.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+  }
+
   test("B34: streaming dedup keeps one copy per event_id") {
     val n = EventStreams.dedupCounts(spark, TestSpark.Sf0001)
       .agg(sum("n")).collect().head.getLong(0)
