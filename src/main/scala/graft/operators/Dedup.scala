@@ -569,12 +569,23 @@ object Dedup {
     * cosines with id tiebreaks (the q55 reproducibility contract), so the
     * whole pipeline — trained centroids included — is DuckDB-oracled.
     */
+  /** @param trainSampleMod when > 1, k-means trains on the deterministic
+    *   `portableHash(key) % mod == 0` corpus slice instead of the full
+    *   corpus — the documented 100 TB posture (training cost is
+    *   sample × nlist per iteration instead of corpus × nlist; assignment
+    *   and pairing still cover the full corpus). 1 = train on everything
+    *   (the certified q124 configuration).
+    */
   def semanticDedupPairs(emb: DataFrame, keyCol: String, vecCol: String,
                          minSim: Double = 0.9, nlist: Int = 16,
-                         kmeansIters: Int = 2, maxCell: Int = 4096): DataFrame = {
+                         kmeansIters: Int = 2, maxCell: Int = 4096,
+                         trainSampleMod: Int = 1): DataFrame = {
     val spark = emb.sparkSession
     val cos = graft.functions.VectorFunctions.cosineNative(spark) _
-    val cent = Similarity.kmeansCentroids(emb, keyCol, vecCol, nlist, kmeansIters)
+    val trainSet =
+      if (trainSampleMod <= 1) emb
+      else emb.filter(Curation.portableHash(col(keyCol)) % trainSampleMod === 0)
+    val cent = Similarity.kmeansCentroids(trainSet, keyCol, vecCol, nlist, kmeansIters)
     val assigned = spread(emb.select(col(keyCol).as("_id"), col(vecCol).as("_v")))
       .join(broadcast(cent))
       .select(col("_id"), col("cent_id"),

@@ -76,6 +76,58 @@ object Profile {
       .select(col("_p.col_a"), col("_p.col_b"), col("_p.corr"))
   }
 
+  /** Declarative data-quality constraints, one violation-count row each —
+    * the audit a pipeline runs before promoting a new drop of data (the
+    * Deequ/dbt-test shape). Four constraint kinds cover the families:
+    *
+    *  - `not_null(col)` — null count;
+    *  - `unique(col)` — rows carrying a duplicated value (count − distinct
+    *    keys is NOT it: every row of a dup class is a violation);
+    *  - `range(col, lo, hi)` — out-of-bounds count;
+    *  - `ref(col ⊆ parent.key)` — orphaned foreign keys via LEFT ANTI join.
+    *
+    * Scale shape: the row-local constraints (`not_null`, `range`) fold
+    * into ONE conditional-sum aggregate over a single scan; `unique` is a
+    * key-grouped count (one exchange on the audited key); `ref` is an
+    * anti-join that broadcasts the parent KEY SET when small and shuffles
+    * otherwise — Catalyst's choice, not ours. Violation counts, not
+    * violating rows, leave the executors.
+    */
+  def constraintAudit(df: DataFrame, notNull: Seq[String],
+                      unique: Seq[String],
+                      ranges: Seq[(String, Double, Double)],
+                      refs: Seq[(String, DataFrame, String)]): DataFrame = {
+    // row-local constraints: one pass, one conditional sum each
+    val rowLocal =
+      notNull.map(c => (s"not_null($c)",
+        sum(when(col(c).isNull, 1L).otherwise(0L)))) ++
+        ranges.map { case (c, lo, hi) => (s"range($c,$lo,$hi)",
+          sum(when(col(c) < lo || col(c) > hi, 1L).otherwise(0L)))
+        }
+    val structs = rowLocal.map { case (name, agg) => (name, agg) }
+    val onePass = df.agg(structs.head._2.as("_0"),
+        structs.tail.zipWithIndex.map { case ((_, a), i) => a.as(s"_${i + 1}") }: _*)
+      .select(explode(array(structs.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("check_name"), col(s"_$i").as("violations"))
+      }: _*)).as("_c"))
+      .select(col("_c.check_name"), col("_c.violations"))
+    // unique: every member of a duplicated class violates
+    val uniques = unique.map { c =>
+      df.groupBy(col(c)).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 1)
+        .agg(coalesce(sum("_n"), lit(0L)).as("violations"))
+        .select(lit(s"unique($c)").as("check_name"), col("violations"))
+    }
+    // referential: orphaned children via LEFT ANTI
+    val refChecks = refs.map { case (c, parent, pk) =>
+      df.select(col(c)).filter(col(c).isNotNull)
+        .join(parent.select(col(pk).as(c)), Seq(c), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit(s"ref($c)").as("check_name"), col("violations"))
+    }
+    (Seq(onePass) ++ uniques ++ refChecks).reduce(_.unionByName(_))
+  }
+
   // ------------------------------------------------------- declared queries
 
   val queries: Map[String, Q] = Map(
@@ -87,6 +139,20 @@ object Profile {
       correlationMatrix(Tables(s, dir).lineitem,
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .presented("col_a", "col_b")),
+    // constraints chosen so PASSING and FAILING checks both occur at every
+    // SF: l_quantity's true range is [0,50] (range(10,40) violates),
+    // l_orderkey repeats per line (unique violates), while the not-null
+    // and referential checks hold (0 violations) — a useful audit reports
+    // both states, and the oracle certifies the zeros too
+    "q132_constraint_audit" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      constraintAudit(t.lineitem,
+        notNull = Seq("l_orderkey", "l_shipdate"),
+        unique = Seq("l_orderkey"),
+        ranges = Seq(("l_quantity", 10.0, 40.0), ("l_discount", 0.0, 1.0)),
+        refs = Seq(("l_orderkey", t.orders, "o_orderkey")))
+        .presented("check_name")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -137,5 +203,26 @@ object Profile {
            SELECT 'l_discount', 'l_tax',
                   ROUND((n*p34 - s3*s4) / (sqrt(n*ss3 - s3*s3) * sqrt(n*ss4 - s4*s4)), 6) FROM a)
          ORDER BY col_a, col_b""",
+    // mirrors constraintAudit constraint by constraint
+    "q132_constraint_audit" ->
+      """SELECT check_name, violations FROM (
+           SELECT 'not_null(l_orderkey)' AS check_name,
+                  CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS violations FROM lineitem
+           UNION ALL
+           SELECT 'not_null(l_shipdate)', CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT) FROM lineitem
+           UNION ALL
+           SELECT 'range(l_quantity,10.0,40.0)',
+                  CAST(COALESCE(SUM(CASE WHEN l_quantity < 10.0 OR l_quantity > 40.0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem
+           UNION ALL
+           SELECT 'range(l_discount,0.0,1.0)',
+                  CAST(COALESCE(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 1.0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem
+           UNION ALL
+           SELECT 'unique(l_orderkey)', CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM
+             (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1)
+           UNION ALL
+           SELECT 'ref(l_orderkey)', CAST(COUNT(*) AS BIGINT) FROM lineitem l
+           WHERE l.l_orderkey IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+         ORDER BY check_name""",
   )
 }

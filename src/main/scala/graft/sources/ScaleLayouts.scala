@@ -256,7 +256,45 @@ object ScaleLayouts {
     }
   }
 
+  /** q131: SCHEMA-EVOLUTION read. Long-lived ingest layouts accumulate
+    * files of different vintages — the reference hit exactly this with its
+    * v4 datasets' drifting schemas (SURVEY §2.A A9's stale-schema quirk) —
+    * and at 100 TB a table is NEVER rewritten just because a column
+    * appeared. Two parquet batches of `orders` are staged with different
+    * schemas (the even-key batch predates the `o_status` column; the
+    * odd-key batch carries it), the read merges footers
+    * (`mergeSchema=true`), and the measured aggregate groups by the
+    * late-added column — old-vintage rows surface as NULL, exactly the
+    * union-by-name semantics the oracle derives from the original table's
+    * modular arithmetic (no staged-path literals in the SQL).
+    */
+  private def ensureEvolved(s: SparkSession, dir: String): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(s"$dir/orders.parquet")
+    val sig = s"evolve-v1:${java.nio.file.Files.size(src)}:${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+    graft.StageDir.publish(
+      s"graft_q131_evolve_${Integer.toHexString(dir.hashCode)}", sig) { tmp =>
+      val orders = s.read.parquet(src.toString)
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode(SaveMode.Append).parquet(tmp.toString)
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          when(col("o_orderkey") % 3 === 0, "gold").otherwise("std").as("o_status"))
+        .write.mode(SaveMode.Append).parquet(tmp.toString)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_schema_evolution" -> ((s, dir) => {
+      import graft.Present._
+      s.read.option("mergeSchema", "true")
+        .parquet(ensureEvolved(s, dir).toString)
+        .groupBy("o_status")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Exact.dsum(col("o_totalprice")).as("total"),
+          min(col("o_orderkey")).as("k0"), max(col("o_orderkey")).as("k1"))
+        .presented("o_status")
+    }),
     "q126_zorder_layout" -> ((s, dir) => {
       import graft.Present._
       s.read.parquet(ensureZOrdered(s, dir).toString)
@@ -307,6 +345,18 @@ object ScaleLayouts {
     }))
 
   val oracles: Map[String, String] = Map(
+    // union-by-name semantics reconstructed from the original table: even
+    // keys predate o_status (NULL group), odd keys carry the derived value
+    "q131_schema_evolution" ->
+      """SELECT o_status, COUNT(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                MIN(o_orderkey) AS k0, MAX(o_orderkey) AS k1
+         FROM (SELECT o_orderkey, o_totalprice,
+                      CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                           WHEN o_orderkey % 3 = 0 THEN 'gold'
+                           ELSE 'std' END AS o_status
+               FROM orders)
+         GROUP BY o_status ORDER BY o_status NULLS FIRST""",
     "q126_zorder_layout" ->
       """SELECT l_returnflag, COUNT(*) AS n,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,

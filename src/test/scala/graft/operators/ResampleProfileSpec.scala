@@ -82,4 +82,32 @@ class ResampleProfileSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(!plan.toLowerCase.contains("join"), plan)
   }
+
+  test("constraint audit: exact violation counts per kind, zeros reported too") {
+    val s = spark
+    import s.implicits._
+    val child = Seq(
+      (Some(1L), 5.0),  // clean
+      (Some(1L), 5.0),  // dup of key 1 (both rows violate unique)
+      (Some(2L), 99.0), // out of range
+      (None, 5.0),      // null key
+      (Some(7L), 5.0),  // orphan (no parent 7)
+    ).toDF("k", "v")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Profile.constraintAudit(child,
+      notNull = Seq("k"), unique = Seq("k"),
+      ranges = Seq(("v", 0.0, 10.0)), refs = Seq(("k", parent, "pk")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map(
+      "not_null(k)" -> 1L,
+      "unique(k)" -> 2L,   // every member of the dup class, not n - distinct
+      "range(v,0.0,10.0)" -> 1L,
+      "ref(k)" -> 1L), out.toString)
+    // an all-clean table reports EXPLICIT zeros, not missing rows
+    val clean = Seq((Some(1L), 5.0), (Some(2L), 6.0)).toDF("k", "v")
+    val zeros = Profile.constraintAudit(clean, Seq("k"), Seq("k"),
+      Seq(("v", 0.0, 10.0)), Seq(("k", parent, "pk")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(zeros.size == 4 && zeros.values.forall(_ == 0L), zeros.toString)
+  }
 }

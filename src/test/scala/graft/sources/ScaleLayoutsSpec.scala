@@ -98,4 +98,30 @@ class ScaleLayoutsSpec extends AnyFunSuite {
       .coalesce(4).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("schema-evolution read: merged footers expose the late column, old vintages read NULL") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.Sf0001
+    val orders = Tables(spark, dir).orders
+    // the q131 staged layout (built by the declared query's own path)
+    val layout = graft.SparkEntry.queries("q131_schema_evolution")(spark, dir)
+    layout.collect() // force the staging
+    val root = {
+      // re-derive the staged dir the way ensureEvolved names it
+      val src = java.nio.file.Paths.get(s"$dir/orders.parquet")
+      val sig = s"evolve-v1:${java.nio.file.Files.size(src)}:${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+      graft.StageDir.publish(s"graft_q131_evolve_${Integer.toHexString(dir.hashCode)}", sig)(_ => ())
+    }
+    val merged = spark.read.option("mergeSchema", "true").parquet(root.toString)
+    // the late column exists in the merged schema, absent from old vintage
+    assert(merged.columns.toSet == Set("o_orderkey", "o_totalprice", "o_status"))
+    // old-vintage rows (even keys) surface as NULL status, exactly
+    val nullKeys = merged.filter(col("o_status").isNull)
+      .agg(count(lit(1)), sum(expr("o_orderkey % 2"))).head()
+    assert(nullKeys.getLong(0) == orders.filter(col("o_orderkey") % 2 === 0).count())
+    assert(nullKeys.getLong(1) == 0L, "a NULL-status row carried an odd (new-vintage) key")
+    // nothing lost or duplicated across the vintages
+    assert(merged.count() == orders.count())
+    assert(merged.select("o_orderkey").distinct().count() == orders.count())
+  }
 }

@@ -32,7 +32,12 @@ object BenchSf1 {
     // dedup (ciphered copies keep candidate structure per copy), the PII
     // scan, both boilerplate modes, and the mixture filter
     "q115_dedup_containment", "q116_pii_scrub", "q117_boilerplate_strip",
-    "q118_mixture_rebalance", "q119_boilerplate_increment")
+    "q118_mixture_rebalance", "q119_boilerplate_increment",
+    // round-10 additions over the densified fact tables: the z-order
+    // rewrite+rectangle, the one-pass profile aggregates, the quantile
+    // sketch, the schema-evolution read, and the constraint audit
+    "q126_zorder_layout", "q127_correlation_profile", "q128_sketch_quantiles",
+    "q131_schema_evolution", "q132_constraint_audit")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

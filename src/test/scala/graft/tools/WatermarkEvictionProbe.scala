@@ -124,7 +124,7 @@ object WatermarkEvictionProbe {
       val ns = args.filter(_.forall(_.isDigit)).map(_.toInt).toSeq
       if (ns.isEmpty) Seq(6, 60, 600) else ns
     }
-    val defaultOps = Set("interval_join", "outer_join")
+    val defaultOps = Set("interval_join", "outer_join", "sessionize", "sessionize_tws")
     val ops = {
       val names = args.filterNot(_.forall(_.isDigit)).toSet
       if (names.isEmpty) defaultOps else names
@@ -168,6 +168,24 @@ object WatermarkEvictionProbe {
         time("outer_join", mult, dataDir) {
           EventStreams.attributionOuterFrom(src(dataDir), src(dataDir))
         }(noData = true)
+      // the session state machines buffer ONLY open sessions (emitted ones
+      // leave state in the same invocation), so per-batch state must
+      // plateau at ≈ one copy's still-open tail while input grows 100×
+      if (ops("sessionize"))
+        time("sessionize", mult, dataDir) {
+          EventStreams.gapSessionsFrom(src(dataDir))
+        }(noData = true)
+      if (ops("sessionize_tws")) {
+        // transformWithState REQUIRES the RocksDB provider — the op's own
+        // contract, set for its runs only (state rows are comparable; the
+        // memoryUsedBytes axis is not, and the artifact doesn't carry it)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try time("sessionize_tws", mult, dataDir) {
+          EventStreams.gapSessionsTwsFrom(src(dataDir))
+        }(noData = true)
+        finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
     }
 
     def j(d: Double) = f"$d%.3f"
@@ -196,7 +214,7 @@ object WatermarkEvictionProbe {
     }
     val artifact =
       s"""{"probe":"watermark_eviction","base_sf":"sf0.1","cores":32,"state_partitions":32,""" +
-        s""""protocol":"duration-scaled fixtures (mult time-shifted copies of sf0.1 events, constant per-day density, same user ids, disjoint event ids), staged as mult time-contiguous files, one file per micro-batch (AvailableNow + maxFilesPerTrigger=1), noop sink; state from StreamingQueryProgress per batch",""" +
+        s""""protocol":"duration-scaled fixtures (mult time-shifted copies of sf0.1 events, constant per-day density, same user ids, disjoint event ids), staged as mult time-contiguous files, one file per micro-batch (AvailableNow + maxFilesPerTrigger=1), noop sink; state from StreamingQueryProgress per batch; sessionize = q125 flatMapGroupsWithState machine (default provider), sessionize_tws = q130 transformWithState machine (RocksDB, its required provider)",""" +
         s""""measurements":[${rowsJson.mkString(",")}],""" +
         s""""exponents_vs_total_rows":{${exponents.mkString(",")}}}"""
     if (mults == Seq(6, 60, 600) && ops == defaultOps && results.nonEmpty)
