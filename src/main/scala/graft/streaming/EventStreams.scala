@@ -426,6 +426,12 @@ object EventStreams {
       val (closed, retained, earliestCloseUs) = sessionStep(
         Option(buf.get()).getOrElse(Array.empty[Long]), incoming,
         wmMs * 1000L, gapUs)
+      // ONE pending timer per key: registerTimer ACCUMULATES (unlike
+      // GroupState's setTimeoutTimestamp, which replaces), so a key touched
+      // in many batches would pile up stale timers forever — and a
+      // superseded LATER timer would delay a closure that new events moved
+      // earlier. Expired timers are engine-removed; pending ones we own.
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
       if (retained.isEmpty) buf.clear()
       else {
         buf.update(retained)
