@@ -64,13 +64,31 @@ object Sketches {
     * proportional to data volume after the scan.
     */
   def logHistQuantiles(df: DataFrame, valueCol: String, groupCol: String,
-                       qs: Seq[Double], gamma: Double = 1.02): DataFrame = {
-    val spark = df.sparkSession
+                       qs: Seq[Double], gamma: Double = 1.02): DataFrame =
+    quantilesFromCounts(logBucketCounts(df, valueCol, groupCol, gamma),
+      groupCol, qs, gamma)
+
+  /** The sketch-BUILD phase alone: additive `(group, bucket) → count`. This
+    * is the part that runs over the data — batch or STREAM (a streaming
+    * groupBy-count in complete mode IS this sketch; its state is one row
+    * per occupied bucket, the sketch's own bound — see q133).
+    */
+  def logBucketCounts(df: DataFrame, valueCol: String, groupCol: String,
+                      gamma: Double = 1.02): DataFrame = {
+    val b = ceil(log(col(valueCol).cast("double")) / lit(math.log(gamma))).cast("long")
+    df.filter(col(valueCol) > 0)
+      .groupBy(col(groupCol), b.as("b")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Quantile EXTRACTION from a (possibly merged) bucket-count table: a
+    * window cumsum over the bounded sketch plus a broadcast ride of the
+    * quantile list — never touches the original data.
+    */
+  def quantilesFromCounts(counts: DataFrame, groupCol: String,
+                          qs: Seq[Double], gamma: Double = 1.02): DataFrame = {
+    val spark = counts.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val b = ceil(log(col(valueCol).cast("double")) / lit(math.log(gamma))).cast("long")
-    val counts = df.filter(col(valueCol) > 0)
-      .groupBy(col(groupCol), b.as("b")).agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy(groupCol).orderBy("b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = counts

@@ -367,6 +367,29 @@ object EventStreams {
       if (open.isEmpty) 0L else open.head.last + gapUs)
   }
 
+  /** q133: the q128 quantile SKETCH built over a stream — the
+    * batch-vs-stream identity the sketch's ADDITIVE counts buy. The build
+    * phase ([[graft.operators.Sketches.logBucketCounts]]) runs as a plain
+    * streaming groupBy-count in complete mode, whose keyed state is one row
+    * per OCCUPIED (group, bucket) — the sketch's own volume-independent
+    * bound is the streaming state bound, no watermark needed; quantile
+    * extraction runs batch-side over the materialized sketch. GK/t-digest
+    * could not make this claim: their merge is order-sensitive, so a
+    * micro-batched build would legitimately differ from the batch build.
+    * Certified against the same SQL construction as q128, on the event
+    * stream's `value` by `event_type`.
+    */
+  def streamQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Present._
+    val counts = graft.operators.Sketches.logBucketCounts(
+      readEvents(spark, dir).select(col("event_type"), col("value")),
+      "value", "event_type")
+    val sketch = runToMemory(spark, counts, "complete")
+    graft.operators.Sketches.quantilesFromCounts(sketch, "event_type",
+      Seq(0.25, 0.5, 0.75, 0.95))
+      .presented("event_type", "q")
+  }
+
   /** q130: q125's session semantics through the NEW arbitrary-state API
     * (`transformWithState` / `StatefulProcessor`, Spark 4) — typed
     * `ValueState` + explicit event-time TIMERS instead of the single
@@ -895,6 +918,7 @@ object EventStreams {
     "q64_stream_stateful_count" -> ((s, dir) => statefulUserCounts(s, dir)),
     "q125_stream_sessionize" -> ((s, dir) => gapSessions(s, dir)),
     "q130_stream_sessionize_tws" -> ((s, dir) => gapSessionsTws(s, dir)),
+    "q133_stream_sketch_quantiles" -> ((s, dir) => streamQuantiles(s, dir)),
     "q70_stream_late_drop" -> ((s, dir) => lateDropCounts(s, dir)),
     "q73_stream_interval_join" -> ((s, dir) => attributionPairs(s, dir)),
     "q80_stream_outer_join" -> ((s, dir) => attributionOuter(s, dir)),
@@ -994,6 +1018,26 @@ object EventStreams {
     // batch split by (event_id % 97, 2h tail), wm1 = max(batch1) - 10min
     // drops batch-2 rows whose hour window closed below it, and only windows
     // closed by the final watermark (max(all) - 10min) are emitted.
+    // q133: the q128 sketch construction over the event stream — additive
+    // bucket counts make the streamed build equal the batch build exactly
+    "q133_stream_sketch_quantiles" ->
+      """WITH c AS (SELECT event_type,
+                           CAST(CEIL(ln(value) / ln(1.02)) AS BIGINT) AS b,
+                           COUNT(*) AS c
+                    FROM events WHERE value > 0
+                    GROUP BY 1, 2),
+              m AS (SELECT event_type, b,
+                           SUM(c) OVER (PARTITION BY event_type ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum,
+                           SUM(c) OVER (PARTITION BY event_type) AS n
+                    FROM c),
+              qs AS (SELECT CAST(q AS DOUBLE) AS q
+                     FROM (VALUES (0.25), (0.5), (0.75), (0.95)) t(q))
+         SELECT event_type, q, MIN(b) AS bucket,
+                ROUND(POWER(1.02, MIN(b)), 4) AS est
+         FROM m CROSS JOIN qs
+         WHERE CAST(cum AS DOUBLE) >= CEIL(q * CAST(n AS DOUBLE))
+         GROUP BY event_type, q
+         ORDER BY event_type, q""",
     // q130: the identical semantics through transformWithState — certified
     // against q125's SQL verbatim (two state APIs, one oracle)
     "q130_stream_sessionize_tws" ->

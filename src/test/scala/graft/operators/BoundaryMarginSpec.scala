@@ -61,7 +61,7 @@ class BoundaryMarginSpec extends AnyFunSuite {
     }
   }
 
-  test("q128: log-bucket index and round-4 estimate stay clear of their boundaries at every SF") {
+  test("q128/q133: log-bucket index and round-4 estimate stay clear of their boundaries at every SF") {
     // Two cross-engine float functions feed q128: ln (bucket index, ceil
     // decided at INTEGERS) and pow (estimate, round-4 decided at .5 of the
     // 1e4-scaled value). Both engines' libm implementations may differ in
@@ -69,10 +69,18 @@ class BoundaryMarginSpec extends AnyFunSuite {
     // decision boundary. ln values are ≤ ~700 (≈4e-13 accumulated error —
     // floor 1e-9 is ~2500×); pow·1e4 values reach ~1e9 (≈2.4e-7 error —
     // floor 1e-5 is ~40×).
-    for (sf <- sfs) {
-      val li = graft.Tables(spark, s"/root/testdata/$sf").lineitem
-      val v = li.filter(col("l_extendedprice") > 0)
-        .select((log(col("l_extendedprice")) / lit(math.log(1.02))).as("v"))
+    for (sf <- sfs; (tbl, vc) <- Seq(("lineitem", "l_extendedprice"),
+                                     ("events", "value"))) {
+      val li = graft.Tables(spark, s"/root/testdata/$sf").table(tbl)
+      // Two values sit EXACTLY on a boundary but are safe by construction,
+      // in any engine: x = 1.0 (ln 1 is exactly 0.0 in every conforming
+      // libm → v = 0) and x = γ itself (v = ln(γ)/ln(γ), a self-ratio that
+      // is exactly 1.0 whatever the engine's ln(γ) bits are). The hazard is
+      // only NEAR-boundary values whose last-ulp ln could differ — the
+      // events fixture carries literal 1.0 and 1.02 values, and q133
+      // certifies green with them present.
+      val v = li.filter(col(vc) > 0 && col(vc) =!= 1.0 && col(vc) =!= 1.02)
+        .select((log(col(vc)) / lit(math.log(1.02))).as("v"))
       val lnMargin = v
         .select(least(col("v") - floor(col("v")), ceil(col("v")) - col("v")).as("d"))
         .agg(min("d")).head().getDouble(0)
