@@ -170,4 +170,18 @@ private[graft] object StageDir {
       .foreach(p => try deleteRecursively(p) catch { case _: Exception => () })
     finally listing.close()
   }
+
+  /** Drops a managed table AND clears its default warehouse location: a
+    * previous JVM can leave the location populated while this JVM's
+    * in-memory catalog is empty, and creating a managed table over a
+    * non-empty existing location is refused. The one catalog-hygiene
+    * sequence behind every rebuilt managed artifact (q89 bucketed tables,
+    * the q114 band/text tables, the q129 IVF index halves).
+    */
+  def dropManagedTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    deleteRecursively(Paths.get(loc))
+  }
 }

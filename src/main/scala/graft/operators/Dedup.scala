@@ -306,15 +306,7 @@ object Dedup {
                                             jaccardThreshold: Double = 0.8,
                                             nBuckets: Int = 8): DataFrame = {
     val (bandsTbl, textsTbl) = incrementalArtifactNames(tag)
-    // a previous JVM can leave the managed-table LOCATION populated while
-    // this JVM's in-memory catalog is empty — drop any entry AND clear the
-    // stale location before the overwrite (the q89 bucketed-join pattern)
-    Seq(bandsTbl, textsTbl).foreach { tbl =>
-      spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      val loc = spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
-      graft.StageDir.deleteRecursively(java.nio.file.Paths.get(loc))
-    }
+    Seq(bandsTbl, textsTbl).foreach(graft.StageDir.dropManagedTable(spark, _))
     minhashBandTable(corpus, keyCol, k).withColumnRenamed(keyCol, "old_id")
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "band", "bh").sortBy("band", "bh")

@@ -97,17 +97,18 @@ object Profile {
                       unique: Seq[String],
                       ranges: Seq[(String, Double, Double)],
                       refs: Seq[(String, DataFrame, String)]): DataFrame = {
-    // row-local constraints: one pass, one conditional sum each
+    // row-local constraints: one pass, one conditional sum each (coalesced:
+    // sum over ZERO rows is SQL NULL, and the audit's contract is explicit
+    // zeros — an empty "new drop of data" must read as all-passing)
     val rowLocal =
       notNull.map(c => (s"not_null($c)",
-        sum(when(col(c).isNull, 1L).otherwise(0L)))) ++
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)))) ++
         ranges.map { case (c, lo, hi) => (s"range($c,$lo,$hi)",
-          sum(when(col(c) < lo || col(c) > hi, 1L).otherwise(0L)))
+          coalesce(sum(when(col(c) < lo || col(c) > hi, 1L).otherwise(0L)), lit(0L)))
         }
-    val structs = rowLocal.map { case (name, agg) => (name, agg) }
-    val onePass = df.agg(structs.head._2.as("_0"),
-        structs.tail.zipWithIndex.map { case ((_, a), i) => a.as(s"_${i + 1}") }: _*)
-      .select(explode(array(structs.zipWithIndex.map { case ((name, _), i) =>
+    val onePass = df.agg(rowLocal.head._2.as("_0"),
+        rowLocal.tail.zipWithIndex.map { case ((_, a), i) => a.as(s"_${i + 1}") }: _*)
+      .select(explode(array(rowLocal.zipWithIndex.map { case ((name, _), i) =>
         struct(lit(name).as("check_name"), col(s"_$i").as("violations"))
       }: _*)).as("_c"))
       .select(col("_c.check_name"), col("_c.violations"))

@@ -382,15 +382,7 @@ object Similarity {
                                   kmeansIters: Int = 2,
                                   nBuckets: Int = 8): DataFrame = {
     val (centTbl, cellsTbl) = ivfArtifactNames(tag)
-    // a previous JVM can leave the managed-table LOCATION populated while
-    // this JVM's in-memory catalog is empty — drop any entry AND clear the
-    // stale location before the overwrite (the q89/q114 pattern)
-    Seq(centTbl, cellsTbl).foreach { tbl =>
-      spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      val loc = spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
-      graft.StageDir.deleteRecursively(java.nio.file.Paths.get(loc))
-    }
+    Seq(centTbl, cellsTbl).foreach(graft.StageDir.dropManagedTable(spark, _))
     val cos = VectorFunctions.cosineNative(spark) _
     kmeansCentroids(corpus, keyCol, vecCol, nlist, kmeansIters)
       .write.mode("overwrite").format("parquet").saveAsTable(centTbl)

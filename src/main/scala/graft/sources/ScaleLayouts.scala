@@ -151,11 +151,30 @@ object ScaleLayouts {
     */
   def writeZOrdered(df: DataFrame, dim1: String, dim2: String,
                     nFiles: Int, path: String): Unit =
-    df.withColumn("_z", morton16(col(dim1), col(dim2)))
+    writeZOrderedBy(df, col(dim1), col(dim2), nFiles, path)
+
+  /** [[writeZOrdered]] over arbitrary dimension EXPRESSIONS — the overload
+    * wide-domain callers need: morton16 interleaves only the low 16 bits,
+    * so a dimension past 65,535 must be tiled first or distant key bands
+    * alias onto the same curve positions and the per-file rectangles (and
+    * with them the min/max pruning) silently dissolve. [[tile16]] is the
+    * standard order-preserving tiler.
+    */
+  def writeZOrderedBy(df: DataFrame, dim1: org.apache.spark.sql.Column,
+                      dim2: org.apache.spark.sql.Column,
+                      nFiles: Int, path: String): Unit =
+    df.withColumn("_z", morton16(dim1, dim2))
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Order-preserving map of a non-negative dimension with known maximum
+    * into the 16-bit tile space morton16 interleaves: equal-width tiles, so
+    * curve locality in tile space is locality in the original domain.
+    */
+  def tile16(dim: org.apache.spark.sql.Column, maxVal: Long): org.apache.spark.sql.Column =
+    (dim.cast("long") * 65536L / (maxVal + 1L)).cast("long")
 
   // ------------------------------------------------------- declared queries
 
@@ -191,16 +210,7 @@ object ScaleLayouts {
     bucketedFor.synchronized {
       val done = bucketedFor.computeIfAbsent(s, _ => new java.util.HashSet[String]())
       if (!done.contains(dir)) {
-        // A PREVIOUS JVM may have left the managed-table LOCATION under the
-        // shared warehouse dir while this JVM's in-memory catalog is empty —
-        // and creating a managed table over a non-empty existing location is
-        // refused. Drop any catalog entry AND clear the stale location first.
-        Seq(to, tc).foreach { tbl =>
-          s.sql(s"DROP TABLE IF EXISTS $tbl")
-          val loc = s.sessionState.catalog.defaultTablePath(
-            org.apache.spark.sql.catalyst.TableIdentifier(tbl))
-          graft.StageDir.deleteRecursively(java.nio.file.Paths.get(loc))
-        }
+        Seq(to, tc).foreach(graft.StageDir.dropManagedTable(s, _))
         val t = graft.Tables(s, dir)
         writeBucketed(t.orders.select("o_orderkey", "o_custkey", "o_totalprice"), to, "o_custkey", 8)
         writeBucketed(t.customer.select("c_custkey", "c_mktsegment"), tc, "c_custkey", 8)
@@ -249,10 +259,19 @@ object ScaleLayouts {
     val sig = s"zorder-v1:${java.nio.file.Files.size(p)}:${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
     val tag = Integer.toHexString(dir.hashCode)
     graft.StageDir.publish(s"graft_q126_zorder_$tag", sig) { tmp =>
-      writeZOrdered(graft.Tables(s, dir).lineitem
-          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
-            "l_returnflag", "l_quantity"),
-        "l_partkey", "l_suppkey", nFiles = 8, tmp.toString)
+      val li = graft.Tables(s, dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_returnflag", "l_quantity")
+      // TILE the dims before interleaving: key domains grow with the SF
+      // (l_partkey passes 16 bits at sf1), and raw keys would wrap mod
+      // 2^16 — distant bands aliasing onto the same curve positions, which
+      // dissolves exactly the pruning this layout exists to buy. The two
+      // maxes are one cheap aggregate inside the once-per-fixture rewrite.
+      val r = li.agg(max("l_partkey"), max("l_suppkey")).head()
+      writeZOrderedBy(li,
+        tile16(col("l_partkey"), r.getLong(0)),
+        tile16(col("l_suppkey"), r.getLong(1)),
+        nFiles = 8, tmp.toString)
     }
   }
 

@@ -109,5 +109,12 @@ class ResampleProfileSpec extends AnyFunSuite {
       Seq(("v", 0.0, 10.0)), Seq(("k", parent, "pk")))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(zeros.size == 4 && zeros.values.forall(_ == 0L), zeros.toString)
+    // ...including on an EMPTY drop of data (sum over zero rows is SQL
+    // NULL without the coalesce — the audit must still read all-passing)
+    val empty = Profile.constraintAudit(child.limit(0), Seq("k"), Seq("k"),
+      Seq(("v", 0.0, 10.0)), Seq(("k", parent, "pk")))
+      .collect().map(r => (r.getString(0), r.isNullAt(1), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(empty.length == 4 && empty.forall { case (_, isNull, v) => !isNull && v == 0L },
+      empty.mkString(", "))
   }
 }

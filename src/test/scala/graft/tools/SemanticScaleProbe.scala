@@ -53,13 +53,20 @@ object SemanticScaleProbe {
         build.write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
     }
+    // Every ROW gets a hash-keyed per-(vector, dim) offset: no bitwise
+    // slabs, no common per-copy component inflating within-copy
+    // similarity, no cross-copy near-dup chains. The densified corpus is
+    // then organically diverse, and — because nlist grows with the corpus
+    // so cell population stays ~125 — the within-cell pair count scales
+    // with the CELL COUNT, i.e. linearly, the pair structure a genuinely
+    // grown corpus would have.
     def multEmb(mult: Int): DataFrame =
       spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
         .select(col("*"), explode(sequence(lit(0L), lit(mult - 1L))).as("_i"))
         .withColumn("vec_id", col("vec_id") + col("_i") * 10000000L)
         .withColumn("embedding", expr(
           """transform(embedding, (x, j) ->
-               CAST(x + CAST(_i % 7 AS FLOAT) * 0.01 * CAST(CASE WHEN j % 2 = 0 THEN 1 ELSE -1 END AS FLOAT) AS FLOAT))"""))
+               CAST(x + 0.05 * CAST(((vec_id % 1000003 + 1) * (CAST(j AS BIGINT) + 3) * 2654435761) % 13 - 6 AS FLOAT) AS FLOAT))"""))
         .drop("_i").repartition(32)
 
     final case class M(mult: Int, rows: Long, nlist: Int, trainMod: Int,
@@ -75,7 +82,11 @@ object SemanticScaleProbe {
       val emb = ensure(s"$base/emb_$mult")(multEmb(mult))
       val rows = emb.count()
       val nlist = 16 * mult
-      val trainMod = math.max(1, mult / 8)
+      // constant mod: every point trains on its 1/15 hash sample, ~8
+      // training vectors per centroid at every scale (2000·mult/15 vectors
+      // for 16·mult centroids) — the protocol string's claim holds for ALL
+      // points, not just the largest
+      val trainMod = 15
       Thread.sleep(300)
       totalShuffle.set(0); peakStage.set(0)
       val t0 = System.nanoTime()

@@ -178,13 +178,17 @@ object WatermarkEvictionProbe {
       if (ops("sessionize_tws")) {
         // transformWithState REQUIRES the RocksDB provider — the op's own
         // contract, set for its runs only (state rows are comparable; the
-        // memoryUsedBytes axis is not, and the artifact doesn't carry it)
+        // memoryUsedBytes axis is not, and the artifact doesn't carry it).
+        // Save/restore rather than unset: a session-level provider choice
+        // must survive this leg (the gapSessionsTws pattern).
+        val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try time("sessionize_tws", mult, dataDir) {
           EventStreams.gapSessionsTwsFrom(src(dataDir))
         }(noData = true)
-        finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        finally prev.fold(spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
       }
     }
 
