@@ -256,7 +256,9 @@ object ScaleLayouts {
     */
   private def ensureZOrdered(s: SparkSession, dir: String): java.nio.file.Path = {
     val p = java.nio.file.Paths.get(s"$dir/lineitem.parquet")
-    val sig = s"zorder-v1:${java.nio.file.Files.size(p)}:${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+    // v2: the sig embeds the RECIPE version (v2 = tile16'd dims) — changing
+    // the rewrite construction must invalidate previously staged layouts
+    val sig = s"zorder-v2:${java.nio.file.Files.size(p)}:${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
     val tag = Integer.toHexString(dir.hashCode)
     graft.StageDir.publish(s"graft_q126_zorder_$tag", sig) { tmp =>
       val li = graft.Tables(s, dir).lineitem
