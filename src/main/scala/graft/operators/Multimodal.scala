@@ -119,6 +119,47 @@ object Multimodal {
       .select(col("doc_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 
+  /** Frame-fingerprint near-dup pairs ACROSS assets — dedup extended to the
+    * multimodal column: two videos are near-duplicate candidates when their
+    * SAMPLED frames share ≥ `minShared` perceptual fingerprints (the
+    * frame-hash dedup a video pipeline runs; the same inverted-index
+    * blocking as q115's rare-shingle containment, with frame hashes as the
+    * postings). The STUB fingerprint is arithmetic on the decoded checksum
+    * + frame index into `buckets` hash cells — a real pipeline swaps in a
+    * pHash per decoded frame; the relational shape (sample → fingerprint →
+    * posting join → pair count ≥ k) is what this operator is.
+    *
+    * Scale shape: one generator pass (frames per asset, bounded by the
+    * stride budget — never corpus²), one exchange on the dense fingerprint
+    * key, pair counting on the (a, b) key. Posting lists are capped at
+    * `maxPosting` smallest doc_ids (the q115 boilerplate-frame hazard: an
+    * intro/outro card shared by a million videos must cost a bounded list,
+    * not a quadratic bucket); the cap cannot bind at fixture scale
+    * (measured max posting ≈ tens ≪ 1024), so the uncapped oracle is exact.
+    */
+  def frameDupPairs(assets: Dataset[DecodedAsset], stride: Int = 2,
+                    buckets: Int = 2048, minShared: Int = 2,
+                    maxPosting: Int = 1024): DataFrame = {
+    val fps = assets.toDF()
+      .select(col("doc_id"), col("checksum"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+      .select(col("doc_id"),
+        ((col("checksum") * 131L + col("frame_idx").cast(LongType) * 2654435761L)
+          % buckets).as("fp"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("doc_id")
+    val capped = fps
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rn") <= maxPosting)
+      .drop("_rn")
+    capped.select(col("doc_id").as("a"), col("fp"))
+      .join(capped.select(col("doc_id").as("b"), col("fp")), "fp")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   // ------------------------------------------------------- declared queries
 
   val queries: Map[String, Q] = Map(
@@ -150,9 +191,34 @@ object Multimodal {
       resizeMeta(decodeAssets(s, Tables(s, dir).documents), maxSide = 128)
         .select("doc_id", "width", "height", "out_width", "out_height")
         .presented("doc_id")),
+    // frame-hash near-dup across video assets: the dedup family extended
+    // to the multimodal column (stub fingerprints ⇒ value-exact oracle)
+    "q134_multimodal_frame_dedup" -> ((s, dir) =>
+      frameDupPairs(decodeAssets(s, Tables(s, dir).documents))
+        .presented("a", "b")),
   )
 
   val oracles: Map[String, String] = Map(
+    // mirrors frameDupPairs: the q54 checksum/n_frames derivation, stride-2
+    // frame generation, fingerprint arithmetic into 2048 cells, posting
+    // self-join, pair counting ≥ 2 (the Scala posting cap cannot bind at
+    // fixture scale, so the uncapped SQL is exact)
+    "q134_multimodal_frame_dedup" ->
+      """WITH d AS (SELECT doc_id,
+                           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                             list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+                             (acc, c) -> (acc * 31 + c) % 1000000007) AS checksum
+                    FROM documents),
+              n AS (SELECT doc_id, checksum,
+                           CAST(1 + checksum % 7 AS INTEGER) AS n_frames
+                    FROM d),
+              f AS (SELECT DISTINCT doc_id,
+                           (checksum * 131 + CAST(t.frame_idx AS BIGINT) * 2654435761) % 2048 AS fp
+                    FROM n, LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx) t)
+         SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS shared
+         FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         ORDER BY a, b""",
     "q51_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
                 CAST(64 + strlen(text) % 577 AS BIGINT) AS fake_width,

@@ -217,4 +217,34 @@ class EdgeCasesSpec extends AnyFunSuite {
     val ch2 = Seq((1L, "D", 0.0)).toDF("k", "op", "price")
     assert(MergeUpsert.merge(base2, ch2, "k").count() == 0)
   }
+
+  test("frame dedup: identical payloads always pair, posting cap bounds a fingerprint flood") {
+    val s = spark
+    import s.implicits._
+    // payload with ≥3 decoded frames (checksum % 7 >= 2) so stride-2
+    // sampling yields ≥2 fingerprints — identical payloads then share ALL
+    // of them and must pair with shared ≥ 2
+    val text = "a video stand-in payload that decodes into many sampled frames for the spec"
+    val base = graft.Tables(s, graft.TestSpark.Sf0001).documents
+      .select("doc_id", "text").filter(col("doc_id") <= 20)
+    val docs = base.unionByName(
+      Seq((9000L, text), (9001L, text)).toDF("doc_id", "text"))
+    val assets = Multimodal.decodeAssets(s, docs)
+    val nf = assets.filter(col("doc_id") === 9000L).head().n_frames
+    assert(nf >= 3, s"fixture text must decode to >=3 frames, got $nf")
+    val pairs = Multimodal.frameDupPairs(assets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = pairs.find(p => p._1 == 9000L && p._2 == 9001L)
+    assert(planted.exists(_._3 == ((nf + 1) / 2).toLong),
+      s"identical payloads must share every sampled fingerprint: ${pairs.toSeq}")
+    // a fingerprint flood (many identical payloads) stays bounded by the
+    // posting cap: with cap=4, the flood contributes at most C(4,2) pairs
+    // per fingerprint, never quadratic in the flood size
+    val flood = (100L until 160L).map(i => (i, text)).toDF("doc_id", "text")
+    val capped = Multimodal.frameDupPairs(
+      Multimodal.decodeAssets(s, flood), maxPosting = 4)
+      .collect()
+    assert(capped.length <= 4 * 3 / 2,
+      s"cap=4 must bound the flood to C(4,2) pairs, got ${capped.length}")
+  }
 }
