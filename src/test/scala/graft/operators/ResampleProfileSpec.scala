@@ -83,6 +83,40 @@ class ResampleProfileSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("join"), plan)
   }
 
+  test("correlation matrix NULL contract: listwise deletion, n matches moments") {
+    val s = spark
+    import s.implicits._
+    // a NULL in any profiled column drops the whole row — n and every
+    // moment describe the same row set (the pre-fix count(1) counted the
+    // null rows the null-skipping sums dropped, corrupting every pair)
+    val withNulls = Seq(
+      (Some(1.0), Some(2.0)), (Some(2.0), Some(4.0)),
+      (Some(3.0), Some(6.0)), (Some(4.0), Some(8.0)),
+      (None, Some(99.0)), (Some(77.0), None)).toDF("x", "y")
+    val complete = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0)).toDF("x", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.correlationMatrix(d, Seq("x", "y")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(run(withNulls) == run(complete))
+    assert(run(withNulls) == Seq(("x", "y", 1.0)))
+  }
+
+  test("constraint audit: unique/ref-only audits run without row-local checks") {
+    val s = spark
+    import s.implicits._
+    val child = Seq(Some(1L), Some(1L), Some(7L), None).toDF("k")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val out = Profile.constraintAudit(child, notNull = Nil, unique = Seq("k"),
+      ranges = Nil, refs = Seq(("k", parent, "pk")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map("unique(k)" -> 2L, "ref(k)" -> 1L), out.toString)
+    // and a constraint-free call fails fast instead of NoSuchElement deep inside
+    val err = intercept[IllegalArgumentException] {
+      Profile.constraintAudit(child, Nil, Nil, Nil, Nil)
+    }
+    assert(err.getMessage.contains("at least one constraint"))
+  }
+
   test("constraint audit: exact violation counts per kind, zeros reported too") {
     val s = spark
     import s.implicits._

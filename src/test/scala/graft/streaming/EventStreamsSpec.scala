@@ -12,6 +12,44 @@ import graft.{Tables, TestSpark}
 class EventStreamsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("q125/q130 timer-clamp margin: no session close in the final watermark's last ms") {
+    // Both sessionizers clamp their close timer to watermark+1 ms (Spark
+    // rejects event-time timeouts ≤ the current watermark). A clamped timer
+    // fires only once the watermark advances ≥2 ms past the clamp point, so
+    // the ONLY input that can diverge from the strict-µs oracle is a
+    // session whose close (end+gap µs) lands inside the final watermark's
+    // last millisecond — emission required (close < wm_final·1000) but a
+    // worst-case clamped timer (registered at wm_final−1+1 = wm_final)
+    // cannot fire in the trailing no-data batch. Closes BELOW that window
+    // are emitted inline or by a firing timer; closes at/above it are not
+    // emitted by the oracle either. Assert the window is empty at every SF,
+    // so a regenerated fixture that lands a close there fails HERE instead
+    // of flaking the streaming certification.
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val gapUs = 30L * 60 * 1000000
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val ev = Tables(spark, s"/root/testdata/$sf").eventsUs
+        .select(col("user_id"), col("ts_us"))
+      val wmFinalMs = ev.agg(max(col("ts_us"))).head().getLong(0) / 1000 - 600000
+      val w = W.partitionBy("user_id").orderBy("ts_us")
+      val closes = ev
+        .withColumn("brk",
+          when(lag("ts_us", 1).over(w).isNull
+            || col("ts_us") - lag("ts_us", 1).over(w) > gapUs, 1).otherwise(0))
+        .withColumn("sid", sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid").agg((max("ts_us") + gapUs).as("close_us"))
+      val inWindow = closes
+        .filter(col("close_us") >= (wmFinalMs - 1) * 1000L &&
+          col("close_us") < wmFinalMs * 1000L)
+        .count()
+      assert(inWindow == 0L,
+        s"$sf: $inWindow session closes land in the final watermark's last " +
+          "ms — the wm+1 timer clamp could defer them past the trailing " +
+          "no-data batch and diverge from the strict-µs oracle")
+    }
+  }
+
   test("B31: streaming tumbling counts equal the batch equivalent") {
     val t = Tables(spark, TestSpark.Sf0001)
     val streamed = EventStreams.tumblingCounts(spark, TestSpark.Sf0001)
