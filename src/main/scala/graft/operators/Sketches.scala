@@ -105,9 +105,12 @@ object Sketches {
   // ------------------------------------------------------- declared queries
 
   /** Seed-deterministic counters, value-certified against a committed
-    * ENGINE-SEEDED golden (tools/gen_sketch_goldens.py): CMS cells are
-    * additive, so estimates are partition-order-independent — a regression
-    * pin, declared as such. The over-count bound stays in `SketchesSpec`.
+    * INDEPENDENT plain-Python recompute of the count-min construction
+    * (tools/gen_sketch_goldens.py: its own JDK-LCG row seeds + bucket hash
+    * + min-over-rows, sharing only the seed with the engine): CMS cells
+    * are additive, so estimates are partition-order-independent and the
+    * value is a pure function of corpus + seed — cross-implementation
+    * checkable. The over-count bound stays in `SketchesSpec`.
     */
   val queries: Map[String, Q] = Map(
     "q69_sketch_cms" -> ((s, dir) =>

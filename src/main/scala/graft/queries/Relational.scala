@@ -374,10 +374,13 @@ object Relational {
     Tables(s, dir).orders.agg(countDistinct(col("o_custkey")).as("u"))
 
   // B16: HLL++ approximate distinct. Value-certified against a committed
-  // ENGINE-SEEDED golden (tools/gen_sketch_goldens.py): HLL registers merge
-  // by per-register max, so the estimate is a pure function of corpus+seed,
-  // not partitioning — a regression pin, declared as such (an independent
-  // recompute would be the same algorithm). Within-5% bound stays in specs.
+  // INDEPENDENT plain-Python recompute of the published HLL++ construction
+  // (tools/gen_sketch_goldens.py: its own xxHash64 + registers + bias
+  // interpolation, sharing only the seed and the paper's appendix
+  // constants with the engine). Registers merge by per-register max, so
+  // the estimate is a pure function of corpus+seed, not partitioning —
+  // which is what makes the cross-implementation compare exact.
+  // Within-5% bound stays in specs.
   private def q15ApproxDistinct: Q = (s, dir) =>
     Tables(s, dir).orders.agg(approx_count_distinct("o_custkey").as("u_approx"))
 
