@@ -740,6 +740,15 @@ object Dedup {
       semanticDedupPairs(Tables(s, dir).embeddings, "vec_id", "embedding",
         minSim = 0.35)
         .presented("a", "b")),
+    // the 100 TB OPERATING configuration of q124: k-means trains on the
+    // deterministic portable-hash 1-in-4 corpus slice (training cost is
+    // sample × nlist, not corpus × nlist); assignment and pairing still
+    // cover the full corpus. Value-certified through the SAMPLED training:
+    // the oracle's seed + Lloyd CTEs run over the same slice.
+    "q135_dedup_semantic_sampled" -> ((s, dir) =>
+      semanticDedupPairs(Tables(s, dir).embeddings, "vec_id", "embedding",
+        minSim = 0.35, trainSampleMod = 4)
+        .presented("a", "b")),
     "q68_dedup_levenshtein" -> ((s, dir) =>
       levenshteinPairs(Tables(s, dir).documents.filter(col("doc_id") <= 30), "doc_id", "text")
         .presented("a", "b")),
@@ -858,6 +867,49 @@ object Dedup {
                        FROM embeddings e CROSS JOIN c1 c) x WHERE rn = 1),
               m2 AS (SELECT a2.cent_id, t.pos, ROUND(AVG(CAST(e.embedding[t.pos] AS DOUBLE)), 6) AS v
                      FROM a2 JOIN embeddings e USING (vec_id), LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS pos) t
+                     GROUP BY a2.cent_id, t.pos),
+              c2 AS (SELECT s.cent_id, COALESCE(r.cvec, s.cvec) AS cvec
+                     FROM c1 s LEFT JOIN (SELECT cent_id, list(v ORDER BY pos) AS cvec FROM m2 GROUP BY cent_id) r USING (cent_id)),
+              ca AS (SELECT e.vec_id, c.cent_id,
+                            ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) AS s
+                     FROM embeddings e CROSS JOIN c2 c),
+              cells AS (SELECT vec_id AS c_id, cent_id FROM
+                          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id) AS rn FROM ca) x
+                        WHERE rn = 1),
+              sided AS (SELECT c.c_id, c.cent_id, CAST(e.embedding AS DOUBLE[]) AS v
+                        FROM cells c JOIN embeddings e ON e.vec_id = c.c_id)
+         SELECT a, b, sim FROM (
+           SELECT x.c_id AS a, y.c_id AS b, ROUND(list_cosine_similarity(x.v, y.v), 6) AS sim
+           FROM sided x JOIN sided y ON x.cent_id = y.cent_id AND x.c_id < y.c_id) p
+         WHERE sim >= 0.35 ORDER BY a, b""",
+    // q124 in its 100 TB OPERATING form: every TRAINING read (seeds, both
+    // Lloyd assignment+refinement passes) runs over the deterministic
+    // portable-hash 1-in-4 slice `tr`; the final assignment (ca) and the
+    // within-cell pairing still cover the full corpus — exactly
+    // semanticDedupPairs(trainSampleMod = 4)
+    "q135_dedup_semantic_sampled" ->
+      """WITH tr AS (SELECT vec_id, embedding FROM embeddings
+                     WHERE ((vec_id % 2147483648) * 2654435761) % 4294967296 % 4 = 0),
+              c0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cent_id, cvec FROM (
+                       SELECT ROW_NUMBER() OVER (ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id) AS rn,
+                              CAST(embedding AS DOUBLE[]) AS cvec
+                       FROM tr) s
+                     WHERE rn <= 16),
+              a1 AS (SELECT vec_id, cent_id FROM (
+                       SELECT e.vec_id, c.cent_id,
+                              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC, c.cent_id) AS rn
+                       FROM tr e CROSS JOIN c0 c) x WHERE rn = 1),
+              m1 AS (SELECT a1.cent_id, t.pos, ROUND(AVG(CAST(e.embedding[t.pos] AS DOUBLE)), 6) AS v
+                     FROM a1 JOIN tr e USING (vec_id), LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS pos) t
+                     GROUP BY a1.cent_id, t.pos),
+              c1 AS (SELECT s.cent_id, COALESCE(r.cvec, s.cvec) AS cvec
+                     FROM c0 s LEFT JOIN (SELECT cent_id, list(v ORDER BY pos) AS cvec FROM m1 GROUP BY cent_id) r USING (cent_id)),
+              a2 AS (SELECT vec_id, cent_id FROM (
+                       SELECT e.vec_id, c.cent_id,
+                              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC, c.cent_id) AS rn
+                       FROM tr e CROSS JOIN c1 c) x WHERE rn = 1),
+              m2 AS (SELECT a2.cent_id, t.pos, ROUND(AVG(CAST(e.embedding[t.pos] AS DOUBLE)), 6) AS v
+                     FROM a2 JOIN tr e USING (vec_id), LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS pos) t
                      GROUP BY a2.cent_id, t.pos),
               c2 AS (SELECT s.cent_id, COALESCE(r.cvec, s.cvec) AS cvec
                      FROM c1 s LEFT JOIN (SELECT cent_id, list(v ORDER BY pos) AS cvec FROM m2 GROUP BY cent_id) r USING (cent_id)),
