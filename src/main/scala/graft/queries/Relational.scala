@@ -266,8 +266,8 @@ object Relational {
       .join(buildingOrders.hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy(col("l_orderkey").as("o_orderkey"))
-      .agg(sum(Exact.revenueTerm(col("l_extendedprice"), col("l_discount")))
-        .cast("double").as("rev"))
+      .agg(Exact.drevenueSum(col("l_extendedprice"), col("l_discount"))
+        .as("rev"))
       .orderBy(col("rev").desc, col("o_orderkey"))
       .limit(10)
   }

@@ -51,7 +51,7 @@ object ScaleProbe {
     }
     time("rev_per_order_6m") {
       li.groupBy("l_orderkey")
-        .agg(sum(Exact.revenueTerm(col("l_extendedprice"), col("l_discount"))).as("rev"))
+        .agg(Exact.drevenueSum(col("l_extendedprice"), col("l_discount")).as("rev"))
         .pipe(run)
     }
     time("topk_6m") {

@@ -26,7 +26,7 @@ object TimeParts {
     }
     time("agg decimal revenue by orderkey") {
       t.lineitem.groupBy("l_orderkey")
-        .agg(sum(Exact.revenueTerm(col("l_extendedprice"), col("l_discount")))).count()
+        .agg(Exact.drevenueSum(col("l_extendedprice"), col("l_discount"))).count()
     }
     time("building orders join only") {
       t.customer.filter(col("c_mktsegment") === "BUILDING")

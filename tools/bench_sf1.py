@@ -9,15 +9,42 @@ directory-shaped parquet, so views glob `<t>.parquet/*.parquet` when the
 path is a directory), with the same methodology (one warmup, min of 3
 re-planned runs fetching all rows). Writes BENCH_sf1.json carrying BOTH
 engines' per-query maps and the per-query ratios.
+
+Full-suite honesty classification (round 11):
+- oracles that read committed golden files (`goldens/…`) do no DuckDB-side
+  work at sf1 — timing a parquet point-read against a real Spark pipeline
+  would flatter nothing and compare nothing, so they are reported with
+  duckdb = null, class = "golden-read";
+- streaming replays (`_stream_` queries and the stateful session/upsert
+  machines) pay micro-batch/state-store machinery a batch SQL
+  reconstruction does not — DuckDB still runs their batch oracle, and the
+  pair is recorded, but they are excluded from the headline ratio and
+  carry class = "streaming-replay";
+- everything else is class = "batch" and feeds the headline
+  `batch_ratio` (spark_total / duckdb_total over batch pairs).
+Each DuckDB query gets a 120 s interrupt guard so one pathological oracle
+cannot wedge the capture (recorded as -2.0 = timeout).
 """
 import json
 import os
 import sys
+import threading
 import time
 
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+STREAM_MARKERS = ("_stream_",)
+DUCK_TIMEOUT_S = 120.0
+
+
+def classify(name, sql):
+    if "goldens/" in sql:
+        return "golden-read"
+    if any(m in name for m in STREAM_MARKERS):
+        return "streaming-replay"
+    return "batch"
 
 
 def main():
@@ -32,41 +59,76 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(oracle_path))
     duck = {}
+    classes = {}
     for name in sorted(spark["queries"]):
-        sql = oracles[name]
+        sql = oracles.get(name)
+        if sql is None:
+            classes[name] = "no-oracle"
+            duck[name] = None
+            continue
+        classes[name] = classify(name, sql)
+        if classes[name] == "golden-read":
+            duck[name] = None
+            print(f"SF1DUCK {name:32s}   golden-read (no DuckDB-side work)")
+            continue
 
         def run_once():
-            t0 = time.perf_counter()
-            con.sql(sql).fetchall()
-            return time.perf_counter() - t0
+            timer = threading.Timer(DUCK_TIMEOUT_S, con.interrupt)
+            timer.start()
+            try:
+                t0 = time.perf_counter()
+                con.sql(sql).fetchall()
+                return time.perf_counter() - t0
+            finally:
+                timer.cancel()
         try:
             run_once()
             duck[name] = round(min(run_once() for _ in range(3)), 6)
+        except duckdb.InterruptException:
+            print(f"DUCKDB-TIMEOUT {name} (> {DUCK_TIMEOUT_S}s)", file=sys.stderr)
+            duck[name] = -2.0
         except Exception as e:
             print(f"DUCKDB-ERR {name}: {str(e)[:200]}", file=sys.stderr)
             duck[name] = -1.0
-        print(f"SF1DUCK {name:24s} {duck[name]:8.3f} s")
+        print(f"SF1DUCK {name:32s} {duck[name]:8.3f} s  [{classes[name]}]")
     ratios = {n: (round(spark["queries"][n] / duck[n], 3)
-                  if duck.get(n, -1) > 0 and spark["queries"][n] > 0 else None)
+                  if isinstance(duck.get(n), float) and duck[n] > 0
+                  and spark["queries"][n] > 0 else None)
               for n in spark["queries"]}
-    ok = [n for n in duck if duck[n] >= 0 and spark["queries"][n] >= 0]
+    def paired(cls):
+        return [n for n in duck
+                if classes.get(n) == cls and isinstance(duck[n], float)
+                and duck[n] > 0 and spark["queries"].get(n, -1) > 0]
+    batch = paired("batch")
+    streaming = paired("streaming-replay")
     artifact = {
         "sf": spark["sf"],
         "cores": spark["cores"],
         "threads": con.sql("SELECT current_setting('threads')").fetchone()[0],
         "duckdb": duckdb.__version__,
-        "protocol": "identical parquet inputs, committed oracle SQL, one warmup + min-of-3 re-planned runs per engine",
+        "protocol": "identical parquet inputs, committed oracle SQL, one warmup + min-of-3 re-planned runs per engine; classes: batch (headline), streaming-replay (micro-batch machinery, excluded from headline), golden-read (no DuckDB-side work, duckdb=null)",
+        "classes": classes,
         "spark_queries": spark["queries"],
         "duckdb_queries": duck,
         "ratio_spark_over_duckdb": ratios,
-        "spark_total": round(sum(spark["queries"][n] for n in ok), 6),
-        "duckdb_total": round(sum(duck[n] for n in ok), 6),
+        "batch_spark_total": round(sum(spark["queries"][n] for n in batch), 6),
+        "batch_duckdb_total": round(sum(duck[n] for n in batch), 6),
+        "batch_ratio": round(sum(spark["queries"][n] for n in batch)
+                             / sum(duck[n] for n in batch), 3) if batch else None,
+        "streaming_spark_total": round(sum(spark["queries"][n] for n in streaming), 6),
+        "streaming_duckdb_total": round(sum(duck[n] for n in streaming), 6),
+        "golden_read_spark_total": round(sum(
+            spark["queries"][n] for n in duck
+            if classes.get(n) == "golden-read" and spark["queries"].get(n, -1) > 0), 6),
     }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(f"{out_path}: spark {artifact['spark_total']:.3f}s vs duckdb "
-          f"{artifact['duckdb_total']:.3f}s over {len(ok)} queries")
+    print(f"{out_path}: batch {artifact['batch_spark_total']:.3f}s vs duckdb "
+          f"{artifact['batch_duckdb_total']:.3f}s = {artifact['batch_ratio']}x "
+          f"over {len(batch)} batch pairs "
+          f"(+{len(streaming)} streaming pairs, "
+          f"{sum(1 for c in classes.values() if c == 'golden-read')} golden-read)")
 
 
 if __name__ == "__main__":
