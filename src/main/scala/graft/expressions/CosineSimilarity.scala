@@ -128,7 +128,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier(CosineSimilarity.name),
       new ExpressionInfo(classOf[CosineSimilarity].getName, CosineSimilarity.name),
       { children: Seq[Expression] => CosineSimilarity(children.head, children(1)) }))
-    (TextSignatures.fns ++ TextStats.fns).foreach { case (name, cls, builder) =>
+    (TextSignatures.fns ++ TextStats.fns ++ VecPrimitives.fns).foreach { case (name, cls, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(cls.getName, name), builder))
     }

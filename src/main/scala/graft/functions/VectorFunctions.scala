@@ -40,6 +40,21 @@ object VectorFunctions {
     call_function(graft.expressions.CosineSimilarity.name, a, b)
   }
 
+  /** Codegen'd dot product and L2 norm ([[graft.expressions.DotProduct]] /
+    * [[graft.expressions.L2Norm]]) — the norm-factored cosine primitives:
+    * `dotNative(a,b) / (normNative(a) * normNative(b))` is bit-identical to
+    * [[cosineNative]] (same fold order, same division shape), but lets an
+    * index pay each vector's norm ONCE instead of per pair.
+    */
+  def dotNative(spark: org.apache.spark.sql.SparkSession)(a: Column, b: Column): Column = {
+    graft.expressions.VecPrimitives.register(spark)
+    call_function(graft.expressions.VecPrimitives.dotName, a, b)
+  }
+  def normNative(spark: org.apache.spark.sql.SparkSession)(a: Column): Column = {
+    graft.expressions.VecPrimitives.register(spark)
+    call_function(graft.expressions.VecPrimitives.normName, a)
+  }
+
   /** Squared L2 distance (for LSH bucketing / IVF assignment). */
   def sqDist(a: Column, b: Column): Column = {
     val d = zip_with(toDouble(a), toDouble(b), (x, y) => x - y)

@@ -584,10 +584,16 @@ object Dedup {
         round(cos(col("_v"), col("cvec")), 6).as("_s"))
     val cells = Similarity.topKPerGroup(assigned, "_id", "_s", "cent_id", 1)
       .select(col("_id"), col("cent_id"))
-    val sided = cells.join(emb.select(col(keyCol).as("_id"), col(vecCol).as("_v")), "_id")
-    boundedCandidates(sided, "_id", Seq("cent_id"), Seq("_v"), maxCell)
+    // each side carries its vector's norm, computed once per VECTOR before
+    // pairing — the per-pair verify then runs norm-factored (dot/(na·nb),
+    // bit-identical to the inline cosine; see expressions.VecPrimitives)
+    val dot = graft.functions.VectorFunctions.dotNative(spark) _
+    val nrm = graft.functions.VectorFunctions.normNative(spark)(_)
+    val sided = cells.join(emb.select(col(keyCol).as("_id"), col(vecCol).as("_v"),
+      nrm(col(vecCol)).as("_n")), "_id")
+    boundedCandidates(sided, "_id", Seq("cent_id"), Seq("_v", "_n"), maxCell)
       .select(col("a"), col("b"),
-        round(cos(col("_v_a"), col("_v_b")), 6).as("sim"))
+        round(dot(col("_v_a"), col("_v_b")) / (col("_n_a") * col("_n_b")), 6).as("sim"))
       .filter(col("sim") >= minSim)
   }
 

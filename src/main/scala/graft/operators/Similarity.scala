@@ -380,10 +380,12 @@ object Similarity {
                                   vecCol: String, tag: String, k: Int = 3,
                                   nlist: Int = 16, nprobe: Int = 4,
                                   kmeansIters: Int = 2,
-                                  nBuckets: Int = 8): DataFrame = {
+                                  nBuckets: Int = 32): DataFrame = {
     val (centTbl, cellsTbl) = ivfArtifactNames(tag)
     Seq(centTbl, cellsTbl).foreach(graft.StageDir.dropManagedTable(spark, _))
     val cos = VectorFunctions.cosineNative(spark) _
+    val dot = VectorFunctions.dotNative(spark) _
+    val nrm = VectorFunctions.normNative(spark)(_)
     kmeansCentroids(corpus, keyCol, vecCol, nlist, kmeansIters)
       .write.mode("overwrite").format("parquet").saveAsTable(centTbl)
     val cent = spark.table(centTbl)
@@ -395,9 +397,13 @@ object Similarity {
             round(cos(col(vecCol), col("cvec")), 6).as("s")),
         idAs, "s", "cent_id", 1)
         .select(col(idAs), col("cent_id"))
+    // the persisted cell rows carry each vector's L2 norm, computed ONCE at
+    // index build: the search's per-pair cosine then runs norm-factored
+    // (dot / (qn·nn) — bit-identical to the inline form, see VecPrimitives)
     def cellRows(df: DataFrame): DataFrame =
       assignTo(df, "c_id")
-        .join(df.select(col(keyCol).as("c_id"), col(vecCol).as("nv")), "c_id")
+        .join(df.select(col(keyCol).as("c_id"), col(vecCol).as("nv"),
+          nrm(col(vecCol)).as("nn")), "c_id")
     cellRows(corpus)
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "cent_id").sortBy("cent_id")
@@ -410,11 +416,20 @@ object Similarity {
           round(cos(col(vecCol), col("cvec")), 6).as("s")),
       "q_id", "s", "cent_id", nprobe)
       .select(col("q_id"), col("cent_id"))
-    val scored = probes.join(spark.table(cellsTbl), "cent_id")
+    // JOIN ORDER is load-bearing: attach each probe's query vector to the
+    // (increment × nprobe)-row probe list BEFORE expanding against the
+    // cells — joining the expanded (probe × cell-member) frame with the
+    // query vectors instead would shuffle/sort candidate-count rows CARRYING
+    // VECTORS (measured 13 s of q129's 14 s sf1 wall); this way the
+    // expansion and the scoring run fused in the bucketed-read stage and
+    // nothing wider than the probe list ever shuffles.
+    val probesWithVec = probes
+      .join(queries.select(col(keyCol).as("q_id"), col(vecCol).as("qv"),
+        nrm(col(vecCol)).as("qn")), "q_id")
+    val scored = probesWithVec.join(spark.table(cellsTbl), "cent_id")
       .filter(col("q_id") =!= col("c_id"))
-      .join(queries.select(col(keyCol).as("q_id"), col(vecCol).as("qv")), "q_id")
       .select(col("q_id"), col("c_id").as("n_id"),
-        round(cos(col("qv"), col("nv")), 6).as("sim"))
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("sim"))
     val out = topKPerGroup(scored, "q_id", "sim", "n_id", k)
       .localCheckpoint(true)
     // corpus-grows: the increment's assignments are paid here, exactly once
