@@ -381,34 +381,72 @@ object Similarity {
                                   nlist: Int = 16, nprobe: Int = 4,
                                   kmeansIters: Int = 2,
                                   nBuckets: Int = 32): DataFrame = {
+    buildIvfIndex(spark, corpus, keyCol, vecCol, tag, nlist, kmeansIters, nBuckets)
+    val out = searchIvfIndex(spark, queries, keyCol, vecCol, tag, k, nprobe)
+      .localCheckpoint(true) // materialized BEFORE the append mutates the artifact
+    appendToIvfIndex(spark, queries, keyCol, vecCol, tag, nBuckets)
+    out
+  }
+
+  /** Cell rows for `df` against the persisted centroids: `(c_id, cent_id,
+    * nv, nn)` — each vector with its nearest cell and its L2 norm, computed
+    * ONCE when the vector enters the index (the search's per-pair cosine
+    * then runs norm-factored `dot/(qn·nn)` — bit-identical to the inline
+    * form, see [[graft.expressions.VecPrimitives]]).
+    */
+  private def ivfCellRows(spark: SparkSession, df: DataFrame, keyCol: String,
+                          vecCol: String, centTbl: String): DataFrame = {
+    val cos = VectorFunctions.cosineNative(spark) _
+    val nrm = VectorFunctions.normNative(spark)(_)
+    val cent = spark.table(centTbl)
+    topKPerGroup(
+      df.select(col(keyCol).as("c_id"), col(vecCol))
+        .join(broadcast(cent))
+        .select(col("c_id"), col("cent_id"),
+          round(cos(col(vecCol), col("cvec")), 6).as("s")),
+      "c_id", "s", "cent_id", 1)
+      .select(col("c_id"), col("cent_id"))
+      .join(df.select(col(keyCol).as("c_id"), col(vecCol).as("nv"),
+        nrm(col(vecCol)).as("nn")), "c_id")
+  }
+
+  /** BUILD: train centroids on (a deterministic sample of) the corpus and
+    * persist both index halves — paid once per corpus, then amortized over
+    * every [[searchIvfIndex]]/[[appendToIvfIndex]] call.
+    *
+    * @param trainSampleMod when > 1, k-means trains on the
+    *   `portableHash(key) % mod == 0` corpus slice (the q135 sampling
+    *   pattern) — the at-scale posture where `nlist` grows with the corpus
+    *   and full-corpus training would pay corpus × nlist per Lloyd pass.
+    */
+  def buildIvfIndex(spark: SparkSession, corpus: DataFrame, keyCol: String,
+                    vecCol: String, tag: String, nlist: Int = 16,
+                    kmeansIters: Int = 2, nBuckets: Int = 32,
+                    trainSampleMod: Int = 1): Unit = {
     val (centTbl, cellsTbl) = ivfArtifactNames(tag)
     Seq(centTbl, cellsTbl).foreach(graft.StageDir.dropManagedTable(spark, _))
-    val cos = VectorFunctions.cosineNative(spark) _
-    val dot = VectorFunctions.dotNative(spark) _
-    val nrm = VectorFunctions.normNative(spark)(_)
-    kmeansCentroids(corpus, keyCol, vecCol, nlist, kmeansIters)
+    val trainSet =
+      if (trainSampleMod <= 1) corpus
+      else corpus.filter(Curation.portableHash(col(keyCol)) % trainSampleMod === 0)
+    kmeansCentroids(trainSet, keyCol, vecCol, nlist, kmeansIters)
       .write.mode("overwrite").format("parquet").saveAsTable(centTbl)
-    val cent = spark.table(centTbl)
-    def assignTo(df: DataFrame, idAs: String): DataFrame =
-      topKPerGroup(
-        df.select(col(keyCol).as(idAs), col(vecCol))
-          .join(broadcast(cent))
-          .select(col(idAs), col("cent_id"),
-            round(cos(col(vecCol), col("cvec")), 6).as("s")),
-        idAs, "s", "cent_id", 1)
-        .select(col(idAs), col("cent_id"))
-    // the persisted cell rows carry each vector's L2 norm, computed ONCE at
-    // index build: the search's per-pair cosine then runs norm-factored
-    // (dot / (qn·nn) — bit-identical to the inline form, see VecPrimitives)
-    def cellRows(df: DataFrame): DataFrame =
-      assignTo(df, "c_id")
-        .join(df.select(col(keyCol).as("c_id"), col(vecCol).as("nv"),
-          nrm(col(vecCol)).as("nn")), "c_id")
-    cellRows(corpus)
+    ivfCellRows(spark, corpus, keyCol, vecCol, centTbl)
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "cent_id").sortBy("cent_id")
       .saveAsTable(cellsTbl)
-    // ---- search: increment probes against the bucketed read
+  }
+
+  /** SEARCH: today's increment probes the persisted index — reads only the
+    * bucketed cells and the broadcast centroid table, never the corpus.
+    */
+  def searchIvfIndex(spark: SparkSession, queries: DataFrame, keyCol: String,
+                     vecCol: String, tag: String, k: Int = 3,
+                     nprobe: Int = 4): DataFrame = {
+    val (centTbl, cellsTbl) = ivfArtifactNames(tag)
+    val cos = VectorFunctions.cosineNative(spark) _
+    val dot = VectorFunctions.dotNative(spark) _
+    val nrm = VectorFunctions.normNative(spark)(_)
+    val cent = spark.table(centTbl)
     val probes = topKPerGroup(
       queries.select(col(keyCol).as("q_id"), col(vecCol))
         .join(broadcast(cent))
@@ -416,12 +454,13 @@ object Similarity {
           round(cos(col(vecCol), col("cvec")), 6).as("s")),
       "q_id", "s", "cent_id", nprobe)
       .select(col("q_id"), col("cent_id"))
-    // JOIN ORDER is load-bearing: attach each probe's query vector to the
+    // JOIN ORDER: attach each probe's query vector to the
     // (increment × nprobe)-row probe list BEFORE expanding against the
     // cells — joining the expanded (probe × cell-member) frame with the
-    // query vectors instead would shuffle/sort candidate-count rows CARRYING
-    // VECTORS (measured 13 s of q129's 14 s sf1 wall); this way the
-    // expansion and the scoring run fused in the bucketed-read stage and
+    // query vectors instead would rely on the planner broadcasting the
+    // query side (and shuffle/sort candidate-count rows carrying vectors
+    // when it doesn't); this way the expansion and the scoring run fused
+    // in the bucketed-read stage regardless of broadcast thresholds, and
     // nothing wider than the probe list ever shuffles.
     val probesWithVec = probes
       .join(queries.select(col(keyCol).as("q_id"), col(vecCol).as("qv"),
@@ -430,14 +469,45 @@ object Similarity {
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id").as("n_id"),
         round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("sim"))
-    val out = topKPerGroup(scored, "q_id", "sim", "n_id", k)
-      .localCheckpoint(true)
-    // corpus-grows: the increment's assignments are paid here, exactly once
-    cellRows(queries)
+    topKPerGroup(scored, "q_id", "sim", "n_id", k)
+  }
+
+  /** Diagnostic: the candidate volume a [[searchIvfIndex]] at these
+    * parameters scores — the probe list expanded against the cells, before
+    * top-k. What the `SCALE_IVF.json` sweep records next to wall time.
+    */
+  def searchCandidateCount(spark: SparkSession, queries: DataFrame,
+                           keyCol: String, vecCol: String, tag: String,
+                           nprobe: Int = 4): Long = {
+    val (centTbl, cellsTbl) = ivfArtifactNames(tag)
+    val cos = VectorFunctions.cosineNative(spark) _
+    val cent = spark.table(centTbl)
+    topKPerGroup(
+      queries.select(col(keyCol).as("q_id"), col(vecCol))
+        .join(broadcast(cent))
+        .select(col("q_id"), col("cent_id"),
+          round(cos(col(vecCol), col("cvec")), 6).as("s")),
+      "q_id", "s", "cent_id", nprobe)
+      .select(col("q_id"), col("cent_id"))
+      .join(spark.table(cellsTbl).select("cent_id", "c_id"), "cent_id")
+      .filter(col("q_id") =!= col("c_id"))
+      .count()
+  }
+
+  /** APPEND (corpus-grows): the increment's cell assignments enter the
+    * bucketed cells table, so the next increment probes a corpus that
+    * already contains this one. Centroids are untouched — cell quality
+    * drifts with the corpus and a rebuild recenters, the standard IVF
+    * maintenance trade.
+    */
+  def appendToIvfIndex(spark: SparkSession, increment: DataFrame,
+                       keyCol: String, vecCol: String, tag: String,
+                       nBuckets: Int = 32): Unit = {
+    val (centTbl, cellsTbl) = ivfArtifactNames(tag)
+    ivfCellRows(spark, increment, keyCol, vecCol, centTbl)
       .write.mode("append").format("parquet")
       .bucketBy(nBuckets, "cent_id").sortBy("cent_id")
       .saveAsTable(cellsTbl)
-    out
   }
 
   // ------------------------------------------------------- declared queries
