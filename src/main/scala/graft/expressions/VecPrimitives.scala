@@ -144,9 +144,67 @@ case class L2Norm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Integer dot product over two `array<bigint>` columns — the q122
+  * quantized-code scorer. Replaces the interpreted
+  * `aggregate(zip_with(...))` fold with one fused codegen loop; integer
+  * addition is associative and exact, so the result is IDENTICAL to the
+  * HOF form (and to the oracle's `list_reduce`) by arithmetic, not by
+  * rounding contract.
+  */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isLongArr(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case NullType => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (Seq(left, right).forall(e => isLongArr(e.dataType)))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<bigint> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += x.getLong(i) * y.getLong(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        long $dot = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += $a.getLong($i) * $b.getLong($i);
+        }
+        ${ev.value} = $dot;
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): DotProductLong =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecPrimitives {
   val dotName = "graft_dot"
   val normName = "graft_l2norm"
+  val dotLongName = "graft_dot_long"
 
   val fns: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     (dotName, classOf[DotProduct], { children: Seq[Expression] =>
@@ -156,6 +214,10 @@ object VecPrimitives {
     (normName, classOf[L2Norm], { children: Seq[Expression] =>
       require(children.size == 1, s"$normName expects 1 argument")
       L2Norm(children.head)
+    }),
+    (dotLongName, classOf[DotProductLong], { children: Seq[Expression] =>
+      require(children.size == 2, s"$dotLongName expects 2 arguments")
+      DotProductLong(children.head, children(1))
     }))
 
   /** Direct session registration (idempotent). */

@@ -94,10 +94,14 @@ object Similarity {
       "q_id", "qv", "qc")
     val c = side(corpus.select(col(keyCol).as("n_id"), col(vecCol).as("nv")),
       "n_id", "nv", "nc")
+    // native fused integer dot (graft_dot_long): identical integers to the
+    // aggregate(zip_with(...)) fold — exact associative arithmetic, no
+    // rounding contract — without the per-element HOF lambda dispatch
+    graft.expressions.VecPrimitives.register(corpus.sparkSession)
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        expr("aggregate(zip_with(qc, nc, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
-          .as("score"))
+        call_function(graft.expressions.VecPrimitives.dotLongName,
+          col("qc"), col("nc")).as("score"))
     topKPerGroup(scored, "q_id", "score", "n_id", k)
   }
 
