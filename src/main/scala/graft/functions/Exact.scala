@@ -24,17 +24,21 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * arithmetic (`x·100 ± 0.5`, truncate) — codegen-friendly, no BigDecimal.
   *
   * Exactness contract: the conversion yields the true cent count for every
-  * double that REPRESENTS a 2-decimal value (x·100 is then within ~1e-6 of
-  * an integer for |x| < 4×10¹³, so the ±0.5 offset cannot cross an integer
-  * boundary), and therefore agrees bit-for-bit with the oracle's
-  * `CAST(x AS DECIMAL(…,2))` — both engines round to the same cent. The
-  * fixture precondition (every money column 2-decimal-representable, wide
-  * margin) is asserted by `CentsMarginSpec`; a corpus with genuinely
-  * ≥3-decimal values would round HALF-AWAY here vs string-repr HALF_UP in
-  * Spark's decimal cast and must not use this path. Overflow bound: 2⁶³
-  * cents ≈ $9.2×10¹⁶ per aggregation group — orders of magnitude above a
-  * 100 TB corpus's totals; the final long→double cast is exact below 2⁵³
-  * cents and correctly rounded above (the same hugeint→double→divide shape
+  * double that REPRESENTS a 2-decimal value with |x| ≤ 10¹¹ dollars
+  * (10¹³ cents) per VALUE — within that range the representation error of
+  * x plus the x·100 multiply rounding stay well under the ±0.5 budget, so
+  * the result agrees bit-for-bit with the oracle's
+  * `CAST(x AS DECIMAL(…,2))` (both engines round to the same cent).
+  * `CentsPropertySpec` probes the cliff: divergence onsets near
+  * ~3.5×10¹⁵ cents (double spacing at x·100 reaches 0.5) — 300× past the
+  * contract bound and eight orders past any real money value. The fixture
+  * precondition (every money column 2-decimal-representable, wide margin)
+  * is asserted by `CentsMarginSpec`; a corpus with genuinely ≥3-decimal
+  * values would round HALF-AWAY here vs string-repr HALF_UP in Spark's
+  * decimal cast and must not use this path. Overflow bound: 2⁶³ cents ≈
+  * $9.2×10¹⁶ per aggregation GROUP (per-value magnitude is bounded by the
+  * contract above); the final long→double cast is exact below 2⁵³ cents
+  * and correctly rounded above (the same hugeint→double→divide shape
   * DuckDB uses for its decimal casts).
   */
 object Exact {
