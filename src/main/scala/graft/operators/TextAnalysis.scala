@@ -356,8 +356,13 @@ object TextAnalysis {
     * shuffles.
     */
   def corpusDiversity(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    // tokenize ONCE: both aggregate branches (token stats, bigram stats)
+    // read the persisted token arrays instead of re-splitting the corpus —
+    // the cache is released by the caller's lifecycle (bench clears per
+    // query; a pipeline holds it exactly as long as the two branches run)
     val base = docs.filter(wsTokenCount(col(textCol)) >= 1)
       .select(col(sourceCol).as("source"), split(trim(col(textCol)), " +").as("_toks"))
+      .persist()
     val toks = base.select(col("source"), explode(col("_toks")).as("tok"))
       .groupBy("source")
       .agg(count(lit(1)).as("total_tokens"),
