@@ -88,7 +88,8 @@ object SparkEntry {
       graft.operators.Funnels.queries ++
       graft.operators.SkewJoin.queries ++
       graft.sources.ScaleLayouts.queries ++
-      graft.sources.odata.ConnectorReplay.queries
+      graft.sources.odata.ConnectorReplay.queries ++
+      graft.operators.Pipeline.queries
 
   /** Entries whose builder EXECUTES work (sketch build + probe, streaming
     * replays) — never cached.
@@ -153,5 +154,6 @@ object SparkEntry {
       Multimodal.oracles ++
       EventStreams.oracles ++
       graft.streaming.DocPipeline.oracles ++
-      graft.sources.odata.ConnectorReplay.oracles
+      graft.sources.odata.ConnectorReplay.oracles ++
+      graft.operators.Pipeline.oracles
 }

@@ -54,6 +54,24 @@ object TextAnalysis {
   def markerHits(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast(LongType)
 
+  /** DuckDB SQL mirror of [[langId]] as a splice-able derived table over
+    * `src` (which must expose `doc_id, text`): emits
+    * `doc_id, text, pred_lang` — the q47 formulation, reused by composed
+    * pipelines (q136) so the language gate certifies from ONE definition.
+    */
+  private[graft] def langIdSqlOver(src: String): String = {
+    val hitExprs = langMarkers.map { case (l, p) =>
+      s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS h_$l"
+    }.mkString(", ")
+    val bestExpr = "greatest(" + langMarkers.map { case (l, _) => s"h_$l" }.mkString(", ") + ")"
+    val langCase = langMarkers.map { case (l, _) =>
+      s"WHEN h_$l = best AND best > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""SELECT doc_id, text, $langCase AS pred_lang
+        FROM (SELECT doc_id, text, $bestExpr AS best, ${langMarkers.map("h_" + _._1).mkString(", ")}
+              FROM (SELECT doc_id, text, $hitExprs FROM $src) x) y"""
+  }
+
   /** Predicted language + the winning score (deterministic argmax). */
   def langId(text: Column): (Column, Column) = {
     val hits = langMarkers.map { case (l, p) => (l, markerHits(text, p)) }

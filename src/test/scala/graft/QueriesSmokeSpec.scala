@@ -27,7 +27,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
       operators.Resample.queries.keys, operators.Profile.queries.keys,
       operators.Funnels.queries.keys, operators.SkewJoin.queries.keys,
       operators.Sketches.queries.keys, sources.ScaleLayouts.queries.keys,
-      sources.odata.ConnectorReplay.queries.keys,
+      sources.odata.ConnectorReplay.queries.keys, operators.Pipeline.queries.keys,
       streaming.EventStreams.queries.keys, streaming.DocPipeline.queries.keys).flatten.toSeq
     assert(allKeys.size == allKeys.distinct.size, "duplicate query names across modules")
     // ... and the union did not silently drop any module's entry
