@@ -615,15 +615,16 @@ object Dedup {
     * discipline, same as IVF's k-means).
     *
     * ONE driver job per round: the changed-row count rides a
-    * `LongAccumulator` populated by the SAME job that materializes the
-    * round's labels (eager `localCheckpoint`), so convergence costs no
-    * second scheduling round-trip. Accumulator semantics are safe here —
-    * retried tasks can only over-count, and over-counting merely runs one
-    * more (idempotent) propagation round; the test is `== 0`, never a
-    * threshold.
+    * `Dataset.observe` metric (`CollectMetrics` plan node) computed by the
+    * SAME job that materializes the round's labels (eager
+    * `localCheckpoint`), so convergence costs no second scheduling
+    * round-trip — and, unlike the round-11 `LongAccumulator`-over-RDD hop,
+    * the count stays inside the declarative plan (whole-stage codegen, no
+    * `ExistingRDD` Row-serialization round-trip). Observed metrics are
+    * computed exactly-once per action (Spark re-computes them on task
+    * retry), and the test is `== 0`, never a threshold.
     */
   def duplicateClusters(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
     val fwd = pairs.select(col("a").as("src"), col("b").as("dst"))
     val edges = fwd.union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
@@ -638,11 +639,13 @@ object Dedup {
         .select(col("node"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
           (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl")).as("changed"))
-      val acc = spark.sparkContext.longAccumulator("graft.clusters.changed")
-      val counted = spark.createDataFrame(
-        next0.rdd.map { r => if (r.getBoolean(2)) acc.add(1L); r }, next0.schema)
+      // count(when(...)) not sum(when(...)): count is 0 on an empty round,
+      // sum is null — an empty label table must converge, not NPE
+      val obs = org.apache.spark.sql.Observation()
+      val counted = next0.observe(obs,
+        count(when(col("changed"), lit(1))).as("changed"))
       val next = counted.select("node", "lbl").localCheckpoint(true) // ← the round's ONLY job
-      converged = acc.value == 0L
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = next
     }
     labels.select(col("node").as("doc_id"), col("lbl").as("canonical"))
