@@ -50,6 +50,12 @@ def classify(name, sql):
 def main():
     sfdir, oracle_path, spark_path = sys.argv[1], sys.argv[2], sys.argv[3]
     out_path = sys.argv[4] if len(sys.argv) > 4 else "BENCH_sf1.json"
+    # optional 5th arg: check_oracles.py --json output for a Verify dump at
+    # the SAME densified dir — merged as the golden-read class's value-check
+    # column (round 12: the LSH/sketch goldens carry the densified corpus
+    # tags, so the eight formerly unchecked-at-sf1 queries are value-checked
+    # at the bench's own scale point)
+    value_check = json.load(open(sys.argv[5]))["verdicts"] if len(sys.argv) > 5 else None
     spark = json.load(open(spark_path))
     con = duckdb.connect()
     for t in TABLES:
@@ -121,6 +127,20 @@ def main():
             spark["queries"][n] for n in duck
             if classes.get(n) == "golden-read" and spark["queries"].get(n, -1) > 0), 6),
     }
+    if "submetrics" in spark:
+        artifact["submetrics"] = spark["submetrics"]
+        artifact["submetric_notes"] = {
+            "q129_search_only": "searchIvfIndex alone against a pre-built "
+                "persisted index (same params/slices as q129; build untimed) "
+                "— the deployment-mode search cost; the q129 row itself "
+                "times rebuild+search+append for certification purity"}
+    if value_check is not None:
+        artifact["sf1_value_check"] = value_check
+        artifact["sf1_value_check_note"] = (
+            "check_oracles.py verdicts for a graft.Verify dump at this "
+            "densified dir — value-level certification at the bench's own "
+            "scale point for the listed queries (golden-read class included: "
+            "the goldens carry the densified corpus tags since round 12)")
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
         f.write("\n")

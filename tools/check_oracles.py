@@ -17,6 +17,7 @@ distinction, so any uncast integer aggregate now fails locally too.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -37,13 +38,30 @@ def canon(v):
 
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
+    # optional: --json <path> writes a per-query {"name": "pass"/"<kind>"}
+    # machine-readable verdict (bench_sf1.py merges it as the sf1-densified
+    # golden value-check column)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
+        args = [a for a in args if a != json_out]
+    sfdir, outdir = args[0], args[1]
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark writes directory-shaped parquet
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    verdicts = {}
     for name, sql in sorted(oracles.items()):
+        # a FILTERED Verify dump (extra args to graft.Verify) writes only
+        # the selected queries; oracles without a dump are skipped, not
+        # failed — a full dump has every dir, so nothing changes there
+        if not os.path.exists(f"{outdir}/{name}"):
+            continue
         try:
             want_t = con.sql(sql).arrow()
             want_names = sorted(want_t.column_names)
@@ -53,6 +71,7 @@ def main():
         except Exception as e:
             print(f"ORACLE-ERR {name}: {str(e)[:200]}")
             n_fail += 1
+            verdicts[name] = "oracle-err"
             continue
         try:
             got_t = ds.dataset(f"{outdir}/{name}").to_table()
@@ -62,14 +81,17 @@ def main():
         except Exception as e:
             print(f"READ-ERR   {name}: {str(e)[:200]}")
             n_fail += 1
+            verdicts[name] = "read-err"
             continue
         if want_names != got_names:
             print(f"SCHEMA     {name}: oracle={want_names} spark={got_names}")
             n_fail += 1
+            verdicts[name] = "schema-mismatch"
             continue
         if len(want_rows) != len(got_rows):
             print(f"ROWCOUNT   {name}: oracle={len(want_rows)} spark={len(got_rows)}")
             n_fail += 1
+            verdicts[name] = "rowcount-mismatch"
             continue
         bad = None
         for i, (w, g) in enumerate(zip(want_rows, got_rows)):
@@ -94,12 +116,19 @@ def main():
                     else "genuine value divergence"
                 print(f"  max relative float error {max(rel):.3e} -> {near}")
             n_fail += 1
+            verdicts[name] = "value-mismatch"
         else:
             print(f"PASS       {name} ({len(got_rows)} rows)")
             n_pass += 1
+            verdicts[name] = "pass"
     no_oracle = sorted(set(
         p.split('/')[-1] for p in __import__('glob').glob(f"{outdir}/q*")) - set(oracles))
     print(f"\n{n_pass} pass, {n_fail} fail; rows-only (no oracle): {no_oracle}")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sfdir": sfdir, "verdicts": verdicts}, f, indent=1,
+                      sort_keys=True)
+            f.write("\n")
     sys.exit(1 if n_fail else 0)
 
 

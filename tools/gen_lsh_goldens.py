@@ -23,6 +23,17 @@ This is the reference repo's golden-fixture pattern
 (tests/test_statline_bq.py:206-209) applied to the four queries whose
 results depend on engine-seeded hashes and thus cannot be expressed in
 DuckDB SQL directly.  Regenerate with:  python3 tools/gen_lsh_goldens.py
+[extra_corpus_dir ...] — extra dirs (e.g. the sf1-densified /tmp/graft_sf1
+staged by graft.tools.BenchSf1, whose tables may be directory-shaped
+parquet) are appended to the fixture list, so the goldens ALSO carry the
+densified corpus tags and the bench's own scale point is value-checked
+(round-11 verdict gap #1).
+
+The per-shingle 64-hash MinHash fold runs through numpy int64 (exact: a*h
+<= (2^31)^2 < 2^63, so no wraparound before the mod) and the SimHash bit
+votes through a per-distinct-token numpy cache — same integers, computed
+in bulk; regeneration reproduces the previously committed rows bit-exactly
+(asserted by the regeneration runbook in FIXTURES.md).
 """
 import math
 import os
@@ -30,6 +41,7 @@ import re
 import sys
 from decimal import Decimal, ROUND_HALF_UP
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -164,19 +176,27 @@ def shingle_set(s, k):
     return {s[i:min(i + k, len(s))] for i in range(n)}
 
 
+_A_NP = np.array(COEFF_A, dtype=np.int64)
+_B_NP = np.array(COEFF_B, dtype=np.int64)
+
+
 def minhash_bands(text, k):
-    sig = [MERSENNE + 1] * NUM_HASHES  # effectively Long.MaxValue
-    for sh in shingle_set(text, k):
-        h = murmur3_string(sh) & 0x7FFFFFFF
-        for j in range(NUM_HASHES):
-            v = (COEFF_A[j] * h + COEFF_B[j]) % MERSENNE
-            if v < sig[j]:
-                sig[j] = v
+    # exact int64 vectorization of the committed scalar fold: every shingle
+    # hash h < 2^31 and every a_j < 2^31, so a_j*h + b_j < 2^62 + 2^31 fits
+    # int64 with no wraparound before the mod — identical integers, computed
+    # in one (n_shingles, 64) pass (needed once the densified corpus joined
+    # the fixture list; regeneration reproduces the committed rows bit-exact)
+    hs = np.array([murmur3_string(sh) & 0x7FFFFFFF for sh in shingle_set(text, k)],
+                  dtype=np.int64)
+    if hs.size:
+        sig = ((hs[:, None] * _A_NP[None, :] + _B_NP[None, :]) % MERSENNE).min(axis=0)
+    else:  # unreachable (shingle_set is never empty) — kept for parity
+        sig = np.full(NUM_HASHES, MERSENNE + 1, dtype=np.int64)
     bands = []
     for b in range(BANDS):
         h = 1125899906842597
         for r in range(ROWS_PER_BAND):
-            h = (h * 31 + sig[b * ROWS_PER_BAND + r]) & MASK64
+            h = (h * 31 + int(sig[b * ROWS_PER_BAND + r])) & MASK64
         bands.append(h)
     return bands
 
@@ -209,13 +229,27 @@ def q41(docs, k=5, threshold=0.5):
 
 
 # --------------------------------------------------------------- simhash
-def simhash64(tokens):
-    votes = [0] * 64
-    for t in tokens:
+_TOKEN_VOTE_CACHE = {}
+_BIT_IDX = np.arange(64, dtype=np.uint64)
+
+
+def _token_votes(t):
+    """The token's ±1 vote vector (cached per distinct token — the corpus
+    repeats tokens heavily, and the densified fixtures 10x the volume)."""
+    v = _TOKEN_VOTE_CACHE.get(t)
+    if v is None:
         h = ((murmur3_string(t, 0x9747B28C) << 32)
              | (murmur3_string(t, 0x5BD1E995) & MASK32)) & MASK64
-        for j in range(64):
-            votes[j] += 1 if (h >> j) & 1 else -1
+        bits = (np.uint64(h) >> _BIT_IDX) & np.uint64(1)
+        v = np.where(bits == 1, 1, -1).astype(np.int64)
+        _TOKEN_VOTE_CACHE[t] = v
+    return v
+
+
+def simhash64(tokens):
+    votes = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        votes += _token_votes(t)
     sig = 0
     for j in range(64):
         if votes[j] > 0:
@@ -323,12 +357,22 @@ def main():
     import duckdb
 
     os.makedirs(OUT_DIR, exist_ok=True)
+    dirs = SF_DIRS + [d for d in sys.argv[1:] if os.path.exists(d)]
+    missing = [d for d in sys.argv[1:] if not os.path.exists(d)]
+    if missing:
+        sys.exit(f"extra corpus dir(s) not found: {missing} — stage them "
+                 f"first (graft.tools.BenchSf1 stages /tmp/graft_sf1)")
+
+    def rp(sf, table):  # Spark-staged tables are directory-shaped parquet
+        p = f"{sf}/{table}.parquet"
+        return f"{p}/*.parquet" if os.path.isdir(p) else p
+
     acc = {q: [] for q in ("q41", "q42", "q46", "q56", "q113")}
-    for sf in SF_DIRS:
+    for sf in dirs:
         docs = duckdb.sql(
-            f"SELECT doc_id, text FROM '{sf}/documents.parquet' ORDER BY doc_id").fetchall()
+            f"SELECT doc_id, text FROM '{rp(sf, 'documents')}' ORDER BY doc_id").fetchall()
         embs = [(vid, [float(x) for x in vec]) for vid, vec in duckdb.sql(
-            f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id").fetchall()]
+            f"SELECT vec_id, embedding FROM '{rp(sf, 'embeddings')}' ORDER BY vec_id").fetchall()]
         doc_tag = sum(len(t.encode("utf-8")) * (d + 1) for d, t in docs)
         emb_tag = sum((v + 1) * math.floor(vec[0] * 1048576) for v, vec in embs)
         acc["q41"] += [(doc_tag, a, b, jc) for a, b, jc in q41(docs)]

@@ -26,12 +26,22 @@ the engine is bit-exact, not approximate. One golden file serves every
 scale factor via exact corpus_tag/corpus_n checksums (computed here from
 the parquet inputs directly, not taken from the engine).
 
-Usage: python3 tools/gen_sketch_goldens.py
+Usage: python3 tools/gen_sketch_goldens.py [extra_corpus_dir ...]
+Extra dirs (e.g. the sf1-densified /tmp/graft_sf1 staged by
+graft.tools.BenchSf1; tables may be directory-shaped parquet) are appended
+to the fixture list so the goldens also carry the densified corpus tags —
+the bench's own scale point is then value-checked (round-11 verdict gap #1).
+The count-min table build runs through numpy uint64 for the densified
+volumes (wrapping mod-2^64 arithmetic — the identical integers the scalar
+loop computes, asserted against it on a sample per corpus).
 """
 import json
 import math
+import os
 import pathlib
+import sys
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -168,11 +178,23 @@ def cms_estimates(values, probes, eps=0.001, confidence=0.99, seed=42):
         h &= 0x7FFFFFFF
         return h % width
 
-    table = [[0] * width for _ in range(depth)]
-    for x in values:
-        for i in range(depth):
-            table[i][bucket(x, i)] += 1
-    return {p: min(table[i][bucket(p, i)] for i in range(depth)) for p in probes}
+    # numpy uint64 fast path for the table build: a*x wraps mod 2^64 exactly
+    # like the scalar `& M64`; the arithmetic-shift add may overflow int64,
+    # which also wraps mod 2^64 — the same reduction the scalar code applies
+    # explicitly. The probe-side buckets below still use the scalar bucket()
+    # and the first 4096 values are asserted equal, so the two formulations
+    # cannot drift silently.
+    xs = np.asarray(values, dtype=np.uint64)
+    table = []
+    for i in range(depth):
+        h = xs * np.uint64(hash_a[i])                      # mod 2^64
+        signed = h.astype(np.int64)
+        signed = signed + (signed >> np.int64(32))         # wraps = & M64
+        b = (signed.astype(np.uint64) & np.uint64(0x7FFFFFFF)) % np.uint64(width)
+        sample = values[:4096]
+        assert [bucket(x, i) for x in sample] == [int(v) for v in b[:4096]],             "numpy CMS bucket path diverged from the scalar definition"
+        table.append(np.bincount(b.astype(np.int64), minlength=width))
+    return {p: min(int(table[i][bucket(p, i)]) for i in range(depth)) for p in probes}
 
 
 # ------------------------------------------------------------------- main
@@ -186,15 +208,22 @@ SCHEMAS = {
 }
 
 
-def column(sf, table, col):
-    t = pq.read_table(f"/root/testdata/{sf}/{table}.parquet", columns=[col])
+def column(sfdir, table, col):
+    # pyarrow reads both single-file and Spark directory-shaped parquet
+    t = pq.read_table(f"{sfdir}/{table}.parquet", columns=[col])
     return [v for v in t.column(col).to_pylist() if v is not None]
 
 
 def main():
+    dirs = [f"/root/testdata/{sf}" for sf in SFS]
+    for d in sys.argv[1:]:
+        if not os.path.exists(d):
+            sys.exit(f"extra corpus dir not found: {d} — stage it first "
+                     f"(graft.tools.BenchSf1 stages /tmp/graft_sf1)")
+        dirs.append(d)
     q15_rows = []
     q69_rows = []
-    for sf in SFS:
+    for sf in dirs:
         cust = column(sf, "orders", "o_custkey")
         q15_rows.append({"corpus_tag": sum(cust), "corpus_n": len(cust),
                          "u_approx": hllpp_estimate(cust)})
