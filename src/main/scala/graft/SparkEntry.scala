@@ -51,6 +51,15 @@ object SparkEntry {
     // co-located-join layouts are unaffected.
     "spark.sql.sources.useV1SourceList" -> "",
     "spark.sql.parquet.aggregatePushdown" -> "true",
+    // ObjectHashAggregate (the planning for TypedImperativeAggregates like
+    // TopKByScore's bounded heap and ArgMaxText) falls back to SORT-based
+    // aggregation once a partition sees >128 distinct groups — the default
+    // turns an ANN search's per-query top-k (thousands of probe groups)
+    // into a sort of the candidate stream. Our object buffers are k-bounded
+    // heaps / two-field argmax cells, so even millions of group buffers
+    // stay small; raise the fallback far above any realistic per-partition
+    // group count so the hash path is kept.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "4194304",
   )
 
   def configure(b: SparkSession.Builder): SparkSession.Builder =

@@ -144,5 +144,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier(LatestBy.name),
       new ExpressionInfo(classOf[LatestBy].getName, LatestBy.name),
       LatestBy.builder))
+    ext.injectFunction((FunctionIdentifier(FastRound.name),
+      new ExpressionInfo(classOf[RoundHalfUpFast].getName, FastRound.name),
+      { children: Seq[Expression] =>
+        require(children.size == 2, s"${FastRound.name} expects 2 arguments")
+        RoundHalfUpFast(children.head, children(1))
+      }))
   }
 }

@@ -55,6 +55,24 @@ object VectorFunctions {
     call_function(graft.expressions.VecPrimitives.normName, a)
   }
 
+  /** HALF_UP decimal rounding, bit-exact with `functions.round(c, s)` but
+    * ~1000x cheaper per row ([[graft.expressions.FastRound]]) — use where a
+    * candidate STREAM is rounded (ANN scoring, near-dup verify): Spark's
+    * double Round is a per-row BigDecimal round-trip that dominated q129's
+    * search wall (tools.RoundCostProbe).
+    */
+  def roundNative(spark: org.apache.spark.sql.SparkSession)(c: Column, scale: Int): Column = {
+    graft.expressions.FastRound.register(spark)
+    call_function(graft.expressions.FastRound.name, c, lit(scale))
+  }
+
+  /** Session-less variant for pure Column-builder helpers: registers
+    * against the thread's active session (always set by the time a query
+    * builder runs — Verify/Bench/tests create the session first).
+    */
+  def roundNative(c: Column, scale: Int): Column =
+    roundNative(org.apache.spark.sql.SparkSession.active)(c, scale)
+
   /** Squared L2 distance (for LSH bucketing / IVF assignment). */
   def sqDist(a: Column, b: Column): Column = {
     val d = zip_with(toDouble(a), toDouble(b), (x, y) => x - y)

@@ -198,7 +198,8 @@ object Curation {
   def repetitionRatios(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
     import graft.expressions.TextStats
     def ratio4(num: Column, den: Column): Column =
-      round(num.cast("double") * 10000d / greatest(den, lit(1L)).cast("double")) / 10000d
+      graft.functions.VectorFunctions.roundNative(
+        num.cast("double") * 10000d / greatest(den, lit(1L)).cast("double"), 0) / 10000d
     val st = TextStats.repStatsCol(docs.sparkSession)(col(textCol))
     docs
       .withColumn("_rs", st)

@@ -146,7 +146,8 @@ object Dedup {
       .join(d.select(col(keyCol).as("b"), col("text").as("tb")), "b")
       .withColumn("jaccard", TextSignatures.shingleJaccardCol(spark)(col("ta"), col("tb"), k))
       .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("a"), col("b"),
+        graft.functions.VectorFunctions.roundNative(spark)(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Incremental near-dup gate — [[minhashPairs]]' banding applied to the
@@ -268,7 +269,8 @@ object Dedup {
       .join(spread(incoming).select(col(keyCol).as("new_id"), col("text").as("tb")), "new_id")
       .withColumn("jaccard", TextSignatures.shingleJaccardCol(spark)(col("ta"), col("tb"), k))
       .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("old_id"), col("new_id"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("old_id"), col("new_id"),
+        graft.functions.VectorFunctions.roundNative(spark)(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Managed-table names of the persisted incremental-dedup artifacts for a
@@ -408,7 +410,8 @@ object Dedup {
         (size(array_intersect(col("ga"), col("gb"))).cast("double") /
           least(size(col("ga")), size(col("gb"))).cast("double")).as("_ov"))
       .filter(col("_ov") >= minOverlap)
-      .select(col("a"), col("b"), round(col("_ov"), 4).as("overlap"))
+      .select(col("a"), col("b"),
+        graft.functions.VectorFunctions.roundNative(docs.sparkSession)(col("_ov"), 4).as("overlap"))
   }
 
   // ---------------------------------------------------------------- simhash
@@ -498,11 +501,12 @@ object Dedup {
     */
   def embeddingCosinePairs(emb: DataFrame, keyCol: String, vecCol: String): DataFrame = {
     val cos = VectorFunctions.cosineNative(emb.sparkSession) _
+    val rnd = VectorFunctions.roundNative(emb.sparkSession) _
     val a = spread(emb.select(col(keyCol).as("a"), col(vecCol).as("va")))
     val b = emb.select(col(keyCol).as("b"), col(vecCol).as("vb"))
     a.join(b, col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(cos(col("va"), col("vb")), 6).as("sim"))
+        rnd(cos(col("va"), col("vb")), 6).as("sim"))
   }
 
   /** Embedding near-dup at corpus scale: sign-projection LSH buckets provide
@@ -518,6 +522,7 @@ object Dedup {
                         minSim: Double = 0.9, nPlanes: Int = 8,
                         maxBucket: Int = 1024): DataFrame = {
     val cos = VectorFunctions.cosineNative(emb.sparkSession) _
+    val rnd = VectorFunctions.roundNative(emb.sparkSession) _
     // dim discovery has no row to inspect on an empty corpus — degrade to
     // the (empty) result rather than erroring the pipeline
     val dim = emb.select(size(col(vecCol))).limit(1).collect().headOption match {
@@ -529,7 +534,7 @@ object Dedup {
       .select(col(keyCol), col(vecCol), col("bucket"))
     boundedCandidates(bucketed, keyCol, Seq("bucket"), Seq(vecCol), maxBucket)
       .select(col("a"), col("b"),
-        round(cos(col(s"${vecCol}_a"), col(s"${vecCol}_b")), 6).as("sim"))
+        rnd(cos(col(s"${vecCol}_a"), col(s"${vecCol}_b")), 6).as("sim"))
       .filter(col("sim") >= minSim)
   }
 
@@ -581,7 +586,7 @@ object Dedup {
     val assigned = spread(emb.select(col(keyCol).as("_id"), col(vecCol).as("_v")))
       .join(broadcast(cent))
       .select(col("_id"), col("cent_id"),
-        round(cos(col("_v"), col("cvec")), 6).as("_s"))
+        graft.functions.VectorFunctions.roundNative(spark)(cos(col("_v"), col("cvec")), 6).as("_s"))
     val cells = Similarity.topKPerGroup(assigned, "_id", "_s", "cent_id", 1)
       .select(col("_id"), col("cent_id"))
     // each side carries its vector's norm, computed once per VECTOR before
@@ -593,7 +598,8 @@ object Dedup {
       nrm(col(vecCol)).as("_n")), "_id")
     boundedCandidates(sided, "_id", Seq("cent_id"), Seq("_v", "_n"), maxCell)
       .select(col("a"), col("b"),
-        round(dot(col("_v_a"), col("_v_b")) / (col("_n_a") * col("_n_b")), 6).as("sim"))
+        graft.functions.VectorFunctions.roundNative(spark)(
+          dot(col("_v_a"), col("_v_b")) / (col("_n_a") * col("_n_b")), 6).as("sim"))
       .filter(col("sim") >= minSim)
   }
 
@@ -730,7 +736,8 @@ object Dedup {
     "q43_dedup_ngram_jaccard" -> ((s, dir) =>
       ngramJaccardPairs(Tables(s, dir).documents.filter(col("doc_id") <= 40), "doc_id", 3)
         .filter(col("jaccard") >= 0.1)
-        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .select(col("a"), col("b"),
+          graft.functions.VectorFunctions.roundNative(s)(col("jaccard"), 4).as("jaccard"))
         .presented("a", "b")),
     "q44_dedup_embedding_cosine" -> ((s, dir) =>
       embeddingCosinePairs(Tables(s, dir).embeddings.filter(col("vec_id") <= 20), "vec_id", "embedding")

@@ -44,9 +44,10 @@ object Similarity {
     val q = queries.select(col(keyCol).as("q_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(keyCol).as("n_id"), col(vecCol).as("nv"))
     val cos = VectorFunctions.cosineNative(corpus.sparkSession) _
+    val rnd = VectorFunctions.roundNative(corpus.sparkSession) _
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(cos(col("qv"), col("nv")), 6).as("sim"))
+        rnd(cos(col("qv"), col("nv")), 6).as("sim"))
     topKPerGroup(scored, "q_id", "sim", "n_id", k)
   }
 
@@ -177,10 +178,11 @@ object Similarity {
     val c = withLshBucket(corpus, vecCol, nPlanes, d)
       .select(col(keyCol).as("n_id"), col(vecCol).as("nv"), col("bucket"))
     val cos = VectorFunctions.cosineNative(corpus.sparkSession) _
+    val rnd = VectorFunctions.roundNative(corpus.sparkSession) _
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(cos(col("qv"), col("nv")), 6).as("sim"))
+        rnd(cos(col("qv"), col("nv")), 6).as("sim"))
     topKPerGroup(scored, "q_id", "sim", "n_id", k)
   }
 
@@ -256,6 +258,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cos = VectorFunctions.cosineNative(spark) _
+    val rnd = VectorFunctions.roundNative(spark) _
     def pin(df: DataFrame): DataFrame = {
       val rows = df.select(col("cent_id").cast("long"), col("cvec"))
         .collect() // bounded: nlist rows × dim doubles
@@ -287,12 +290,12 @@ object Similarity {
       val assigned = corpus.select(col(keyCol).as("_vid"), col(vecCol).as("_v"))
         .join(broadcast(cent))
         .select(col("_vid"), col("cent_id"), col("_v"),
-          round(cos(col("_v"), col("cvec")), 6).as("_s"))
+          rnd(cos(col("_v"), col("cvec")), 6).as("_s"))
         .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       val means = assigned
         .select(col("cent_id"), posexplode(col("_v").cast("array<double>")).as(Seq("pos", "x")))
         .groupBy("cent_id", "pos")
-        .agg(round(avg(col("x")), 6).as("v"))
+        .agg(rnd(avg(col("x")), 6).as("v"))
       val refined = means.groupBy("cent_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
           s => s.getField("v")).as("cvec"))
@@ -318,12 +321,13 @@ object Similarity {
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
               kmeansIters: Int = 2): DataFrame = {
     val cos = VectorFunctions.cosineNative(corpus.sparkSession) _
+    val rnd = VectorFunctions.roundNative(corpus.sparkSession) _
     val cent = kmeansCentroids(corpus, keyCol, vecCol, nlist, kmeansIters)
     def assignments(df: DataFrame, idAs: String): DataFrame =
       df.select(col(keyCol).as(idAs), col(vecCol))
         .join(broadcast(cent))
         .select(col(idAs), col("cent_id"),
-          round(cos(col(vecCol), col("cvec")), 6).as("s"))
+          rnd(cos(col(vecCol), col("cvec")), 6).as("s"))
     // nearest-cell argmax + nprobe selection via the same bounded-heap
     // aggregate (tie order s desc, cent_id asc — as a rank window would).
     // The inverted lists (corpus→cell map) are the OTHER half of the IVF
@@ -350,7 +354,7 @@ object Similarity {
     val scored = candidates
       .join(queries.select(col(keyCol).as("q_id"), col(vecCol).as("qv")), "q_id")
       .join(corpus.select(col(keyCol).as("n_id"), col(vecCol).as("nv")), "n_id")
-      .select(col("q_id"), col("n_id"), round(cos(col("qv"), col("nv")), 6).as("sim"))
+      .select(col("q_id"), col("n_id"), rnd(cos(col("qv"), col("nv")), 6).as("sim"))
     topKPerGroup(scored, "q_id", "sim", "n_id", k)
   }
 
@@ -402,12 +406,13 @@ object Similarity {
                           vecCol: String, centTbl: String): DataFrame = {
     val cos = VectorFunctions.cosineNative(spark) _
     val nrm = VectorFunctions.normNative(spark)(_)
+    val rnd = VectorFunctions.roundNative(spark) _
     val cent = spark.table(centTbl)
     topKPerGroup(
       df.select(col(keyCol).as("c_id"), col(vecCol))
         .join(broadcast(cent))
         .select(col("c_id"), col("cent_id"),
-          round(cos(col(vecCol), col("cvec")), 6).as("s")),
+          rnd(cos(col(vecCol), col("cvec")), 6).as("s")),
       "c_id", "s", "cent_id", 1)
       .select(col("c_id"), col("cent_id"))
       .join(df.select(col(keyCol).as("c_id"), col(vecCol).as("nv"),
@@ -450,12 +455,13 @@ object Similarity {
     val cos = VectorFunctions.cosineNative(spark) _
     val dot = VectorFunctions.dotNative(spark) _
     val nrm = VectorFunctions.normNative(spark)(_)
+    val rnd = VectorFunctions.roundNative(spark) _
     val cent = spark.table(centTbl)
     val probes = topKPerGroup(
       queries.select(col(keyCol).as("q_id"), col(vecCol))
         .join(broadcast(cent))
         .select(col("q_id"), col("cent_id"),
-          round(cos(col(vecCol), col("cvec")), 6).as("s")),
+          rnd(cos(col(vecCol), col("cvec")), 6).as("s")),
       "q_id", "s", "cent_id", nprobe)
       .select(col("q_id"), col("cent_id"))
     // JOIN ORDER: attach each probe's query vector to the
@@ -472,7 +478,7 @@ object Similarity {
     val scored = probesWithVec.join(spark.table(cellsTbl), "cent_id")
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id").as("n_id"),
-        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("sim"))
+        rnd(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("sim"))
     topKPerGroup(scored, "q_id", "sim", "n_id", k)
   }
 
@@ -485,12 +491,13 @@ object Similarity {
                            nprobe: Int = 4): Long = {
     val (centTbl, cellsTbl) = ivfArtifactNames(tag)
     val cos = VectorFunctions.cosineNative(spark) _
+    val rnd = VectorFunctions.roundNative(spark) _
     val cent = spark.table(centTbl)
     topKPerGroup(
       queries.select(col(keyCol).as("q_id"), col(vecCol))
         .join(broadcast(cent))
         .select(col("q_id"), col("cent_id"),
-          round(cos(col(vecCol), col("cvec")), 6).as("s")),
+          rnd(cos(col(vecCol), col("cvec")), 6).as("s")),
       "q_id", "s", "cent_id", nprobe)
       .select(col("q_id"), col("cent_id"))
       .join(spark.table(cellsTbl).select("cent_id", "c_id"), "cent_id")

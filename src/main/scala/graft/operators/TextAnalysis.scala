@@ -92,7 +92,8 @@ object TextAnalysis {
     * and non-ties have margin ≥ 1/(2·10^4·den) ≫ double error.
     */
   private def ratio4(num: Column, den: Column): Column =
-    round(num.cast("double") * 10000d / greatest(den, lit(1L)).cast("double")) / 10000d
+    graft.functions.VectorFunctions.roundNative(
+      num.cast("double") * 10000d / greatest(den, lit(1L)).cast("double"), 0) / 10000d
 
   /** The composite quality score from a TextStats array — THE definition of
     * document quality for both the batch features (qualityFeatures) and the
@@ -164,8 +165,8 @@ object TextAnalysis {
       .crossJoin(broadcast(n))
       // tf has one row per (doc, token), so a per-token count IS df
       .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
-      .withColumn("score",
-        round(col("tf") * log((col("_n") + 1.0) / (col("df") + 1.0)), 6))
+      .withColumn("score", graft.functions.VectorFunctions.roundNative(
+        col("tf") * log((col("_n") + 1.0) / (col("df") + 1.0)), 6))
     // top-1 per doc as a hash AGGREGATION, not a rank window: the native
     // ArgMaxText aggregate (ObjectHashAggregate, two-field buffer) collapses
     // each doc's tokens map-side and ships one (score, token) per doc —
@@ -250,8 +251,9 @@ object TextAnalysis {
       .join(uni.select(col("w").as("w2"), col("c1").as("_cb")), "w2")
       .crossJoin(nRow)
       .select(col("w1"), col("w2"), col("c12"),
-        round(log((col("c12").cast("double") * col("_n")) /
-          (col("_ca").cast("double") * col("_cb"))), 6).as("pmi"))
+        graft.functions.VectorFunctions.roundNative(
+          log((col("c12").cast("double") * col("_n")) /
+            (col("_ca").cast("double") * col("_cb"))), 6).as("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)
   }
@@ -308,7 +310,8 @@ object TextAnalysis {
                k1: Double = 1.2, b: Double = 0.75): DataFrame =
     bm25RawContribs(docs, keyCol, textCol, terms, k1, b)
       .select(col(keyCol),
-        round(col("raw_micro")).cast(org.apache.spark.sql.types.LongType).as("_c"))
+        graft.functions.VectorFunctions.roundNative(col("raw_micro"), 0)
+          .cast(org.apache.spark.sql.types.LongType).as("_c"))
       .groupBy(keyCol)
       .agg(sum("_c").as("score_micro"))
       .orderBy(col("score_micro").desc, col(keyCol))
@@ -336,7 +339,7 @@ object TextAnalysis {
                   k: Int): DataFrame =
     klRawContribs(docs, textCol, sliceA)
       .select(col("token"), col("c_a"), col("c_b"),
-        round(col("raw_nano"))
+        graft.functions.VectorFunctions.roundNative(col("raw_nano"), 0)
           .cast(org.apache.spark.sql.types.LongType).as("kl_nano"))
       .orderBy(col("kl_nano").desc, col("token"))
       .limit(k)
@@ -475,7 +478,8 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_tokens"),
           count(when(col("_in").isNull, 1)).as("n_oov"))
         .withColumn("oov_rate",
-          round(col("n_oov") * 10000d / col("n_tokens")) / 10000d)
+          graft.functions.VectorFunctions.roundNative(
+            col("n_oov") * 10000d / col("n_tokens"), 0) / 10000d)
         .presented("doc_id")
     }),
   )

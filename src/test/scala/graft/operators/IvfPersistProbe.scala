@@ -37,6 +37,7 @@ object IvfPersistProbe {
       val cos = graft.functions.VectorFunctions.cosineNative(spark) _
       val dot = graft.functions.VectorFunctions.dotNative(spark) _
       val nrm = graft.functions.VectorFunctions.normNative(spark)(_)
+      val rnd6 = graft.functions.VectorFunctions.roundNative(spark) _
       val cent = t("kmeans_cached") {
         Similarity.kmeansCentroids(corpus, "vec_id", "embedding", 16, 2)
       }
@@ -45,7 +46,7 @@ object IvfPersistProbe {
           df.select(col("vec_id").as(idAs), col("embedding"))
             .join(broadcast(cent))
             .select(col(idAs), col("cent_id"),
-              round(cos(col("embedding"), col("cvec")), 6).as("s")),
+              rnd6(cos(col("embedding"), col("cvec")), 6).as("s")),
           idAs, "s", "cent_id", 1)
           .select(col(idAs), col("cent_id"))
       val cellsDf = t("cells_build_checkpoint") {
@@ -59,7 +60,7 @@ object IvfPersistProbe {
           queries.select(col("vec_id").as("q_id"), col("embedding"))
             .join(broadcast(cent))
             .select(col("q_id"), col("cent_id"),
-              round(cos(col("embedding"), col("cvec")), 6).as("s")),
+              rnd6(cos(col("embedding"), col("cvec")), 6).as("s")),
           "q_id", "s", "cent_id", 4)
           .select(col("q_id"), col("cent_id"))
           .join(queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
@@ -69,7 +70,7 @@ object IvfPersistProbe {
       val scoredDf = probes.join(cellsDf, "cent_id")
         .filter(col("q_id") =!= col("c_id"))
         .select(col("q_id"), col("c_id").as("n_id"),
-          round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("sim"))
+          rnd6(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("sim"))
       t("scored_noop") { scoredDf.write.mode("overwrite").format("noop").save() }
       val topk = t("topk_collect") {
         Similarity.topKPerGroup(scoredDf, "q_id", "sim", "n_id", 3).collect()
@@ -84,7 +85,7 @@ object IvfPersistProbe {
       val scoredTbl = probes.join(spark.table("probe129_cells"), "cent_id")
         .filter(col("q_id") =!= col("c_id"))
         .select(col("q_id"), col("c_id").as("n_id"),
-          round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("sim"))
+          rnd6(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("sim"))
       t("scored_from_table_noop") { scoredTbl.write.mode("overwrite").format("noop").save() }
       t("topk_from_table") {
         Similarity.topKPerGroup(scoredTbl, "q_id", "sim", "n_id", 3).collect()
