@@ -170,11 +170,16 @@ object Relational {
       .presented("user_id")
   }
 
-  // B4: projection with scalar arithmetic.
+  // B4: projection with scalar arithmetic. Output is TABLE-sized (every
+  // orders row), so the final sort keeps the distributed range-exchange
+  // shape — the q10 rule: a single-partition presentation merge serializes
+  // a 1.5M-row tail through one core (SortModeProbe at sf1: 1.96 -> 1.56 s
+  // med; the re-executed scan under the range sampling pass is parallel
+  // and cheaper than the serial merge at this output size).
   private def q03Project: Q = (s, dir) =>
     Tables(s, dir).orders
       .select(col("o_orderkey"), (col("o_totalprice") * 0.9).as("discounted"))
-      .presented("o_orderkey")
+      .orderBy("o_orderkey")
 
   // B5: conjunctive predicates — BETWEEN / IN / LIKE / timestamp compare —
   // all pushed to the parquet scan (PushedFilters in .explain).
@@ -208,12 +213,14 @@ object Relational {
       .presented("n_name")
   }
 
-  // B8: left outer join.
+  // B8: left outer join. FACT-sized output (one row per order) — the q10
+  // rule applies, and the join's materialized shuffle stages make the
+  // range sampling pass cheap (SortModeProbe at sf1: 2.55 -> 2.28 s med).
   private def q07JoinOuter: Q = (s, dir) => {
     val t = Tables(s, dir)
     t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_custkey"), coalesce(col("o_orderkey"), lit(-1L)).as("ok"))
-      .presented("c_custkey", "ok")
+      .orderBy("c_custkey", "ok")
   }
 
   // B9: left semi join (EXISTS). Shape (round 12, probed by
@@ -414,21 +421,25 @@ object Relational {
       .presented("c_custkey")
   }
 
-  // B19: analytic lag over event time.
+  // B19: analytic lag over event time. EVENTS-sized output through an
+  // already-shuffled window child — distributed range sort (q10 rule;
+  // SortModeProbe at sf1: 1.29 -> 1.09 s med).
   private def q18WindowLag: Q = (s, dir) => {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     Tables(s, dir).eventsUs
       .select(col("event_id"), (col("value") - lag("value", 1).over(w)).as("delta"))
-      .presented("event_id")
+      .orderBy("event_id")
   }
 
   // B20: explicit frame spec — 3-row moving average, decimal-exact.
+  // EVENTS-sized output — same distributed-sort reasoning as q18
+  // (SortModeProbe at sf1: 1.33 -> 1.13 s med).
   private def q19WindowFrame: Q = (s, dir) => {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       .rowsBetween(-2, Window.currentRow)
     Tables(s, dir).eventsUs
       .select(col("event_id"), Exact.davgOver(col("value"), w).as("ma"))
-      .presented("event_id")
+      .orderBy("event_id")
   }
 
   // B21: multi-key sort with mixed direction.

@@ -58,7 +58,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("presentation sort: single-partition merge by default, identical rows to the range sort") {
-    val df = plan("q03_project")
+    val df = plan("q04_filter")
     // default shape: the final ORDER BY is a single-partition merge — no
     // range exchange, hence no partition-bounds sampling pass
     assert(shuffles(df).exists(_.outputPartitioning.numPartitions == 1),
@@ -70,11 +70,24 @@ class PlanShapeSpec extends AnyFunSuite {
     // sort (for big sorted outputs); rows and row ORDER are identical
     spark.conf.set("spark.graft.presentationSort", "false")
     try {
-      val range = plan("q03_project")
+      val range = plan("q04_filter")
       assert(initialPlan(range).toString.contains("rangepartitioning"),
         initialPlan(range).toString)
       assert(range.collect().toSeq == rows)
     } finally spark.conf.unset("spark.graft.presentationSort")
+  }
+
+  test("fact-sized outputs pin the distributed range sort regardless of the flag") {
+    // q03/q07/q18/q19/q37 emit table-sized results (1M+ rows at sf1);
+    // SortModeProbe measured the range sort 0.2-0.4 s faster per query
+    // than the single-partition merge there, so they pin `.orderBy`
+    // directly (the q10 rule) instead of the `presented` default.
+    for (name <- Seq("q03_project", "q07_join_outer", "q18_window_lag",
+        "q19_window_frame", "q37_asof_join")) {
+      val df = plan(name)
+      assert(initialPlan(df).toString.contains("rangepartitioning"),
+        s"$name lost its range-sort pin:\n" + initialPlan(df).toString)
+    }
   }
 
   test("q11 star join: fact side is never broadcast") {
