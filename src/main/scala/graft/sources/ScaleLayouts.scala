@@ -113,19 +113,18 @@ object ScaleLayouts {
     // xxhash64, not the 32-bit murmur `hash`: the hash stands in for row
     // equality, and at billions of changed rows a 2^-32 per-row collision
     // silently marks real changes unchanged; 2^-64 does not.
-    // One shuffle, not a full-outer join: keys are unique within a
-    // snapshot, so tag each side, union, and fold both hashes out of a
-    // single hash aggregate — same exchange volume as the join's smaller
-    // side-pair but no per-side sort and one exchange instead of two
-    // (the full-outer SMJ shape measured 0.93 s at sf1; this one ~2× less).
-    def side(d: LocalDate, tag: Int) =
+    // Shape choice, MEASURED not assumed (SnapDiffShapeProbe, sf1,
+    // interleaved 5-rep medians): the full-outer join of the two sides
+    // beats a tag-union + single hash aggregate 1.36 s vs 1.91 s. The
+    // union folds both exchanges into one, but keys are ~unique within a
+    // snapshot, so the aggregate's map-side partial pass builds a
+    // corpus-sized hash table that combines nothing — pure overhead the
+    // join shape never pays. Keep the join.
+    def side(d: LocalDate, tag: String) =
       all.filter(col("snapshot_date") === d.format(fmt))
         .select(keyCols.map(col) :+
-          xxhash64(dataCols.map(col): _*).as("_h") :+ lit(tag).as("_t"): _*)
-    side(oldDate, 0).unionAll(side(newDate, 1))
-      .groupBy(keyCols.map(col): _*)
-      .agg(max(when(col("_t") === 0, col("_h"))).as("_h_old"),
-        max(when(col("_t") === 1, col("_h"))).as("_h_new"))
+          xxhash64(dataCols.map(col): _*).as(s"_h_$tag"): _*)
+    side(oldDate, "old").join(side(newDate, "new"), keyCols, "full_outer")
       .withColumn("change",
         when(col("_h_old").isNull, "added")
           .when(col("_h_new").isNull, "removed")
