@@ -53,18 +53,89 @@ case class TopKByScore(child: Expression, kExpr: Expression,
 
   override def createAggregationBuffer(): TopKByScore.Heap = new TopKByScore.Heap(k)
 
+  // Zero-allocation update path. TypedImperativeAggregate updates run
+  // OUTSIDE whole-stage codegen, so the generic `child.eval(input)` pays a
+  // GenericInternalRow + values array + two boxes PER INPUT ROW — measured
+  // at 16M candidate rows per IVF search (IvfSearchProfile), that
+  // interpreter overhead, not the heap arithmetic, dominated the
+  // aggregation. After binding, the common shapes of `child` are
+  // `named_struct(_, BoundReference, _, BoundReference)` (casts folded) or
+  // the same with widening numeric casts; for those, read the primitives
+  // straight off the input row. Anything else falls back to generic eval.
+  // tag encoding: 0=double, 1=long→double, 2=int→double, 3=float→double
+  // for the score slot; id slot is always read with getLong (LongType
+  // required; an int id arrives as Cast(int→long), tag 4).
+  @transient private lazy val fastOrds: Array[Int] = child match {
+    case s: org.apache.spark.sql.catalyst.expressions.CreateNamedStruct =>
+      s.valExprs match {
+        case Seq(se, ie) =>
+          val score = se match {
+            case b: org.apache.spark.sql.catalyst.expressions.BoundReference
+                if b.dataType == DoubleType => Array(b.ordinal, 0)
+            case org.apache.spark.sql.catalyst.expressions.Cast(
+                b: org.apache.spark.sql.catalyst.expressions.BoundReference, DoubleType, _, _) =>
+              b.dataType match {
+                case LongType    => Array(b.ordinal, 1)
+                case IntegerType => Array(b.ordinal, 2)
+                case FloatType   => Array(b.ordinal, 3)
+                case _           => null
+              }
+            case _ => null
+          }
+          val id = ie match {
+            case b: org.apache.spark.sql.catalyst.expressions.BoundReference
+                if b.dataType == LongType => Array(b.ordinal, 0)
+            case org.apache.spark.sql.catalyst.expressions.Cast(
+                b: org.apache.spark.sql.catalyst.expressions.BoundReference, LongType, _, _)
+                if b.dataType == IntegerType => Array(b.ordinal, 4)
+            case _ => null
+          }
+          if (score != null && id != null) {
+            if (sys.env.contains("GRAFT_TOPK_DEBUG"))
+              System.err.println(s"TOPK-FASTPATH ords=${score.toSeq}/${id.toSeq}")
+            Array(score(0), score(1), id(0), id(1))
+          } else {
+            if (sys.env.contains("GRAFT_TOPK_DEBUG"))
+              System.err.println(s"TOPK-SLOWPATH child=$child")
+            null
+          }
+        case _ => null
+      }
+    case other =>
+      if (sys.env.contains("GRAFT_TOPK_DEBUG"))
+        System.err.println(s"TOPK-SLOWPATH non-struct child=$other")
+      null
+  }
+
   override def update(buf: TopKByScore.Heap, input: InternalRow): TopKByScore.Heap = {
-    val v = child.eval(input)
-    if (v != null) {
-      val row = v.asInstanceOf[InternalRow]
-      // NaN scores skipped like nulls: the heap's primitive comparisons
-      // would otherwise make a first-arriving NaN undisplaceable, and the
-      // result partitioning-dependent (see ArgMaxText). This is a declared
-      // divergence from ROW_NUMBER formulations (which order NaN
-      // deterministically); unreachable in the oracled similarity queries —
-      // no fixture vector is zero-norm, pinned by FixtureContractSpec.
-      if (!row.isNullAt(0) && !row.isNullAt(1) && !row.getDouble(0).isNaN)
-        buf.offer(row.getDouble(0), row.getLong(1))
+    // NaN scores skipped like nulls: the heap's primitive comparisons
+    // would otherwise make a first-arriving NaN undisplaceable, and the
+    // result partitioning-dependent (see ArgMaxText). This is a declared
+    // divergence from ROW_NUMBER formulations (which order NaN
+    // deterministically); unreachable in the oracled similarity queries —
+    // no fixture vector is zero-norm, pinned by FixtureContractSpec.
+    val fo = fastOrds
+    if (fo != null) {
+      val so = fo(0); val io = fo(2)
+      if (!input.isNullAt(so) && !input.isNullAt(io)) {
+        val s = fo(1) match {
+          case 0 => input.getDouble(so)
+          case 1 => input.getLong(so).toDouble
+          case 2 => input.getInt(so).toDouble
+          case _ => input.getFloat(so).toDouble
+        }
+        if (!s.isNaN) {
+          val id = if (fo(3) == 4) input.getInt(io).toLong else input.getLong(io)
+          buf.offer(s, id)
+        }
+      }
+    } else {
+      val v = child.eval(input)
+      if (v != null) {
+        val row = v.asInstanceOf[InternalRow]
+        if (!row.isNullAt(0) && !row.isNullAt(1) && !row.getDouble(0).isNaN)
+          buf.offer(row.getDouble(0), row.getLong(1))
+      }
     }
     buf
   }

@@ -54,6 +54,40 @@ class TopKByScoreSpec extends AnyFunSuite {
     }
   }
 
+  test("every update path agrees: primitive fast paths (double/long/int/float score, int id) and the generic-eval fallback") {
+    val s = spark
+    import s.implicits._
+    TopKByScore.register(spark)
+    val rows = (0 until 200).map(i => ((i % 5).toLong, i * 7 % 113, i))
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2.toDouble, r._3.toLong))
+        .sortBy { case (sc, id) => (-sc, id) }.take(3)
+    }
+    val base = rows.toDF("g", "s", "id").repartition(7)
+    // each variant TYPES the score/id columns so the bound agg child is a
+    // direct column (or one widening cast) of that type — a different
+    // fastOrds tag per variant; the arithmetic score expression is not a
+    // bound column, so it must take the generic-eval path. All five must
+    // produce identical results.
+    val variants: Seq[org.apache.spark.sql.DataFrame] = Seq(
+      base.select(col("g"), col("s").cast("double").as("s"), col("id").cast("long").as("id")),
+      base.select(col("g"), col("s").cast("long").as("s"), col("id").cast("long").as("id")),
+      base.select(col("g"), col("s"), col("id")), // int score, int id
+      base.select(col("g"), col("s").cast("float").as("s"), col("id").cast("long").as("id")),
+    )
+    def run(df: org.apache.spark.sql.DataFrame, scoreCol: org.apache.spark.sql.Column) =
+      df.groupBy("g")
+        .agg(call_function(TopKByScore.name,
+          struct(scoreCol.cast("double"), col("id").cast("long")), lit(3)).as("t"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(t => (t.getDouble(0), t.getLong(1))).toSeq).toMap
+    variants.zipWithIndex.foreach { case (df, i) =>
+      assert(run(df, col("s")) == expected, s"typed variant $i diverged")
+    }
+    assert(run(variants.head, col("s") + lit(0.0)) == expected, "generic path diverged")
+  }
+
   test("agrees with the rank-window formulation on a random-ish fixture") {
     val s = spark
     import s.implicits._
