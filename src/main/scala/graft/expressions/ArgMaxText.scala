@@ -43,12 +43,39 @@ case class ArgMaxText(child: Expression,
 
   override def createAggregationBuffer(): ArgMaxText.Best = new ArgMaxText.Best
 
+  // Same zero-allocation update shape as TopKByScore (see the measurement
+  // note there): after binding, the common child is named_struct over two
+  // bound columns — read the primitives/UTF8String straight off the input
+  // row instead of paying a GenericInternalRow + boxes per input row in
+  // the non-codegen aggregate path. {-1,-1} marks "generic fallback".
+  @transient private lazy val fastOrds: Array[Int] = child match {
+    case s: org.apache.spark.sql.catalyst.expressions.CreateNamedStruct =>
+      s.valExprs match {
+        case Seq(
+            se: org.apache.spark.sql.catalyst.expressions.BoundReference,
+            te: org.apache.spark.sql.catalyst.expressions.BoundReference)
+            if se.dataType == DoubleType && te.dataType == StringType =>
+          Array(se.ordinal, te.ordinal)
+        case _ => null
+      }
+    case _ => null
+  }
+
   override def update(buf: ArgMaxText.Best, input: InternalRow): ArgMaxText.Best = {
-    val v = child.eval(input)
-    if (v != null) {
-      val row = v.asInstanceOf[InternalRow]
-      if (!row.isNullAt(0) && !row.isNullAt(1) && !row.getDouble(0).isNaN)
-        buf.offer(row.getDouble(0), row.getUTF8String(1))
+    val fo = fastOrds
+    if (fo != null) {
+      val so = fo(0); val to = fo(1)
+      if (!input.isNullAt(so) && !input.isNullAt(to)) {
+        val s = input.getDouble(so)
+        if (!s.isNaN) buf.offer(s, input.getUTF8String(to))
+      }
+    } else {
+      val v = child.eval(input)
+      if (v != null) {
+        val row = v.asInstanceOf[InternalRow]
+        if (!row.isNullAt(0) && !row.isNullAt(1) && !row.getDouble(0).isNaN)
+          buf.offer(row.getDouble(0), row.getUTF8String(1))
+      }
     }
     buf
   }
