@@ -468,6 +468,12 @@ object TextAnalysis {
     // probe side — the corpus tokens stream through one hash lookup and one
     // doc-major aggregation, never sorting.
     "q91_vocab_oov" -> ((s, dir) => {
+      // The token stream feeds both branches (vocab aggregate token-major,
+      // OOV probe doc-major), so the split nominally runs twice — but the
+      // q123 persist-the-arrays treatment MEASURES NEUTRAL-TO-WORSE here
+      // (VocabOovShapeProbe at sf1: plain 1.64 s vs persisted 1.71 s med):
+      // this corpus is docs-small/agg-heavy, and the cache write+read costs
+      // more than the second regex pass saves. Keep the stateless shape.
       val tok = Tables(s, dir).documents
         .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("token"))
       val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
