@@ -47,20 +47,56 @@ case class LatestBy(child: Expression,
 
   override def createAggregationBuffer(): LatestBy.Best = new LatestBy.Best
 
+  // Zero-allocation update path (the TopKByScore treatment, see the
+  // measurement note there): with ts/seq as bound long columns, the
+  // per-row work is two primitive reads and the wouldKeep compare — the
+  // payload expression is evaluated ONLY for rows that actually displace
+  // the held best (≈ once per group amortized), where the generic path
+  // built the full three-field struct for every input row.
+  @transient private lazy val fastOrds: Array[Int] = child match {
+    case s: org.apache.spark.sql.catalyst.expressions.CreateNamedStruct =>
+      s.valExprs match {
+        case Seq(
+            t: org.apache.spark.sql.catalyst.expressions.BoundReference,
+            q: org.apache.spark.sql.catalyst.expressions.BoundReference, _)
+            if t.dataType == LongType && q.dataType == LongType =>
+          Array(t.ordinal, q.ordinal)
+        case _ => null
+      }
+    case _ => null
+  }
+  @transient private lazy val payloadExpr: Expression =
+    child.asInstanceOf[org.apache.spark.sql.catalyst.expressions.CreateNamedStruct]
+      .valExprs(2)
+
   override def update(buf: LatestBy.Best, input: InternalRow): LatestBy.Best = {
-    val v = child.eval(input)
-    if (v != null) {
-      val row = v.asInstanceOf[InternalRow]
-      if (!row.isNullAt(0) && !row.isNullAt(1)) {
-        val ts = row.getLong(0)
-        val seq = row.getLong(1)
+    val fo = fastOrds
+    if (fo != null) {
+      if (!input.isNullAt(fo(0)) && !input.isNullAt(fo(1))) {
+        val ts = input.getLong(fo(0))
+        val seq = input.getLong(fo(1))
         if (buf.wouldKeep(ts, seq)) {
+          val pv = payloadExpr.eval(input)
           // a null payload on the winning row is kept as null (the latest
           // row IS the null-payload row — max_by semantics), and properly
           // shadows older rows with real payloads
-          if (row.isNullAt(2)) buf.keep(ts, seq, null)
+          if (pv == null) buf.keep(ts, seq, null)
           else buf.keep(ts, seq,
-            payloadProj(row.getStruct(2, payloadType.length)).copy())
+            payloadProj(pv.asInstanceOf[InternalRow]).copy())
+        }
+      }
+    } else {
+      val v = child.eval(input)
+      if (v != null) {
+        val row = v.asInstanceOf[InternalRow]
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val ts = row.getLong(0)
+          val seq = row.getLong(1)
+          if (buf.wouldKeep(ts, seq)) {
+            if (row.isNullAt(2)) buf.keep(ts, seq, null)
+            else buf.keep(ts, seq,
+              payloadProj(row.getStruct(2, payloadType.length)).copy())
+          }
         }
       }
     }
