@@ -2,6 +2,17 @@
 """Interleaved Spark/DuckDB A/B bench capture — the self-certifying pair.
 
 Usage: bench_ab.py <sfdir> <oracle_sql.json> [passes=3]
+       bench_ab.py <sfdir> <oracle_sql.json> [passes] \
+           --only=q85_...,q86_... --adjudicate=OUT.json [--against="..."]
+
+The second form is ADJUDICATION mode (round 13): re-measure ONLY the named
+queries through the same interleaved protocol and write a single verdict
+artifact (the BENCH_ADJUDICATION pattern) comparing each query's fresh
+same-window min against the committed bench_out.json pair, banded by
+max(1.5, fresh same-window spread x1.15). No committed artifact
+(BENCH_AB/bench_out/DUCKDB_BASELINE/BENCH_DELTA/README) is touched — the
+mode exists precisely to judge cross-window flags without moving the pair
+they were raised against.
 
 Why this exists: twice (round-10 dedup family, round-11 driver window) a
 round's perf verdict hinged on judge archaeology to separate shared-VM host
@@ -150,9 +161,21 @@ def spread(samples):
 
 
 def main():
-    sfdir = sys.argv[1]
-    oracle_path = sys.argv[2]
-    passes = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    positional = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = dict(a[2:].split("=", 1) for a in sys.argv[1:] if a.startswith("--"))
+    sfdir = positional[0]
+    oracle_path = positional[1]
+    passes = int(positional[2]) if len(positional) > 2 else 3
+    # A single pass carries no spread information, and an empty spread list
+    # crashes the noise summary AFTER the full timing run (ADVICE r12) —
+    # reject up front instead of losing the window.
+    if passes < 2:
+        sys.exit("bench_ab.py: passes must be >= 2 (a 1-sample capture has "
+                 "no same-window spread and cannot self-certify)")
+    only = set(flags["only"].split(",")) if "only" in flags else None
+    adjudicate_out = flags.get("adjudicate")
+    if (only is None) != (adjudicate_out is None):
+        sys.exit("bench_ab.py: --only and --adjudicate must be used together")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     oracles = json.load(open(oracle_path))
 
@@ -174,6 +197,12 @@ def main():
     srv = Server(launch_server(sfdir, cpus, log_path))
     try:
         names = sorted(srv.list_queries())
+        if only is not None:
+            missing = only - set(names)
+            if missing:
+                sys.exit(f"bench_ab.py: --only names not on the bench "
+                         f"surface: {sorted(missing)}")
+            names = sorted(only)
         per = {}
         q74_cte_ref = None
         for name in names:
@@ -222,6 +251,41 @@ def main():
     finally:
         srv.quit()
 
+    if adjudicate_out is not None:
+        rows = {}
+        for n, v in sorted(per.items()):
+            p = prev_spark.get(n)
+            band = round(max(1.5, (v["spark_spread"] or 1.0) * 1.15), 3)
+            ratio = (round(v["spark_min"] / p, 3)
+                     if p and p > 0 and v["spark_min"] > 0 else None)
+            rows[n] = {
+                "prev_committed": p, "ab_min": v["spark_min"],
+                "ab_samples": v["spark"], "ab_spread": v["spark_spread"],
+                "duckdb_min": v["duckdb_min"],
+                "duckdb_spread": v["duckdb_spread"],
+                "band": band, "ratio": ratio,
+                "verdict": ("no-prior" if ratio is None else
+                            "window-noise (within band)" if ratio <= band else
+                            "regression (exceeds same-window band)"),
+            }
+        art = {
+            "adjudicated_against": flags.get(
+                "against", "committed bench_out.json pair"),
+            "protocol": "interleaved A/B subset re-run (tools/bench_ab.py "
+                f"--only, passes={passes}): fresh window, both engines "
+                "alternated per query; band = max(1.5, fresh same-window "
+                "spark spread x1.15)",
+            "sf": sfdir, "flags": rows,
+        }
+        with open(adjudicate_out, "w") as f:
+            json.dump(art, f, indent=1, sort_keys=True)
+            f.write("\n")
+        for n, r in rows.items():
+            print(f"ADJ {n:36s} prev {r['prev_committed']} -> ab "
+                  f"{r['ab_min']} (ratio {r['ratio']}, band {r['band']}): "
+                  f"{r['verdict']}")
+        return
+
     s_tot = sum(v["spark_min"] for v in per.values() if v["spark_min"] > 0)
     d_tot = sum(v["duckdb_min"] for v in per.values()
                 if isinstance(v["duckdb_min"], float) and v["duckdb_min"] > 0)
@@ -253,11 +317,13 @@ def main():
         "duckdb_total_ex_q74": r3(d_tot - q74d),
         "ratio_total_ex_q74": r3((s_tot - q74s) / (d_tot - q74d))
                               if d_tot - q74d else None,
+        # null when no query produced >=2 valid samples (every sample of a
+        # query failing must not crash the capture after the timing run)
         "noise": {
-            "spark_median_spread": r3(statistics.median(s_spreads)),
-            "spark_p90_spread": r3(sorted(s_spreads)[int(0.9 * len(s_spreads))]),
-            "duckdb_median_spread": r3(statistics.median(d_spreads)),
-            "duckdb_p90_spread": r3(sorted(d_spreads)[int(0.9 * len(d_spreads))]),
+            "spark_median_spread": r3(statistics.median(s_spreads)) if s_spreads else None,
+            "spark_p90_spread": r3(sorted(s_spreads)[int(0.9 * len(s_spreads))]) if s_spreads else None,
+            "duckdb_median_spread": r3(statistics.median(d_spreads)) if d_spreads else None,
+            "duckdb_p90_spread": r3(sorted(d_spreads)[int(0.9 * len(d_spreads))]) if d_spreads else None,
         },
         "q74_recursive_cte_reference_s": q74_cte_ref,
     }
