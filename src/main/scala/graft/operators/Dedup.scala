@@ -610,41 +610,90 @@ object Dedup {
     * into a usable dedup: every member of a transitive duplicate cluster
     * maps to one canonical document.
     *
-    * Algorithm: min-label propagation. Labels start as each node's own key;
-    * every iteration each node takes the min of its own and its neighbors'
-    * labels; stop when an iteration changes nothing. Iterations = cluster
-    * DIAMETER, and near-dup clusters are shallow (pairs overlap through
-    * shared content), so convergence is a handful of rounds even at corpus
-    * scale; each round is one join + one aggregate on `(node, lbl)` pairs —
-    * nothing wider than the edge list ever shuffles. Labels are
-    * localCheckpoint'ed per round to keep the plan flat (the iterative-loop
-    * discipline, same as IVF's k-means).
+    * Algorithm: min-label propagation WITH POINTER JUMPING. Labels start as
+    * each node's own key; every materialized round each node (1) RELAXES —
+    * takes the min of its own and its neighbors' labels — and then
+    * (2) JUMPS — takes the min of its label and its LABEL'S label (labels
+    * are always node ids inside the same component, so label-of-label
+    * composes two pointer hops into one). Relax alone converges in
+    * DIAMETER rounds; the jump doubles the covered distance per round, so
+    * convergence is LOG(diameter) materialized rounds — and at corpus
+    * scale the wall of this loop is the per-round scheduling floor times
+    * the round count, not the per-round data (everything shuffled is
+    * edge-list-sized). Round 13: the r12 form paid one job per diameter
+    * hop plus a label-init job; the init is now FUSED into round 1 (with
+    * all-self labels the first neighbor-min is just `min(dst)` per `src` —
+    * no label join), so a clique converges in two jobs total (one that
+    * changes, one that confirms).
+    *
+    * Correctness of the combined stop test: labels only ever decrease, so
+    * a round whose relax+jump changed nothing had a no-op relax — and a
+    * relax fixpoint over symmetric edges means labels are constant per
+    * component (= the component min, since every label is a reachable
+    * node's id). The jump can therefore never stop the loop early.
     *
     * ONE driver job per round: the changed-row count rides a
     * `Dataset.observe` metric (`CollectMetrics` plan node) computed by the
     * SAME job that materializes the round's labels (eager
     * `localCheckpoint`), so convergence costs no second scheduling
-    * round-trip — and, unlike the round-11 `LongAccumulator`-over-RDD hop,
-    * the count stays inside the declarative plan (whole-stage codegen, no
-    * `ExistingRDD` Row-serialization round-trip). Observed metrics are
-    * computed exactly-once per action (Spark re-computes them on task
-    * retry), and the test is `== 0`, never a threshold.
+    * round-trip — and the count stays inside the declarative plan
+    * (whole-stage codegen, no `ExistingRDD` Row-serialization round-trip).
+    * The relax subplan feeds both sides of the jump self-join; the two
+    * occurrences are identical, so the exchange under the aggregate is
+    * planned once and REUSED (`ReusedExchange`), not recomputed. Observed
+    * metrics are computed exactly-once per action (Spark re-computes them
+    * on task retry), and the test is `== 0`, never a threshold.
     */
   def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
     val fwd = pairs.select(col("a").as("src"), col("b").as("dst"))
+    // edge count rides the checkpoint's own job (the q85 observe pattern) —
+    // it decides the loop's AQE posture below at zero extra scheduling cost
+    val eObs = org.apache.spark.sql.Observation()
     val edges = fwd.union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .observe(eObs, count(lit(1)).as("n"))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
+    val edgeCount = eObs.get("n").asInstanceOf[Long]
+    // AQE posture, decided by the MEASURED edge volume: every round's plan
+    // is join + aggregate + self-join over edge-list-sized data, and under
+    // AQE each of those tiny stages materializes as its own Spark job — at
+    // fixture scale that floor is the whole wall (13 jobs vs 5, 1.15 s vs
+    // 0.94 s at the sf1 point, ClusterRoundProbe). Past the threshold the
+    // per-round shuffles are real work and AQE's runtime re-planning (skew
+    // split, coalesce) earns its stage jobs, so it stays on. The flip is
+    // session-scoped for the loop's duration and restored in finally.
+    val smallLoop = edgeCount <= 4000000L
+    def withLoopConf[T](body: => T): T =
+      if (!smallLoop) body
+      else {
+        val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+      }
+    var labels: DataFrame = null
     var converged = false
-    while (!converged) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
-        .groupBy(col("src").as("node2")).agg(min("lbl").as("nbr_lbl"))
-      val next0 = labels.join(nbrMin, labels("node") === nbrMin("node2"), "left")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
-          (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl")).as("changed"))
+    while (!converged) withLoopConf {
+      // relax: lbl ← min(lbl, neighbors' lbl); round 1 needs no label join
+      // (initial labels ARE the node ids, so the neighbor min is min(dst))
+      val relaxed =
+        if (labels == null)
+          edges.groupBy(col("src").as("node")).agg(min("dst").as("nbr_lbl"))
+            .select(col("node"), col("node").as("orig"),
+              least(col("node"), col("nbr_lbl")).as("lbl"))
+        else {
+          val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+            .groupBy(col("src").as("node2")).agg(min("lbl").as("nbr_lbl"))
+          labels.join(nbrMin, labels("node") === nbrMin("node2"), "left")
+            .select(col("node"), col("lbl").as("orig"),
+              least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        }
+      // jump: lbl ← min(lbl, lbl's lbl) — pointer doubling in the same job
+      val hop = relaxed.select(col("node").as("p_node"), col("lbl").as("p_lbl"))
+      val jumpedLbl =
+        least(col("lbl"), coalesce(col("p_lbl"), col("lbl")))
+      val next0 = relaxed.join(hop, relaxed("lbl") === hop("p_node"), "left")
+        .select(col("node"), jumpedLbl.as("lbl"),
+          (jumpedLbl < col("orig")).as("changed"))
       // count(when(...)) not sum(when(...)): count is 0 on an empty round,
       // sum is null — an empty label table must converge, not NPE
       val obs = org.apache.spark.sql.Observation()

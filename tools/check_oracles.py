@@ -1,6 +1,8 @@
 #!/usr/bin/env python3
 """Dev harness: replicate the driver's DuckDB-oracle correctness check
-locally. Usage: check_oracles.py <sfdir> <verify_out_dir>.
+locally. Usage: check_oracles.py <sfdir> <verify_out_dir> [--partial] [--json out].
+--partial marks a FILTERED Verify dump: oracles without a dump dir are
+skipped instead of failed (full-dump mode counts a missing dir as a failure).
 
 For each query with an oracle: run the SQL in DuckDB over the sf parquet
 tables, load the Spark result parquet, align columns by sorted name, compare
@@ -46,6 +48,7 @@ def main():
     if "--json" in sys.argv:
         json_out = sys.argv[sys.argv.index("--json") + 1]
         args = [a for a in args if a != json_out]
+    partial = "--partial" in sys.argv  # filtered Verify dump: missing dirs skip
     sfdir, outdir = args[0], args[1]
     con = duckdb.connect()
     for t in TABLES:
@@ -57,10 +60,16 @@ def main():
     n_pass = n_fail = 0
     verdicts = {}
     for name, sql in sorted(oracles.items()):
-        # a FILTERED Verify dump (extra args to graft.Verify) writes only
-        # the selected queries; oracles without a dump are skipped, not
-        # failed — a full dump has every dir, so nothing changes there
+        # a missing dump dir is only a legitimate skip under an explicit
+        # --partial flag (a FILTERED Verify re-dump); in full-dump mode a
+        # query that crashed before writing its dump must read as a
+        # FAILURE, not silently as "not checked" (ADVICE r12)
         if not os.path.exists(f"{outdir}/{name}"):
+            if partial:
+                continue
+            print(f"MISSING    {name}: no dump dir under {outdir}")
+            n_fail += 1
+            verdicts[name] = "missing-dump"
             continue
         try:
             want_t = con.sql(sql).arrow()
