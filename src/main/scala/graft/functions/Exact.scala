@@ -42,8 +42,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * DuckDB uses for its decimal casts).
   */
 object Exact {
-  /** double → exact cents (long): pure-double half-away-from-zero. */
-  private def cents(c: Column): Column =
+  /** double → exact cents (long): pure-double half-away-from-zero. Exposed
+    * package-private for the other exact-long accumulations built on the
+    * same conversion contract (q127's co-moments in [[graft.operators.Profile]]).
+    */
+  private[graft] def cents(c: Column): Column =
     (c * 100 + when(c < 0, -0.5).otherwise(0.5)).cast(LongType)
 
   /** Exact, order-independent sum of a 2-decimal double column → double. */

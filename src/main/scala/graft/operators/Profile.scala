@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Present._
@@ -41,12 +41,36 @@ object Profile {
     * Order-independence discipline: built-in `corr` accumulates double
     * co-moments in partition order, so two engines (or two partitionings)
     * disagree in the last ULPs. Here every moment (Σx, Σx², Σxy, n) is an
-    * EXACT decimal sum over cents-cast values — associative, so identical
+    * EXACT integer sum over cents-cast values — associative, so identical
     * on any engine at any parallelism — and only the final closed-form
     * `(nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))` runs in double, an
     * identical expression tree over identical inputs on both engines.
+    * (Pearson is scale-invariant, so cents-scaled moments give the same
+    * correlation as dollar-scaled ones; the oracle states the identical
+    * cents formulation.)
     *
-    * Scale shape: a single global aggregate (k + k(k−1)/2 decimal sums),
+    * Representation (round 13, the q13/`Exact` treatment): SCALED-LONG
+    * moments, not DECIMAL accumulation. `sum(decimal(25,4))` exceeds
+    * Spark's compact-decimal range and pays a java.math.BigDecimal
+    * multiply + add per row per pair — measured 7.8× DuckDB at sf1 on a
+    * single-aggregate plan. Per row everything is now long arithmetic
+    * inside whole-stage codegen: `cents(x)·cents(y)` (one long multiply),
+    * split into THREE long sums (`p div 10¹²`, `(p div 10⁶) mod 10⁶`,
+    * `p mod 10⁶` — truncating div/mod, so the decomposition is exact for
+    * either sign) because a single long sum of 10¹⁴-magnitude products
+    * overflows at ~10⁵ rows. The final 1-row projection recombines the
+    * three sums EXACTLY in decimal(38,0) and casts once to double —
+    * correctly rounded, the same value DuckDB's `CAST(SUM(c·c) AS DOUBLE)`
+    * (hugeint sum) produces.
+    *
+    * Documented magnitude bounds (cf. `Exact`): per VALUE |x| ≤ 10⁷
+    * dollars (10⁹ cents ⇒ |p| ≤ 10¹⁸ fits a long per row); per
+    * AGGREGATION the split sums stay exact while `N·max|c| < 2⁶³` and
+    * `N·max|p|/10⁶ < 2⁶³` — for this fixture's ≤10⁷-cent measures that is
+    * N ≤ ~9×10¹¹ rows, two orders past a 100 TB lineitem. A corpus of
+    * genuinely wider values re-bases the split, it does not change shape.
+    *
+    * Scale shape: a single global aggregate (k + 3·(k(k+1)/2) long sums),
     * map-side partials collapse everything before one 1-row exchange — the
     * q97 profile shape, nothing quadratic in rows.
     *
@@ -67,27 +91,39 @@ object Profile {
   private[operators] def correlationMatrixAt(df: DataFrame, cols: Seq[String],
                                              scale: Option[Int]): DataFrame = {
     val complete = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
-    val d = org.apache.spark.sql.types.DecimalType(12, 2)
-    val pairs = for {
-      i <- cols.indices; j <- (i + 1) until cols.length
-    } yield (cols(i), cols(j))
+    // cents once per column, then pure long arithmetic per row
+    val withCents = complete.select(cols.zipWithIndex.map { case (c, i) =>
+      graft.functions.Exact.cents(col(c)).as(s"_c$i")
+    }: _*)
+    // moments for every i <= j (i == j are the Σx² terms), each as a 3-way
+    // split of exact long sums (see the scaladoc's overflow arithmetic);
+    // `div` is Spark SQL's truncating integral divide
+    val ij = for { i <- cols.indices; j <- i until cols.length } yield (i, j)
     val aggs = count(lit(1)).as("_n") +:
-      (cols.flatMap { c =>
-        Seq(sum(col(c).cast(d)).as(s"_s_$c"),
-          sum(col(c).cast(d) * col(c).cast(d)).as(s"_ss_$c"))
-      } ++ pairs.map { case (a, b) =>
-        sum(col(a).cast(d) * col(b).cast(d)).as(s"_sp_${a}_$b")
-      })
-    def dbl(n: String) = col(n).cast("double")
-    val structs = pairs.map { case (a, b) =>
-      val n = dbl("_n")
-      val num = n * dbl(s"_sp_${a}_$b") - dbl(s"_s_$a") * dbl(s"_s_$b")
-      val den = sqrt(n * dbl(s"_ss_$a") - dbl(s"_s_$a") * dbl(s"_s_$a")) *
-        sqrt(n * dbl(s"_ss_$b") - dbl(s"_s_$b") * dbl(s"_s_$b"))
-      struct(lit(a).as("col_a"), lit(b).as("col_b"),
-        scale.fold(num / den)(s => round(num / den, s)).as("corr"))
+      (cols.indices.map(i => sum(col(s"_c$i")).as(s"_s$i")) ++
+        ij.flatMap { case (i, j) =>
+          val p = s"(_c$i * _c$j)"
+          Seq(expr(s"sum($p div 1000000000000)").as(s"_hi_${i}_$j"),
+            expr(s"sum(($p div 1000000) % 1000000)").as(s"_mid_${i}_$j"),
+            expr(s"sum($p % 1000000)").as(s"_lo_${i}_$j"))
+        })
+    // exact recombination on the single result row: decimal(38,0) carries
+    // the full integer moment, one correctly-rounded cast to double
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def moment(i: Int, j: Int): Column =
+      (col(s"_hi_${i}_$j").cast(dec) * lit(1000000000000L) +
+        col(s"_mid_${i}_$j").cast(dec) * lit(1000000L) +
+        col(s"_lo_${i}_$j").cast(dec)).cast("double")
+    def s(i: Int) = col(s"_s$i").cast("double")
+    val n = col("_n").cast("double")
+    val structs = ij.collect { case (i, j) if i != j =>
+      val num = n * moment(i, j) - s(i) * s(j)
+      val den = sqrt(n * moment(i, i) - s(i) * s(i)) *
+        sqrt(n * moment(j, j) - s(j) * s(j))
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        scale.fold(num / den)(sc => round(num / den, sc)).as("corr"))
     }
-    complete.agg(aggs.head, aggs.tail: _*)
+    withCents.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(structs: _*)).as("_p"))
       .select(col("_p.col_a"), col("_p.col_b"), col("_p.corr"))
   }
@@ -190,15 +226,20 @@ object Profile {
            UNION ALL
            SELECT 'props', COUNT(*) - COUNT(props), COUNT(DISTINCT props) FROM events)
          ORDER BY col_name""",
-    // mirrors correlationMatrix: exact decimal moments (order-independent on
-    // both engines), then the SAME closed-form double expression per pair;
-    // the WHERE mirrors the operator's listwise-deletion NULL contract
-    // (no-op on this data — lineitem measures are non-null at every SF)
+    // mirrors correlationMatrix: exact CENTS-long moments (order-independent
+    // on both engines — DuckDB's SUM(BIGINT) accumulates in exact hugeint,
+    // Spark recombines its split long sums in exact decimal; both cast the
+    // identical integer once to double), then the SAME closed-form double
+    // expression per pair. ROUND(x*100) is DuckDB's half-away double round —
+    // the same cent every 2-decimal-representable value lands on under
+    // Exact.cents' x·100±0.5 truncation. The WHERE mirrors the operator's
+    // listwise-deletion NULL contract (no-op on this data — lineitem
+    // measures are non-null at every SF)
     "q127_correlation_profile" ->
-      """WITH t AS (SELECT CAST(l_quantity AS DECIMAL(12,2)) AS c1,
-                           CAST(l_extendedprice AS DECIMAL(12,2)) AS c2,
-                           CAST(l_discount AS DECIMAL(12,2)) AS c3,
-                           CAST(l_tax AS DECIMAL(12,2)) AS c4
+      """WITH t AS (SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS c1,
+                           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c2,
+                           CAST(ROUND(l_discount * 100) AS BIGINT) AS c3,
+                           CAST(ROUND(l_tax * 100) AS BIGINT) AS c4
                     FROM lineitem
                     WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
                       AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
