@@ -55,11 +55,20 @@ object SparkEntry {
     // TopKByScore's bounded heap and ArgMaxText) falls back to SORT-based
     // aggregation once a partition sees >128 distinct groups — the default
     // turns an ANN search's per-query top-k (thousands of probe groups)
-    // into a sort of the candidate stream. Our object buffers are k-bounded
-    // heaps / two-field argmax cells, so even millions of group buffers
-    // stay small; raise the fallback far above any realistic per-partition
-    // group count so the hash path is kept.
-    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "4194304",
+    // into a sort of the candidate stream. 131072, not the r12 4194304
+    // (ADVICE r12): the threshold is read at EXECUTION from the session
+    // conf, so it cannot be scoped per query, and it also governs
+    // UNBOUNDED-buffer aggregates (per-user collect_list in Funnels,
+    // percentile) — 4M arbitrary-size buffers per partition before
+    // fallback is an OOM, not a plan choice. At 128k the arithmetic holds
+    // for both classes: k-bounded heap/argmax cells (~200-400 B) cost
+    // ≤ ~50 MB per partition on the hash path, which covers every typed
+    // aggregate's per-partition group count at the bench scales (largest
+    // observed: ~51k doc groups in q53's partial agg at sf1), while an
+    // unbounded-buffer aggregate that genuinely accumulates >128k groups
+    // per partition falls back to the memory-safe sort — the correct
+    // at-scale posture.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "131072",
   )
 
   def configure(b: SparkSession.Builder): SparkSession.Builder =

@@ -474,21 +474,37 @@ object TextAnalysis {
       // (VocabOovShapeProbe at sf1: plain 1.64 s vs persisted 1.71 s med):
       // this corpus is docs-small/agg-heavy, and the cache write+read costs
       // more than the second regex pass saves. Keep the stateless shape.
+      // (The DEPLOYMENT form keeps the top-V vocab as a MAINTAINED artifact
+      // — the q119 pattern — and pays only [[vocabOovScore]] per increment;
+      // the bench splits that out as the q91_score_only submetric.)
       val tok = Tables(s, dir).documents
         .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("token"))
-      val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("token")).limit(1000)
-        .select(col("token"), lit(1).as("_in"))
-      tok.join(broadcast(vocab), Seq("token"), "left_outer")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          count(when(col("_in").isNull, 1)).as("n_oov"))
-        .withColumn("oov_rate",
-          graft.functions.VectorFunctions.roundNative(
-            col("n_oov") * 10000d / col("n_tokens"), 0) / 10000d)
-        .presented("doc_id")
+      vocabOovScore(tok, topVocab(tok, 1000)).presented("doc_id")
     }),
   )
+
+  /** q91's vocabulary half: the top-`v` corpus tokens (count desc, token asc
+    * — a total order, so the cut is deterministic) as the `(token, _in)`
+    * probe side. TakeOrdered: bounded v rows on the driver regardless of
+    * corpus size.
+    */
+  def topVocab(tok: DataFrame, v: Int): DataFrame =
+    tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(v)
+      .select(col("token"), lit(1).as("_in"))
+
+  /** q91's scoring half alone — the per-increment steady-state cost when the
+    * vocabulary is a maintained artifact: one broadcast hash probe over the
+    * token stream and one doc-major aggregate, no token-major exchange.
+    */
+  def vocabOovScore(tok: DataFrame, vocab: DataFrame): DataFrame =
+    tok.join(broadcast(vocab), Seq("token"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("_in").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate",
+        graft.functions.VectorFunctions.roundNative(
+          col("n_oov") * 10000d / col("n_tokens"), 0) / 10000d)
 
   val oracles: Map[String, String] = Map(
     // same ' +' tokenization + q77 ratio rounding; bigrams per doc are
