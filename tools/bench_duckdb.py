@@ -26,14 +26,62 @@ the recursive CTE's in-run. The recursive CTE remains the correctness
 cross-check in check_oracles.py, and its own wall time is recorded
 separately as `q74_recursive_cte_reference_s`.
 """
+import glob
 import json
+import os
 import re
 import sys
+import tempfile
 import time
 
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def q87_fair_sql(con, sfdir):
+    """q87's FAIR timed formulation (round 13): a DuckDB query that reads
+    the SAME two-snapshot parquet layout the engine reads and diffs it with
+    a full-outer hash compare — the engine's actual work. The committed
+    arithmetic oracle never touches the snapshots (membership is modular
+    arithmetic on the base table), so timing it compared a 3M-row engine
+    hash-diff against a 1.5M-row arithmetic scan (13.2x at sf1 was oracle
+    asymmetry, COVERAGE.md). The layout is located by the same size:mtime
+    signature StageDir embeds (staged by the Spark q87 warmup, which runs
+    first in every capture tool); returns None when not staged — callers
+    fall back to the arithmetic oracle and say so.
+
+    Correctness stays anchored to the arithmetic oracle: callers assert the
+    fair rows equal the committed oracle's rows in-run (the q74 pattern)."""
+    st = os.stat(f"{sfdir}/orders.parquet")
+    sig = f"snapdiff-v1-{st.st_size}-{st.st_mtime_ns // 10**6}"
+    root = None
+    for base in ("/dev/shm", tempfile.gettempdir()):
+        hits = [p for p in glob.glob(f"{base}/graft_snapdiff_*.{sig}")
+                if ".tmp." not in p]
+        if hits:
+            root = hits[0]
+            break
+    if root is None:
+        return None
+    old = f"{root}/snapshot_date=20260101/*.parquet"
+    new = f"{root}/snapshot_date=20260102/*.parquet"
+    # snapshot_date is the layout's partition tag, not row data — excluded
+    # from the row hash exactly like the Spark side's dataCols filterNot
+    cols = [r[0] for r in con.sql(
+        f"DESCRIBE SELECT * FROM read_parquet('{old}')").fetchall()
+        if r[0] != "snapshot_date"]
+    h = "hash(" + ", ".join(cols) + ")"
+    return f"""
+      WITH o AS (SELECT o_orderkey, {h} AS h FROM read_parquet('{old}')),
+           n AS (SELECT o_orderkey, {h} AS h FROM read_parquet('{new}'))
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  ELSE 'changed' END AS change
+      FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+      WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR o.h <> n.h
+      ORDER BY o_orderkey"""
 
 
 def q74_iterative(con, committed_sql):
@@ -82,12 +130,20 @@ def main():
     oracles = json.load(open(oracle_path))
     results = {}
     q74_cte_ref = None
+    q87_arith_ref = None
+    q87_fair_used = False
     for name, sql in sorted(oracles.items()):
         is_q74 = name.startswith("q74_")
+        fair87 = q87_fair_sql(con, sfdir) if name.startswith("q87_") else None
 
         def run_once():
             t0 = time.perf_counter()
-            rows = q74_iterative(con, sql) if is_q74 else con.sql(sql).fetchall()
+            if is_q74:
+                rows = q74_iterative(con, sql)
+            elif fair87 is not None:
+                rows = con.sql(fair87).fetchall()
+            else:
+                rows = con.sql(sql).fetchall()
             return time.perf_counter() - t0, rows
         try:
             _, warm_rows = run_once()  # warmup: catalog + file-footer caches
@@ -100,6 +156,20 @@ def main():
                 q74_cte_ref = round(time.perf_counter() - t0, 6)
                 if sorted(cte_rows) != sorted(warm_rows):
                     raise RuntimeError("q74 iterative walk != recursive CTE rows")
+            if fair87 is not None:
+                # ledger: the committed arithmetic oracle's own wall, and
+                # an in-run proof the fair layout-reading diff computes the
+                # same rows (the q74 pattern)
+                q87_fair_used = True
+                t0 = time.perf_counter()
+                arith_rows = con.sql(sql).fetchall()
+                q87_arith_ref = round(time.perf_counter() - t0, 6)
+                if sorted(arith_rows) != sorted(warm_rows):
+                    raise RuntimeError("q87 fair snapshot diff != arithmetic oracle rows")
+            elif name.startswith("q87_"):
+                print("q87: snapshot layout not staged in this window — timed "
+                      "the arithmetic oracle (run the Spark side first for "
+                      "the fair pair)", file=sys.stderr)
         except Exception as e:
             print(f"DUCKDB-ERR {name}: {str(e)[:200]}", file=sys.stderr)
             results[name] = -1.0
@@ -115,6 +185,14 @@ def main():
             "the committed recursive-CTE oracle (asserted in-run); the CTE "
             "remains the correctness cross-check",
         "q74_recursive_cte_reference_s": q74_cte_ref,
+        "q87_timed_formulation": ("full-outer hash diff over the SAME staged "
+            "two-snapshot parquet layout the engine reads, row-identical to "
+            "the committed arithmetic oracle (asserted in-run); the "
+            "arithmetic oracle remains the correctness cross-check"
+            if q87_fair_used else
+            "arithmetic oracle (snapshot layout was not staged in this "
+            "window)"),
+        "q87_arithmetic_reference_s": q87_arith_ref,
     }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
