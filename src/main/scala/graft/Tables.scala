@@ -112,9 +112,24 @@ object Tables {
     */
   private def stagedPath(spark: SparkSession, dir: String, name: String): String = {
     import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
     val src = Paths.get(s"$dir/$name.parquet")
     if (!Files.exists(src)) return src.toString // let the reader error out
-    val bytes = Files.size(src)
+    // Directory-shaped fixtures (Spark-written): size = the sum of their
+    // part files, NOT Files.size(dir) — the dirent is ~4 KiB, which made
+    // every directory fixture read as "small" and bypass staging (round-13
+    // find: the densified sf1 orders — ONE 15 MB part file — ran q100's
+    // partial sort on a single task). A dir that already carries enough
+    // part files IS the staged layout; it is read in place.
+    val (bytes, nFiles) =
+      if (Files.isDirectory(src)) {
+        val listing = Files.list(src)
+        try {
+          val parts = listing.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          (parts.map(Files.size).sum, parts.size)
+        } finally listing.close()
+      } else (Files.size(src), 1)
     // Below this a single scan task finishes faster than extra tasks launch —
     // EXCEPT for per-row-CPU-heavy tables, which want full width even when
     // tiny at rest (500 KiB of documents is minutes of signature math at
@@ -122,6 +137,7 @@ object Tables {
     val threshold = if (cpuHeavyTables(name)) 192L << 10 else 2L << 20
     if (bytes < threshold) return src.toString
     val n = stageFileCount(bytes)
+    if (nFiles >= n) return src.toString // already a wide-enough layout
     val sig = s"$bytes:${Files.getLastModifiedTime(src).toMillis}:$n"
     val baseName = s"graft_tbl_${Integer.toHexString(dir.hashCode)}_$name"
     StageDir.publish(baseName, sig) { tmp =>
