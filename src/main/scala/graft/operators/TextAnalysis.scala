@@ -377,26 +377,36 @@ object TextAnalysis {
     * shuffles.
     */
   def corpusDiversity(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
-    // tokenize ONCE: both aggregate branches (token stats, bigram stats)
-    // read the persisted token arrays instead of re-splitting the corpus —
-    // the cache is released by the caller's lifecycle (bench clears per
-    // query; a pipeline holds it exactly as long as the two branches run)
-    val base = docs.filter(wsTokenCount(col(textCol)) >= 1)
+    // ONE gram stream, ONE corpus-wide exchange (round 13; was two explode
+    // passes over persisted token arrays + two distinct-agg exchanges):
+    // tokens and per-doc-distinct bigrams ride the same generator — they
+    // are DISJOINT string spaces (tokens come from a split on ' +' so they
+    // never contain a space; a bigram always contains exactly one), so one
+    // (source, gram) hash aggregate with map-side combine dedups both
+    // families in a single vocabulary-sized exchange, counting token
+    // occurrences as it goes; the sources-sized second aggregate then
+    // reads totals and distincts off the per-gram table. No cache to hold
+    // or leak, and no Expand multiplication (two countDistincts in one
+    // aggregate would triple the stream).
+    // wsTokenCount >= 1 ⟺ trimmed text is non-empty — the length check
+    // skips a whole split-and-count regex pass per doc
+    val base = docs.filter(length(trim(col(textCol))) > 0)
       .select(col(sourceCol).as("source"), split(trim(col(textCol)), " +").as("_toks"))
-      .persist()
-    val toks = base.select(col("source"), explode(col("_toks")).as("tok"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("total_tokens"),
-        countDistinct(col("tok")).as("distinct_tokens"))
-    val bigs = base
-      .select(col("source"),
-        explode(array_distinct(Curation.wordNgramsOfTokens(col("_toks"), 2))).as("bg"))
-      .groupBy("source").agg(countDistinct(col("bg")).as("distinct_bigrams"))
+    val grams = base.select(col("source"),
+      explode(concat(col("_toks"),
+        array_distinct(Curation.wordNgramsOfTokens(col("_toks"), 2)))).as("g"))
+    val perGram = grams
+      .groupBy(col("source"), col("g"))
+      .agg(count(when(!col("g").contains(" "), lit(1))).as("tok_occ"))
+    val toks = perGram.groupBy("source")
+      .agg(sum("tok_occ").as("total_tokens"),
+        count(when(col("tok_occ") > 0, 1)).as("distinct_tokens"),
+        count(when(col("tok_occ") === 0, 1)).as("distinct_bigrams"))
     val nd = docs.groupBy(col(sourceCol).as("source")).agg(count(lit(1)).as("n_docs"))
-    // LEFT joins from the doc counts: a source whose documents are ALL
+    // LEFT join from the doc counts: a source whose documents are ALL
     // empty must show up as (n_docs, 0, 0, 0.0, 0) — a health monitor that
     // silently drops the fully-degenerate source misses the worst case
-    nd.join(toks, Seq("source"), "left").join(bigs, Seq("source"), "left")
+    nd.join(toks, Seq("source"), "left")
       .select(col("source"), col("n_docs"),
         coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
         coalesce(col("distinct_tokens"), lit(0L)).as("distinct_tokens"),
