@@ -718,8 +718,8 @@ object Dedup {
     * Scale shape: the cluster table holds only documents that appeared in a
     * pair — the duplicate fraction of the corpus, not the corpus — so the
     * quality join and the per-cluster rank window move duplicate-sized
-    * data; the corpus itself contributes one scan for the scores of the
-    * clustered keys (semi-join pushdown when the planner sees the join).
+    * data; the corpus contributes one text scan for the quality scores
+    * (scoring scope is a measured decision — see the inline note).
     */
   def resolveDuplicates(docs: DataFrame, pairs: DataFrame,
                         keyCol: String, textCol: String): DataFrame = {
@@ -727,6 +727,13 @@ object Dedup {
     // the caller's keyCol so a non-doc_id key (e.g. a fingerprint) joins
     val clusters = duplicateClusters(pairs)
       .select(col("doc_id").as(keyCol), col("canonical").as("cluster"))
+    // Scoring scope, MEASURED not assumed (ResolveShapeProbe, sf1,
+    // interleaved min-of-5): a semi-join that pre-filters docs to the
+    // clustered keys before the TextStats projection LOSES (1.37 s vs
+    // 1.25 s) — the text scan dominates and is unavoidable either way
+    // (the key filter prunes rows, not file IO), while the extra join
+    // stage costs more than the saved stat evaluations. Keep the plain
+    // projection; the final inner join drops unclustered rows.
     val st = graft.expressions.TextStats.statsCol(docs.sparkSession)(col(textCol))
     val scored = docs.withColumn("_st", st)
       .select(col(keyCol),

@@ -601,13 +601,18 @@ object Relational {
       .select("c_custkey").presented("c_custkey")
   }
 
-  // B30: correlated scalar subquery — per-customer average order value;
-  // expressed as an aggregate + self-join (exactly what decorrelation emits).
+  // B30: correlated scalar subquery — per-customer average order value.
+  // Textbook decorrelation emits an aggregate + self-join (TWO custkey
+  // exchanges of the fact); the equivalent unbounded window computes the
+  // per-key scalar in the SAME exchange the probe rows ride — one fact
+  // shuffle + a per-partition sort instead of two fact shuffles + a join.
+  // Measured 2.5× faster at sf1 (CorrSubqShapeProbe: 0.86 → 0.35 s
+  // min-of-5, identical rows), and exchange volume is the scarcer
+  // resource at 100 TB.
   private def q39CorrelatedSubquery: Q = (s, dir) => {
     val o = Tables(s, dir).orders
-    val perCust = o.groupBy(col("o_custkey").as("k"))
-      .agg(Exact.davg(col("o_totalprice")).as("avg_price"))
-    o.join(perCust, col("o_custkey") === col("k"))
+    val w = Window.partitionBy("o_custkey")
+    o.withColumn("avg_price", Exact.davgOver(col("o_totalprice"), w))
       .filter(col("o_totalprice") > col("avg_price"))
       .select("o_orderkey").presented("o_orderkey")
   }
