@@ -128,6 +128,72 @@ object TextSignatures {
     set
   }
 
+  /** Gram-stream family tags (`graft_gram_stream`'s `fam` field). */
+  val FamToken: Byte = 0
+  val FamBigram: Byte = 1
+  val FamDoc: Byte = 2
+
+  /** One-pass tagged gram stream of a document (q123's generator): every
+    * whitespace-run token occurrence tagged [[FamToken]], the doc's
+    * DISTINCT word bigrams tagged [[FamBigram]], and exactly ONE
+    * [[FamDoc]] marker row (`g = ""`) per document regardless of content —
+    * so the document count itself rides the same exchange as the gram
+    * counts and the consumer needs no second corpus scan or join.
+    * Tokenization is the engine's `split(trim(text), " +")` contract
+    * (0x20 runs, not general whitespace). A single-token doc emits its
+    * lone token as the degenerate bigram (the `greatest(n-1, 1)` window
+    * contract shared with [[graft.operators.Curation.wordNgramsOfTokens]]
+    * and the q123 oracle) — tagged [[FamBigram]], so it counts as a
+    * bigram, never as a token occurrence (the r13 'family by
+    * contains-a-space' inference mis-filed it; ADVICE r13).
+    * Empty/blank text yields just the doc marker.
+    *
+    * This replaces a `transform(sequence)/slice/concat_ws/array_distinct/
+    * concat` composition whose per-gram higher-order-function eval was
+    * measured as the dominant component of q123's sf1 wall
+    * (tools.DiversityProfile: +0.61 s of a 1.42 s total vs +0.01 s for
+    * the token explode alone).
+    */
+  def gramStream(text: UTF8String): ArrayData = {
+    val s = text.trim().toString
+    val docMarker = org.apache.spark.sql.catalyst.InternalRow(FamDoc, UTF8String.EMPTY_UTF8)
+    if (s.isEmpty)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](docMarker))
+    // token spans: runs of non-space chars
+    val toks = new java.util.ArrayList[String](64)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      if (s.charAt(i) == ' ') i += 1
+      else {
+        var j = i + 1
+        while (j < len && s.charAt(j) != ' ') j += 1
+        toks.add(s.substring(i, j))
+        i = j
+      }
+    }
+    val n = toks.size
+    val bigrams = new java.util.LinkedHashSet[String](math.min(n * 2, 1 << 16))
+    if (n == 1) bigrams.add(toks.get(0))
+    else {
+      var k = 0
+      while (k < n - 1) { bigrams.add(toks.get(k) + " " + toks.get(k + 1)); k += 1 }
+    }
+    val out = new Array[Any](n + bigrams.size + 1)
+    var o = 0
+    while (o < n) {
+      out(o) = org.apache.spark.sql.catalyst.InternalRow(FamToken, UTF8String.fromString(toks.get(o)))
+      o += 1
+    }
+    val it = bigrams.iterator()
+    while (it.hasNext) {
+      out(o) = org.apache.spark.sql.catalyst.InternalRow(FamBigram, UTF8String.fromString(it.next()))
+      o += 1
+    }
+    out(o) = docMarker
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   // ------------------------------------------------------------ registration
 
   private[expressions] val fns: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
@@ -137,6 +203,8 @@ object TextSignatures {
       (c: Seq[Expression]) => SimHash64(c.head)),
     ("graft_shingle_jaccard", classOf[ShingleJaccard],
       (c: Seq[Expression]) => ShingleJaccard(c.head, c(1), c(2))),
+    ("graft_gram_stream", classOf[GramStream],
+      (c: Seq[Expression]) => GramStream(c.head)),
   )
 
   /** Idempotent direct-session registration (mirrors CosineSimilarity). */
@@ -154,6 +222,9 @@ object TextSignatures {
   }
   def shingleJaccardCol(spark: SparkSession)(a: Column, b: Column, k: Int): Column = {
     register(spark); call_function("graft_shingle_jaccard", a, b, lit(k))
+  }
+  def gramStreamCol(spark: SparkSession)(text: Column): Column = {
+    register(spark); call_function("graft_gram_stream", text)
   }
 
   private[expressions] def requireFoldableInt(e: Expression, name: String): TypeCheckResult =
@@ -223,4 +294,32 @@ case class ShingleJaccard(first: Expression, second: Expression, third: Expressi
 
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): ShingleJaccard =
     copy(first = a, second = b, third = c)
+}
+
+/** `graft_gram_stream(text)` → ARRAY<STRUCT<fam TINYINT, g STRING>> — every
+  * token occurrence (fam=0), the doc's distinct word bigrams (fam=1), and
+  * one per-doc marker (fam=2); see [[TextSignatures.gramStream]].
+  */
+case class GramStream(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a STRING text, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("fam", ByteType, nullable = false),
+      StructField("g", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_gram_stream"
+
+  override protected def nullSafeEval(text: Any): Any =
+    TextSignatures.gramStream(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.expressions.TextSignatures.gramStream($t)")
+
+  override protected def withNewChildInternal(c: Expression): GramStream =
+    copy(child = c)
 }

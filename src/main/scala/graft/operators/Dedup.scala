@@ -660,50 +660,78 @@ object Dedup {
     // fixture scale that floor is the whole wall (13 jobs vs 5, 1.15 s vs
     // 0.94 s at the sf1 point, ClusterRoundProbe). Past the threshold the
     // per-round shuffles are real work and AQE's runtime re-planning (skew
-    // split, coalesce) earns its stage jobs, so it stays on. The flip is
-    // session-scoped for the loop's duration and restored in finally.
+    // split, coalesce) earns its stage jobs, so it stays on.
+    //
+    // SCOPING (round 14, r13 verdict finding #2): the posture must not
+    // touch the CALLER's session conf — a concurrent query planned on the
+    // same session during the loop would silently lose AQE. The loop runs
+    // in its own `newSession()` clone (same SparkContext, shared state,
+    // isolated runtime conf — builder-time configs carry over via
+    // initialSessionOptions) with AQE off; the materialized edge list
+    // crosses sessions through a GLOBAL temp view (cross-session by
+    // definition, resolved EAGERLY at Dataset creation so the view can be
+    // dropped as soon as both handoffs are done). The edges are already a
+    // localCheckpoint'ed LogicalRDD, so re-reading them from either
+    // session is plan-only work, and the final labels cross back the same
+    // way. Cost when the loop is NOT small: zero (no clone, no views).
     val smallLoop = edgeCount <= 4000000L
-    def withLoopConf[T](body: => T): T =
-      if (!smallLoop) body
+    val (loopEdges, unview) =
+      if (!smallLoop) (edges, () => ())
       else {
-        val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+        val vn = s"graft_cc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        edges.createOrReplaceGlobalTempView(vn)
+        val loopSession = spark.newSession()
+        loopSession.conf.set("spark.sql.adaptive.enabled", "false")
+        (loopSession.table(s"global_temp.$vn"),
+          () => { spark.catalog.dropGlobalTempView(vn); () })
       }
-    var labels: DataFrame = null
-    var converged = false
-    while (!converged) withLoopConf {
-      // relax: lbl ← min(lbl, neighbors' lbl); round 1 needs no label join
-      // (initial labels ARE the node ids, so the neighbor min is min(dst))
-      val relaxed =
-        if (labels == null)
-          edges.groupBy(col("src").as("node")).agg(min("dst").as("nbr_lbl"))
-            .select(col("node"), col("node").as("orig"),
-              least(col("node"), col("nbr_lbl")).as("lbl"))
-        else {
-          val nbrMin = edges.join(labels, edges("dst") === labels("node"))
-            .groupBy(col("src").as("node2")).agg(min("lbl").as("nbr_lbl"))
-          labels.join(nbrMin, labels("node") === nbrMin("node2"), "left")
-            .select(col("node"), col("lbl").as("orig"),
-              least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        }
-      // jump: lbl ← min(lbl, lbl's lbl) — pointer doubling in the same job
-      val hop = relaxed.select(col("node").as("p_node"), col("lbl").as("p_lbl"))
-      val jumpedLbl =
-        least(col("lbl"), coalesce(col("p_lbl"), col("lbl")))
-      val next0 = relaxed.join(hop, relaxed("lbl") === hop("p_node"), "left")
-        .select(col("node"), jumpedLbl.as("lbl"),
-          (jumpedLbl < col("orig")).as("changed"))
-      // count(when(...)) not sum(when(...)): count is 0 on an empty round,
-      // sum is null — an empty label table must converge, not NPE
-      val obs = org.apache.spark.sql.Observation()
-      val counted = next0.observe(obs,
-        count(when(col("changed"), lit(1))).as("changed"))
-      val next = counted.select("node", "lbl").localCheckpoint(true) // ← the round's ONLY job
-      converged = obs.get("changed").asInstanceOf[Long] == 0L
-      labels = next
-    }
-    labels.select(col("node").as("doc_id"), col("lbl").as("canonical"))
+    try {
+      val edges2 = loopEdges
+      var labels: DataFrame = null
+      var converged = false
+      while (!converged) {
+        // relax: lbl ← min(lbl, neighbors' lbl); round 1 needs no label join
+        // (initial labels ARE the node ids, so the neighbor min is min(dst))
+        val relaxed =
+          if (labels == null)
+            edges2.groupBy(col("src").as("node")).agg(min("dst").as("nbr_lbl"))
+              .select(col("node"), col("node").as("orig"),
+                least(col("node"), col("nbr_lbl")).as("lbl"))
+          else {
+            val nbrMin = edges2.join(labels, edges2("dst") === labels("node"))
+              .groupBy(col("src").as("node2")).agg(min("lbl").as("nbr_lbl"))
+            labels.join(nbrMin, labels("node") === nbrMin("node2"), "left")
+              .select(col("node"), col("lbl").as("orig"),
+                least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+          }
+        // jump: lbl ← min(lbl, lbl's lbl) — pointer doubling in the same job
+        val hop = relaxed.select(col("node").as("p_node"), col("lbl").as("p_lbl"))
+        val jumpedLbl =
+          least(col("lbl"), coalesce(col("p_lbl"), col("lbl")))
+        val next0 = relaxed.join(hop, relaxed("lbl") === hop("p_node"), "left")
+          .select(col("node"), jumpedLbl.as("lbl"),
+            (jumpedLbl < col("orig")).as("changed"))
+        // count(when(...)) not sum(when(...)): count is 0 on an empty round,
+        // sum is null — an empty label table must converge, not NPE
+        val obs = org.apache.spark.sql.Observation()
+        val counted = next0.observe(obs,
+          count(when(col("changed"), lit(1))).as("changed"))
+        val next = counted.select("node", "lbl").localCheckpoint(true) // ← the round's ONLY job
+        converged = obs.get("changed").asInstanceOf[Long] == 0L
+        labels = next
+      }
+      val result = labels.select(col("node").as("doc_id"), col("lbl").as("canonical"))
+      if (!smallLoop) result
+      else {
+        // hand the converged (checkpointed) labels back to the CALLER's
+        // session — analysis is eager, so the view is inlined into the
+        // returned Dataset's plan and can be dropped immediately
+        val vn = s"graft_cc_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        result.createOrReplaceGlobalTempView(vn)
+        try spark.table(s"global_temp.$vn")
+        finally spark.catalog.dropGlobalTempView(vn)
+      }
+    } finally unview()
   }
 
   /** Duplicate RESOLUTION — the step that actually applies dedup: given the

@@ -370,49 +370,49 @@ object TextAnalysis {
     * word-bigram diversity, each as exact counts with the engine's
     * scaled-integer ratio rounding (q77's portability contract).
     *
-    * Scale shape: one exploded token stream and one exploded bigram stream,
-    * each collapsing through a map-side-combined distinct aggregate keyed
-    * `(source, gram)`, then source-sized tables join — the output is
-    * sources-sized, never corpus-sized, and nothing wider than a gram ever
-    * shuffles.
+    * Scale shape: ONE exploded family-tagged gram stream collapsing through
+    * a map-side-combined distinct aggregate keyed `(source, fam, gram)` —
+    * the output is sources-sized, never corpus-sized, and nothing wider
+    * than a gram ever shuffles.
     */
   def corpusDiversity(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
-    // ONE gram stream, ONE corpus-wide exchange (round 13; was two explode
-    // passes over persisted token arrays + two distinct-agg exchanges):
-    // tokens and per-doc-distinct bigrams ride the same generator — they
-    // are DISJOINT string spaces (tokens come from a split on ' +' so they
-    // never contain a space; a bigram always contains exactly one), so one
-    // (source, gram) hash aggregate with map-side combine dedups both
-    // families in a single vocabulary-sized exchange, counting token
-    // occurrences as it goes; the sources-sized second aggregate then
-    // reads totals and distincts off the per-gram table. No cache to hold
-    // or leak, and no Expand multiplication (two countDistincts in one
-    // aggregate would triple the stream).
-    // wsTokenCount >= 1 ⟺ trimmed text is non-empty — the length check
-    // skips a whole split-and-count regex pass per doc
-    val base = docs.filter(length(trim(col(textCol))) > 0)
-      .select(col(sourceCol).as("source"), split(trim(col(textCol)), " +").as("_toks"))
-    val grams = base.select(col("source"),
-      explode(concat(col("_toks"),
-        array_distinct(Curation.wordNgramsOfTokens(col("_toks"), 2)))).as("g"))
+    // ONE gram stream, ONE corpus-wide exchange: tokens, per-doc-distinct
+    // bigrams AND the per-doc marker ride the same generator — the native
+    // [[graft.expressions.GramStream]] expression, which TAGS each gram's
+    // family explicitly (round 14; the r13 form inferred family by
+    // 'contains a space', which mis-filed a single-token doc's degenerate
+    // spaceless bigram as a token occurrence — ADVICE r13 — and its
+    // transform/slice/concat_ws/array_distinct composition was the measured
+    // bulk of the sf1 wall, tools.DiversityProfile). One (source, fam, gram)
+    // hash aggregate with map-side combine dedups both gram families in a
+    // single vocabulary-sized exchange, counting occurrences as it goes;
+    // the sources-sized second aggregate reads totals, distincts AND the
+    // doc counts off the per-gram table — the fam=2 marker replaces what
+    // was a second corpus scan + n_docs aggregate + source-keyed left join
+    // (three extra stages of pure scheduling floor at bench scale, and a
+    // second full pass at 100 TB). A source whose documents are ALL
+    // empty/blank still shows (n_docs, 0, 0, 0.0, 0): every doc emits its
+    // marker, so no source can drop out (null text reads as empty).
+    val grams = docs
+      .select(col(sourceCol).as("source"),
+        explode(graft.expressions.TextSignatures
+          .gramStreamCol(docs.sparkSession)(coalesce(col(textCol), lit("")))).as("e"))
+      .select(col("source"), col("e.fam").as("fam"), col("e.g").as("g"))
     val perGram = grams
-      .groupBy(col("source"), col("g"))
-      .agg(count(when(!col("g").contains(" "), lit(1))).as("tok_occ"))
-    val toks = perGram.groupBy("source")
-      .agg(sum("tok_occ").as("total_tokens"),
-        count(when(col("tok_occ") > 0, 1)).as("distinct_tokens"),
-        count(when(col("tok_occ") === 0, 1)).as("distinct_bigrams"))
-    val nd = docs.groupBy(col(sourceCol).as("source")).agg(count(lit(1)).as("n_docs"))
-    // LEFT join from the doc counts: a source whose documents are ALL
-    // empty must show up as (n_docs, 0, 0, 0.0, 0) — a health monitor that
-    // silently drops the fully-degenerate source misses the worst case
-    nd.join(toks, Seq("source"), "left")
-      .select(col("source"), col("n_docs"),
-        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
-        coalesce(col("distinct_tokens"), lit(0L)).as("distinct_tokens"),
-        ratio4(coalesce(col("distinct_tokens"), lit(0L)),
-          coalesce(col("total_tokens"), lit(0L))).as("ttr"),
-        coalesce(col("distinct_bigrams"), lit(0L)).as("distinct_bigrams"))
+      .groupBy(col("source"), col("fam"), col("g"))
+      .agg(count(lit(1)).as("occ"))
+    val isTok = col("fam") === graft.expressions.TextSignatures.FamToken
+    val isBig = col("fam") === graft.expressions.TextSignatures.FamBigram
+    val isDoc = col("fam") === graft.expressions.TextSignatures.FamDoc
+    perGram.groupBy("source")
+      .agg(sum(when(isDoc, col("occ")).otherwise(lit(0L))).as("n_docs"),
+        sum(when(isTok, col("occ")).otherwise(lit(0L))).as("total_tokens"),
+        count(when(isTok, 1)).as("distinct_tokens"),
+        count(when(isBig, 1)).as("distinct_bigrams"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("distinct_tokens"),
+        ratio4(col("distinct_tokens"), col("total_tokens")).as("ttr"),
+        col("distinct_bigrams"))
   }
 
   // ------------------------------------------------------- declared queries

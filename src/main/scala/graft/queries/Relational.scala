@@ -193,16 +193,22 @@ object Relational {
       .select("l_orderkey", "l_linenumber", "l_quantity")
       // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture —
       // sort every output column so the order is total and engine-portable.
-      .presented("l_orderkey", "l_linenumber", "l_quantity")
+      // Output is ~300k rows at sf1 — past the measured range-sort
+      // threshold (the q10 rule; SortModeProbe r14: single 0.582 s med vs
+      // range 0.514 s), so the final sort keeps the distributed shape.
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
   }
 
   // B6: inner equi-join; fact-to-fact ⇒ Catalyst picks shuffle/sort-merge,
   // AQE may downgrade to broadcast at runtime when one side is small.
+  // Output is orders-sized (1.5M rows at sf1) — the q10 rule; SortModeProbe
+  // r14 measured range 0.786 s med vs single 1.278 s (the serial
+  // one-partition merge is the documented 100×-scale hazard too).
   private def q05JoinInner: Q = (s, dir) => {
     val t = Tables(s, dir)
     t.customer.join(t.orders, col("c_custkey") === col("o_custkey"))
       .select(col("c_custkey"), col("o_orderkey"))
-      .presented("o_orderkey")
+      .orderBy("o_orderkey")
   }
 
   // B7: explicit broadcast of the small dimension — no shuffle of customer.

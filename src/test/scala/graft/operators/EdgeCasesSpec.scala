@@ -115,6 +115,31 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(out(1) == (("b", 1L, 3L, 1L, 0.3333, 1L)), s"source b: ${out.toSeq}")
   }
 
+  test("corpusDiversity: a single-token doc's degenerate bigram is a bigram, not a token") {
+    // The greatest(n-1, 1) bigram-window contract (shared with the q123
+    // oracle) makes a one-token doc emit its lone token as the degenerate
+    // bigram. The r13 'family by contains-a-space' inference filed that
+    // spaceless gram as a token occurrence — inflating total_tokens and
+    // dropping it from distinct_bigrams (ADVICE r13). The tagged
+    // GramStream families must match the oracle: 1 token, 1 bigram.
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "a", "solo"),             // 1 token; degenerate bigram "solo"
+      (1L, "a", "alpha beta"),       // 2 tokens; bigram "alpha beta"
+      (2L, "b", "solo"),             // all-single-token source
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.corpusDiversity(docs, "source", "text")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    // source a: 3 token occurrences (solo, alpha, beta — all distinct),
+    // bigrams {"solo", "alpha beta"}; the degenerate "solo" bigram must not
+    // leak into the token counts even though the string also IS a token
+    assert(out(0) == (("a", 2L, 3L, 3L, 1.0, 2L)), s"source a: ${out.toSeq}")
+    assert(out(1) == (("b", 1L, 1L, 1L, 1.0, 1L)), s"source b: ${out.toSeq}")
+  }
+
   test("dedup pipelines return no pairs on an empty corpus") {
     val s = spark
     import s.implicits._

@@ -58,7 +58,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("presentation sort: single-partition merge by default, identical rows to the range sort") {
-    val df = plan("q04_filter")
+    val df = plan("q06_join_broadcast")
     // default shape: the final ORDER BY is a single-partition merge — no
     // range exchange, hence no partition-bounds sampling pass
     assert(shuffles(df).exists(_.outputPartitioning.numPartitions == 1),
@@ -70,7 +70,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // sort (for big sorted outputs); rows and row ORDER are identical
     spark.conf.set("spark.graft.presentationSort", "false")
     try {
-      val range = plan("q04_filter")
+      val range = plan("q06_join_broadcast")
       assert(initialPlan(range).toString.contains("rangepartitioning"),
         initialPlan(range).toString)
       assert(range.collect().toSeq == rows)
@@ -78,11 +78,18 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("fact-sized outputs pin the distributed range sort regardless of the flag") {
-    // q03/q07/q18/q19/q37 emit table-sized results (1M+ rows at sf1);
-    // SortModeProbe measured the range sort 0.2-0.4 s faster per query
-    // than the single-partition merge there, so they pin `.orderBy`
-    // directly (the q10 rule) instead of the `presented` default.
-    for (name <- Seq("q03_project", "q07_join_outer", "q18_window_lag",
+    // The q10 rule, now a measured output-row THRESHOLD rather than
+    // per-query hand judgment: SortModeProbe at sf1 shows the range sort
+    // winning from ~300k output rows up (q04, 300k rows: 0.514 vs
+    // 0.582 s med; q05, 1.5M rows: 0.786 vs 1.278 s; q03/q07 0.2-0.4 s
+    // each, r12 series) while group-sized outputs (q06's 25 rows, q13's
+    // handful) keep the single-partition merge. Rule: expected output
+    // >= ~1e5 rows at the bench SF => pin `.orderBy` (distributed range
+    // exchange); below it, `presented` (one merge, no sampling pass).
+    // The single-partition merge on a fact-sized output is also the
+    // 100x-scale hazard — it serializes the tail through one core.
+    for (name <- Seq("q03_project", "q04_filter", "q05_join_inner",
+        "q07_join_outer", "q18_window_lag",
         "q19_window_frame", "q37_asof_join")) {
       val df = plan(name)
       assert(initialPlan(df).toString.contains("rangepartitioning"),
