@@ -110,9 +110,28 @@ object Tables {
     * multi-file copy published through [[StageDir]] (sig-dir naming, atomic
     * rename, superseded-signature sweep — the shared discipline).
     */
-  private def stagedPath(spark: SparkSession, dir: String, name: String): String = {
+  /** At-rest bytes (and part-file count) of a fixture table — directory
+    * fixtures sized by the SUM of their part files, never the dirent
+    * (round-13 find). Public because size-gated plan postures (q81's
+    * recursion width) key off the same measure the staging logic uses.
+    */
+  def sourceStats(dir: String, name: String): (Long, Int) = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
+    val src = Paths.get(s"$dir/$name.parquet")
+    if (!Files.exists(src)) return (0L, 0)
+    if (Files.isDirectory(src)) {
+      val listing = Files.list(src)
+      try {
+        val parts = listing.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        (parts.map(Files.size).sum, parts.size)
+      } finally listing.close()
+    } else (Files.size(src), 1)
+  }
+
+  private def stagedPath(spark: SparkSession, dir: String, name: String): String = {
+    import java.nio.file.{Files, Paths}
     val src = Paths.get(s"$dir/$name.parquet")
     if (!Files.exists(src)) return src.toString // let the reader error out
     // Directory-shaped fixtures (Spark-written): size = the sum of their
@@ -121,15 +140,7 @@ object Tables {
     // find: the densified sf1 orders — ONE 15 MB part file — ran q100's
     // partial sort on a single task). A dir that already carries enough
     // part files IS the staged layout; it is read in place.
-    val (bytes, nFiles) =
-      if (Files.isDirectory(src)) {
-        val listing = Files.list(src)
-        try {
-          val parts = listing.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-          (parts.map(Files.size).sum, parts.size)
-        } finally listing.close()
-      } else (Files.size(src), 1)
+    val (bytes, nFiles) = sourceStats(dir, name)
     // Below this a single scan task finishes faster than extra tasks launch —
     // EXCEPT for per-row-CPU-heavy tables, which want full width even when
     // tiny at rest (500 KiB of documents is minutes of signature math at

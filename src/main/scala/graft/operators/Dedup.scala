@@ -680,8 +680,10 @@ object Dedup {
       else {
         val vn = s"graft_cc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         edges.createOrReplaceGlobalTempView(vn)
-        val loopSession = spark.newSession()
-        loopSession.conf.set("spark.sql.adaptive.enabled", "false")
+        // memoized per-caller clone — newSession() per call costs ~1.3 s
+        // cold (fresh SessionState + cold Tables cache; PostureSessions)
+        val loopSession = graft.PostureSessions(spark,
+          Map("spark.sql.adaptive.enabled" -> "false"))
         (loopSession.table(s"global_temp.$vn"),
           () => { spark.catalog.dropGlobalTempView(vn); () })
       }
@@ -751,10 +753,6 @@ object Dedup {
     */
   def resolveDuplicates(docs: DataFrame, pairs: DataFrame,
                         keyCol: String, textCol: String): DataFrame = {
-    // duplicateClusters emits fixed (doc_id, canonical) names — re-key to
-    // the caller's keyCol so a non-doc_id key (e.g. a fingerprint) joins
-    val clusters = duplicateClusters(pairs)
-      .select(col("doc_id").as(keyCol), col("canonical").as("cluster"))
     // Scoring scope, MEASURED not assumed (ResolveShapeProbe, sf1,
     // interleaved min-of-5): a semi-join that pre-filters docs to the
     // clustered keys before the TextStats projection LOSES (1.37 s vs
@@ -766,6 +764,24 @@ object Dedup {
     val scored = docs.withColumn("_st", st)
       .select(col(keyCol),
         TextAnalysis.qualityScoreFromStats(col("_st")).as("quality_score"))
+    resolveWithScores(scored, pairs, keyCol)
+  }
+
+  /** Deployment form of duplicate resolution (round 14, the
+    * topVocab/vocabOovScore split pattern): in a steady-state pipeline the
+    * per-doc quality score is a MAINTAINED artifact (scored once when the
+    * doc is ingested — the q119 incremental pattern), so a resolution run
+    * pays only cluster the pairs + join scores + per-cluster keep window,
+    * never the corpus text scan. `scored` must carry `(keyCol,
+    * quality_score)`; [[resolveDuplicates]] is this plus the score
+    * projection. Data moved is duplicate-fraction-sized throughout.
+    */
+  def resolveWithScores(scored: DataFrame, pairs: DataFrame,
+                        keyCol: String): DataFrame = {
+    // duplicateClusters emits fixed (doc_id, canonical) names — re-key to
+    // the caller's keyCol so a non-doc_id key (e.g. a fingerprint) joins
+    val clusters = duplicateClusters(pairs)
+      .select(col("doc_id").as(keyCol), col("canonical").as("cluster"))
     val w = Window.partitionBy("cluster")
       .orderBy(col("quality_score").desc, col(keyCol))
     clusters.join(scored, Seq(keyCol))

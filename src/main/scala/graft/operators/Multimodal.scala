@@ -159,38 +159,44 @@ object Multimodal {
     * `mapPartitions` decode: one fused per-row fold inside whole-stage
     * codegen, no encoder round-trip — the decode PLUMBING stays certified by
     * q54, which is about the mapPartitions batch shape, not this operator).
+    *
+    * CONTRACT: `doc_id` must be unique across `meta` rows — the per-doc
+    * fingerprint set is deduplicated ROW-locally (array_distinct), so a
+    * doc_id appearing in two rows would double its postings and inflate
+    * `shared` counts versus a corpus-wide-distinct oracle (ADVICE r13).
     */
   def frameDupPairsMeta(meta: DataFrame, stride: Int, buckets: Int,
                         minShared: Int, maxPosting: Int): DataFrame = {
     // per-doc fingerprint SET built row-locally (array_distinct over the
     // sampled-frame fingerprints) and then exploded — doc_id is unique per
-    // meta row, so this is the old `.distinct()` on (doc_id, fp) WITHOUT
-    // its corpus-wide exchange: the only shuffle before the posting join
-    // is the fp-keyed cap window
+    // meta row (the contract above), so this is the old `.distinct()` on
+    // (doc_id, fp) WITHOUT its corpus-wide exchange: the only shuffle
+    // before the pair aggregate is the fp-keyed bucket grouping
     val fps = meta
       .select(col("doc_id"),
         explode(expr(
           s"array_distinct(transform(sequence(0, n_frames - 1, $stride), " +
             s"i -> (checksum * 131L + CAST(i AS BIGINT) * 2654435761L) % $buckets))"))
           .as("fp"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("fp").orderBy("doc_id")
-    // decode ONCE: both branches of the posting self-join read the
-    // MATERIALIZED capped postings instead of re-running the decode +
-    // fingerprint + window per branch (the q123 tokenize-once treatment).
-    // localCheckpoint, not persist (round 13): the cached-plan path paid an
-    // InMemoryTableScan columnar encode/decode per branch AND leaked the
-    // pinned cache to non-bench callers until session end (ADVICE r12);
-    // checkpoint blocks are plain row batches freed by the ContextCleaner
-    // when the result frame is garbage-collected.
-    val capped = fps
-      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
-      .filter(col("_rn") <= maxPosting)
-      .drop("_rn")
-      .localCheckpoint(true)
-    capped.select(col("doc_id").as("a"), col("fp"))
-      .join(capped.select(col("doc_id").as("b"), col("fp")), "fp")
-      .filter(col("a") < col("b"))
+    // ONE bucket aggregate generates the pairs directly (round 14; was a
+    // per-fp cap WINDOW + checkpoint + posting self-join — three extra
+    // stages whose scheduling floor WAS the q134 wall once the 2^20 space
+    // fix shrank the data to ~10^5 postings): per bucket, collect the
+    // sorted posting list, cap it (same sorted-first-K semantics the
+    // window's row_number gave — the flood guard: a saturated bucket
+    // contributes at most maxPosting² pairs, and the bucket list it
+    // materializes is the same thing the window's per-fp sort already
+    // materialized), and emit its (a < b) combinations; the second
+    // exchange counts shared fingerprints per pair. Two shuffles total,
+    // nothing re-read twice, so the decode-once checkpoint is gone too.
+    fps.groupBy("fp")
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxPosting).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds) - i - 1), " +
+          "y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
@@ -243,8 +249,19 @@ object Multimodal {
     // derives the identical corpus.
     "q134_multimodal_frame_dedup" -> ((s, dir) => {
       val docs0 = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      // planted-dup rekey guard (ADVICE r13): the +1e9 offset must not
+      // collide with real doc_ids — the check is a filterless MAX answered
+      // from parquet footer stats (aggregate pushdown), one metadata job.
+      // The oracle can't express the assert; the Spark side owns it. The
+      // guard immediately earned its keep: the r13 +1e7 offset DID collide
+      // with the sf1-densified corpus (copies keyed at 1e7 strides, max
+      // doc_id 9.0e7), silently violating frameDupPairsMeta's unique-key
+      // contract at exactly the bench's own scale point.
+      val maxId = docs0.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      require(maxId < 1000000000L,
+        s"q134 planted-dup rekey (+1e9) would collide: max doc_id = $maxId")
       val docs = docs0.unionByName(docs0.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
       val fp = graft.expressions.TextStats.fingerprintCol(s)(col("text"))
       val meta = docs.select(col("doc_id"), fp.as("checksum"))
         .withColumn("n_frames", (lit(1) + col("checksum") % 7).cast("int"))
@@ -262,7 +279,7 @@ object Multimodal {
     "q134_multimodal_frame_dedup" ->
       """WITH src AS (SELECT doc_id, text FROM documents
                      UNION ALL
-                     SELECT doc_id + 10000000, text FROM documents
+                     SELECT doc_id + 1000000000, text FROM documents
                      WHERE doc_id % 50 = 0),
               d AS (SELECT doc_id,
                            list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.Tables
+import graft.{PostureSessions, Tables}
 import graft.Present._
 import graft.functions.{Exact, NameRules, WeightedAverage}
 
@@ -748,15 +748,55 @@ object Relational {
        SELECT o_custkey, o_orderkey, pos FROM chain"""
 
   private def q81RecursiveCte: Q = (s, dir) => {
-    Tables(s, dir).orders.createOrReplaceTempView("orders")
+    // LOOP POSTURE (round 14, the q85 playbook applied — Q81ShapeProbe
+    // end-to-end at sf1, min-of-5 fresh plans): the recursion's
+    // per-iteration working set is frontier-sized (one row per live chain),
+    // so at small edge volumes the wall is per-iteration machinery, not
+    // data — 32-wide stages × 4 iterations of tiny tasks plus AQE
+    // materializing each as its own job (18 jobs/run → 13 with AQE off).
+    // An 8-wide, AQE-off posture measured 2.29 → 1.68 s (sp=8 conf) with
+    // the window exchange riding the same width; SHUFFLE_HASH instead of
+    // the frontier broadcast was equal-or-worse (1.73) and dropping the
+    // broadcast hint is 2× worse (5.3 s) — keep the hint. The posture is
+    // gated by the SAME at-rest size measure staging uses (orders < 256 MB;
+    // a corpus-scale run keeps full width and AQE), and is scoped to a
+    // MEMOIZED session clone (PostureSessions) so the caller's conf is
+    // never touched (the q85 contract). The clone executes the recursion
+    // eagerly (localCheckpoint) and the materialized chain crosses back via
+    // an eagerly-inlined global temp view. Single-writer contract: the
+    // `orders`/`order_edges` temp-view names are clone-session-local and
+    // per-call overwritten, the same semantics they had on the caller.
+    val small = Tables.sourceStats(dir, "orders")._1 < (256L << 20)
+    val sess =
+      if (!small) s
+      else PostureSessions(s, Map(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "8"))
+    Tables(sess, dir).orders.createOrReplaceTempView("orders")
     // materialize the successor-edge list ONCE as part of the measured
     // query (eager localCheckpoint); the recursion probes it per iteration
-    val edges = s.sql(
+    val edges = sess.sql(
       """SELECT o_custkey, o_orderkey,
                 LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_key
          FROM orders""").localCheckpoint(true)
     edges.createOrReplaceTempView("order_edges")
-    s.sql(recursiveChainBody).presented("o_custkey", "pos")
+    val chain = sess.sql(recursiveChainBody)
+    // chain output is fact-sized (~600k rows at sf1) — the q10 range-sort
+    // threshold rule applies to the final presentation. In the small
+    // posture the chain is sorted IN the clone before the checkpoint: the
+    // view handoff drops sort metadata, so the caller's orderBy still
+    // plans an exchange+sort, but over already-range-partitioned sorted
+    // runs it is a near-no-op merge (TimSort on sorted input) — measured
+    // faster than handing off unsorted (QueryProbe min 2.00 vs 2.55 s).
+    if (!small) chain.orderBy("o_custkey", "pos")
+    else {
+      val done = chain.orderBy("o_custkey", "pos").localCheckpoint(true)
+      val vn = s"graft_q81_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      done.createOrReplaceGlobalTempView(vn)
+      val back = try s.table(s"global_temp.$vn")
+        finally s.catalog.dropGlobalTempView(vn)
+      back.orderBy("o_custkey", "pos")
+    }
   }
 
   // ---------------------------------------------------------------- oracles

@@ -159,11 +159,39 @@ object BenchSf1 {
       println(f"BENCHSF1 q91_score_only          $v%8.3f s (vocab build untimed)")
       v
     }
+    // q120 RESOLVE-ONLY sub-metric (round 14): q120's certification row
+    // re-scores the whole corpus per run by design; in deployment the
+    // per-doc quality score is a MAINTAINED artifact (the q119 pattern)
+    // and a resolution run pays only cluster + score join + keep window
+    // over duplicate-fraction-sized data. Build the scored artifact and
+    // the pair list once here (untimed, same slices and thresholds as
+    // q120), time resolveWithScores alone.
+    val resolveOnly = {
+      import org.apache.spark.sql.functions._
+      import graft.operators.Dedup
+      val docs = graft.Tables(spark, dir).documents
+      val st = graft.expressions.TextStats.statsCol(spark)(col("text"))
+      val scored = docs.withColumn("_st", st)
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.qualityScoreFromStats(col("_st")).as("quality_score"))
+        .localCheckpoint(true)
+      val pairs = Dedup.ngramJaccardPairs(docs.filter(col("doc_id") <= 40), "doc_id", 3)
+        .filter(col("jaccard") >= 0.1).localCheckpoint(true)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        Dedup.resolveWithScores(scored, pairs, "doc_id").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warmup
+      val v = Seq(once(), once(), once()).min
+      println(f"BENCHSF1 q120_resolve_only       $v%8.3f s (scores + pairs untimed)")
+      v
+    }
     def j(d: Double) = f"$d%.3f"
     val json =
       s"""{"sf":"sf1-densified (10x sf0.1, disjoint keys)","dir":"$dir","cores":$cpus,""" +
         s""""queries":{${results.map { case (n, v) => s""""$n":${j(v)}""" }.mkString(",")}},""" +
-        s""""submetrics":{"q129_search_only":${j(searchOnly)},"q91_score_only":${j(scoreOnly)}},""" +
+        s""""submetrics":{"q129_search_only":${j(searchOnly)},"q91_score_only":${j(scoreOnly)},"q120_resolve_only":${j(resolveOnly)}},""" +
         s""""total":${j(results.map(_._2).filter(_ >= 0).sum)}}"""
     Files.write(Paths.get("/tmp/bench_sf1_spark.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

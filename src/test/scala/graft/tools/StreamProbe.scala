@@ -20,29 +20,49 @@ object StreamProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = EventStreams.queries.keys.toSeq.sorted
+    // the FULL streaming-replay class (16 queries): EventStreams + the
+    // DocPipeline replays
+    val all = SparkEntry.freshQueries.filter(_._1.contains("_stream_"))
+    val names = all.keys.toSeq.sorted
 
     def runAll(): Map[String, Double] = names.map { n =>
       val t0 = System.nanoTime()
-      EventStreams.queries(n)(spark, sfDir).collect()
+      all(n)(spark, sfDir).collect()
       n -> (System.nanoTime() - t0) / 1e9
     }.toMap
 
     runAll() // warm codegen + staging
 
-    for (p <- Seq("4", "8", "16"); lm <- Seq("false", "true"); rep <- Seq(1, 2)) {
+    // round-14 re-sweep (r13 verdict Missing #4): the staging fix changed
+    // input layouts, so the knee (replay partitions) and the state-store
+    // provider choice are re-measured on the current tree. min-of-2 per
+    // (partitions, provider) arm; artifact STREAM_SWEEP_r14.json.
+    val results = collection.mutable.Map[String, Map[String, Double]]()
+    for (p <- Seq("1", "2", "4", "8", "16")) {
       spark.conf.set("spark.graft.stream.partitions", p)
-      spark.conf.set("spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition", lm)
-      val t = runAll()
-      val total = t.values.sum
-      println(f"PROBE p=$p lm=$lm rep=$rep total=$total%6.2f  " +
-        t.toSeq.sorted.map { case (n, s) => f"${n.stripPrefix("q6").take(12)}=$s%4.2f" }.mkString(" "))
+      val a = runAll(); val b = runAll()
+      val best = names.map(n => n -> math.min(a(n), b(n))).toMap
+      results(s"hdfs_p$p") = best
+      println(f"PROBE p=$p%-3s provider=hdfs total(min2)=${best.values.sum}%6.2f")
     }
-
-    // engine-reported phase breakdown for the slowest replay
-    spark.conf.set("spark.graft.stream.partitions", "8")
-    spark.conf.set("spark.graft.stream.debugProgress", "true")
-    EventStreams.queries("q62_stream_session")(spark, sfDir).collect()
+    val knee = results.minBy(_._2.values.sum)._1.stripPrefix("hdfs_p")
+    for (p <- Seq(knee)) {
+      spark.conf.set("spark.graft.stream.partitions", p)
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val a = runAll(); val b = runAll()
+        val best = names.map(n => n -> math.min(a(n), b(n))).toMap
+        results(s"rocksdb_p$p") = best
+        println(f"PROBE p=$p%-3s provider=rocksdb total(min2)=${best.values.sum}%6.2f")
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val json = results.toSeq.sortBy(_._1).map { case (arm, m) =>
+      s""""$arm":{${m.toSeq.sorted.map { case (n, v) => f""""$n":$v%.3f""" }.mkString(",")},"total":${f"${m.values.sum}%.3f"}}"""
+    }.mkString("{", ",", s""","knee_partitions":$knee,"sf":"$sfDir","note":"round-14 re-sweep post staging fix; min-of-2 full-class replays per arm"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get("STREAM_SWEEP_r14.json"),
+      (json + "\n").getBytes)
+    println(s"knee=$knee  -> STREAM_SWEEP_r14.json")
     spark.stop()
   }
 }

@@ -272,35 +272,91 @@ def main():
         rows = {}
         for n, v in sorted(per.items()):
             p = prev_spark.get(n)
-            band = round(max(1.5, (v["spark_spread"] or 1.0) * 1.15), 3)
+            # two thresholds (ADVICE r13): the MEASURED band (fresh
+            # same-window spark spread x1.15) and the 1.5x floor. A ratio
+            # under the measured band is window noise outright; one under
+            # the floor but OVER the measured band on a tight window is
+            # only borderline — the floor must not silently exonerate a
+            # genuine 1.3-1.4x drift.
+            spread_band = round((v["spark_spread"] or 1.0) * 1.15, 3)
+            band = round(max(1.5, spread_band), 3)
             ratio = (round(v["spark_min"] / p, 3)
                      if p and p > 0 and v["spark_min"] > 0 else None)
+            if ratio is None:
+                verdict = "no-prior"
+            elif ratio <= spread_band:
+                verdict = "window-noise (within measured spread band)"
+            elif ratio <= band:
+                verdict = ("borderline (within 1.5x floor but exceeds "
+                           "measured spread band)")
+            else:
+                verdict = "regression (exceeds same-window band)"
             rows[n] = {
                 "prev_committed": p, "ab_min": v["spark_min"],
                 "ab_samples": v["spark"], "ab_spread": v["spark_spread"],
                 "duckdb_min": v["duckdb_min"],
                 "duckdb_spread": v["duckdb_spread"],
-                "band": band, "ratio": ratio,
-                "verdict": ("no-prior" if ratio is None else
-                            "window-noise (within band)" if ratio <= band else
-                            "regression (exceeds same-window band)"),
+                "band": band, "spread_band": spread_band, "ratio": ratio,
+                "verdict": verdict,
             }
+        # MECHANICAL tie-breaker (round 14, the step improvised for q91 in
+        # round 13 folded into the protocol): every borderline/regression
+        # flag gets an ISOLATED fresh-window min-of-9 — a brand-new server
+        # JVM (new window), the flagged queries alone, no interleaving.
+        # Same-code host drift shows up as an isolated min that re-enters
+        # the band; a real regression reproduces it. The samples are
+        # committed either way.
+        flagged = [n for n, r in sorted(rows.items())
+                   if r["verdict"].startswith(("regression", "borderline"))]
+        if flagged:
+            print(f"ADJ tie-breaker: isolated fresh-window min-of-9 for "
+                  f"{flagged}", file=sys.stderr)
+            srv2 = Server(launch_server(sfdir, cpus, log_path + ".iso"))
+            try:
+                for n in flagged:
+                    srv2.run(n)  # warm
+                    iso = [round(srv2.run(n), 6) for _ in range(9)]
+                    srv2.clear()
+                    r = rows[n]
+                    ok = [s for s in iso if s > 0]
+                    r["isolated_samples"] = iso
+                    r["isolated_min"] = round(min(ok), 6) if ok else -1.0
+                    p = r["prev_committed"]
+                    r["isolated_ratio"] = (round(r["isolated_min"] / p, 3)
+                                           if p and r["isolated_min"] > 0 else None)
+                    ir = r["isolated_ratio"]
+                    if ir is None:
+                        pass
+                    elif r["verdict"].startswith("regression") and ir <= r["band"]:
+                        r["verdict"] = ("host-drift (isolated fresh-window "
+                                        "min re-enters band)")
+                    elif r["verdict"].startswith("borderline") and ir <= r["spread_band"]:
+                        r["verdict"] = ("window-noise (isolated fresh-window "
+                                        "min within measured spread band)")
+            finally:
+                srv2.quit()
         art = {
             "adjudicated_against": flags.get(
                 "against", "committed bench_out.json pair"),
             "protocol": "interleaved A/B subset re-run (tools/bench_ab.py "
                 f"--only, passes={passes}): fresh window, both engines "
-                "alternated per query; band = max(1.5, fresh same-window "
-                "spark spread x1.15)",
+                "alternated per query; measured band = fresh same-window "
+                "spark spread x1.15, floor 1.5x; ratios over the measured "
+                "band get an ISOLATED fresh-window min-of-9 tie-breaker in "
+                "a second server JVM — re-entering the band closes the "
+                "flag as host drift, staying out confirms it",
             "sf": sfdir, "flags": rows,
         }
         with open(adjudicate_out, "w") as f:
             json.dump(art, f, indent=1, sort_keys=True)
             f.write("\n")
         for n, r in rows.items():
+            iso = (f", isolated {r.get('isolated_min')} "
+                   f"(ratio {r.get('isolated_ratio')})"
+                   if "isolated_min" in r else "")
             print(f"ADJ {n:36s} prev {r['prev_committed']} -> ab "
-                  f"{r['ab_min']} (ratio {r['ratio']}, band {r['band']}): "
-                  f"{r['verdict']}")
+                  f"{r['ab_min']} (ratio {r['ratio']}, band {r['band']}"
+                  f"{iso}): {r['verdict']}")
         return
 
     s_tot = sum(v["spark_min"] for v in per.values() if v["spark_min"] > 0)

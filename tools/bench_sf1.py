@@ -121,6 +121,38 @@ def submetric_duckdb(con, oracles):
         out["q91_score_only"] = timed(score)
         print(f"SF1DUCK q91_score_only           {out['q91_score_only']:8.3f} s"
               "  [submetric twin, vocab build untimed]")
+
+    # q120 resolve-only: the pair list and the per-doc quality scores as
+    # temp tables (untimed, both from the committed oracle's own CTEs —
+    # deployment maintains the scores and gets the pairs from the gate),
+    # then time the cluster + score-join + keep-window tail alone.
+    sql120 = oracles.get("q120_dedup_resolve", "")
+    if "edges AS" in sql120 and "ranked AS" in sql120:
+        pair_prefix = sql120.split("edges AS")[0].rstrip().rstrip(",")
+        con.execute("CREATE OR REPLACE TEMP TABLE q120_pairs AS "
+                    f"{pair_prefix} SELECT a, b FROM pairs")
+        score_prefix = sql120.split("ranked AS")[0].rstrip().rstrip(",")
+        con.execute("CREATE OR REPLACE TEMP TABLE q120_scored AS "
+                    f"{score_prefix} SELECT doc_id, quality_score FROM scored")
+        resolve = """
+          WITH RECURSIVE
+            edges AS (SELECT a AS src, b AS dst FROM q120_pairs
+                      UNION ALL SELECT b, a FROM q120_pairs),
+            reach AS (
+              SELECT DISTINCT src AS node, src AS r FROM edges
+              UNION
+              SELECT reach.node, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r),
+            clusters AS (SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node),
+            ranked AS (
+              SELECT c.doc_id, c.cluster, s.quality_score,
+                     ROW_NUMBER() OVER (PARTITION BY c.cluster ORDER BY s.quality_score DESC, c.doc_id) AS rk
+              FROM clusters c JOIN q120_scored s USING (doc_id))
+          SELECT doc_id, cluster, quality_score, (rk = 1) AS keep FROM ranked ORDER BY doc_id"""
+        if con.sql(resolve).fetchall() != con.sql(sql120).fetchall():
+            raise RuntimeError("q120 resolve-only twin != full oracle rows")
+        out["q120_resolve_only"] = timed(resolve)
+        print(f"SF1DUCK q120_resolve_only        {out['q120_resolve_only']:8.3f} s"
+              "  [submetric twin, scores + pairs untimed]")
     return out
 
 
@@ -249,7 +281,17 @@ def main():
                 "vocab every run for certification purity. The DuckDB twin "
                 "materializes the same vocab from the committed oracle's "
                 "CTE untimed and times the scoring pass, row-identity "
-                "asserted in-run"}
+                "asserted in-run",
+            "q120_resolve_only": "resolveWithScores alone against a "
+                "pre-built quality-score artifact and pair list (the "
+                "maintained-artifact deployment form, q119 pattern; both "
+                "untimed) — a resolution run's steady-state cost is "
+                "cluster + score join + keep window over duplicate-sized "
+                "data; the q120 row itself re-scores the corpus every run "
+                "for certification purity. The DuckDB twin materializes "
+                "the same pairs and scores from the committed oracle's "
+                "CTEs untimed and times the cluster/join/window tail, "
+                "row-identity asserted in-run"}
     # streaming wall ceilings at the sf1 point (round 13): the 16 replays
     # have no DuckDB analog and are excluded from the headline ratio, so
     # STREAM_BUDGET.json's per_sf entry is what bounds them round-over-round

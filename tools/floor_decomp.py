@@ -33,7 +33,90 @@ import sys
 REBUILD = ("q114_", "q129_")
 
 
+def main_sf1(path, out_path):
+    """Same per-class arithmetic over BENCH_sf1.json (round 14): the 2x bar
+    now lives at the sf1 point, so its headline (batch_ratio) gets the same
+    decomposition the sf0.1 pair had. The artifact's own classes
+    (streaming-replay / golden-read) are respected; the batch class is
+    subdivided into artifact-rebuild / scheduling-floor / plan with the
+    same rules — the per-query plan+schedule floor is a property of the
+    host, not the SF, so the 0.45 s cut is unchanged."""
+    b = json.load(open(path))
+    sq, dq, cl = b["spark_queries"], b["duckdb_queries"], b["classes"]
+
+    def classify(name):
+        c = cl.get(name)
+        if c in ("streaming-replay", "golden-read"):
+            return c
+        if name.startswith(REBUILD):
+            return "artifact-rebuild"
+        if 0 < sq.get(name, -1) <= 0.45:
+            return "scheduling-floor"
+        return "plan"
+
+    classes = {}
+    agg = {}
+    for name, v in sq.items():
+        c = classify(name)
+        classes[name] = c
+        a = agg.setdefault(c, {"n": 0, "spark": 0.0, "duckdb": 0.0})
+        a["n"] += 1
+        if v > 0:
+            a["spark"] += v
+        d = dq.get(name)
+        if isinstance(d, float) and d > 0:
+            a["duckdb"] += d
+    for a in agg.values():
+        a["spark"] = round(a["spark"], 3)
+        a["duckdb"] = round(a["duckdb"], 3)
+        a["ratio"] = round(a["spark"] / a["duckdb"], 3) if a["duckdb"] else None
+
+    # the headline is the BATCH ratio: fixed batch classes are rebuild +
+    # scheduling-floor; even at exact plan parity the batch ratio cannot go
+    # below (fixed_spark + plan_duck) / batch_duck
+    fixed = sum(agg.get(c, {"spark": 0})["spark"]
+                for c in ("artifact-rebuild", "scheduling-floor"))
+    plan = agg.get("plan", {"spark": 0.0, "duckdb": 0.0})
+    best = round(fixed + plan["duckdb"], 3)
+    d_tot = b["batch_duckdb_total"]
+    out = {
+        "source": path,
+        "sf": b.get("sf"),
+        "batch_spark_total": b["batch_spark_total"],
+        "batch_duckdb_total": d_tot,
+        "batch_ratio": b["batch_ratio"],
+        "per_class": agg,
+        "classes": classes,
+        "floor_bound": {
+            "fixed_batch_spark_cost_s": round(fixed, 3),
+            "plan_class_at_parity_total_s": best,
+            "batch_ratio_if_every_plan_query_hit_1x":
+                round(best / d_tot, 3) if d_tot else None,
+            "note": "the sf1 batch headline decomposed with the sf0.1 "
+                "rules: artifact-rebuild and scheduling-floor walls are "
+                "fixed per-query costs; the plan class is where the ratio "
+                "measures engine work. Streaming replays and golden reads "
+                "are already outside the batch headline (classes in "
+                "BENCH_sf1.json), bounded by STREAM_BUDGET ceilings and "
+                "value-checks respectively.",
+        },
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"{out_path}: fixed {fixed:.1f}s + plan-at-parity "
+          f"{plan['duckdb']:.1f}s = {best:.1f}s vs duckdb {d_tot:.1f}s "
+          f"(best achievable "
+          f"{out['floor_bound']['batch_ratio_if_every_plan_query_hit_1x']}x; "
+          f"actual {b['batch_ratio']}x; plan class "
+          f"{plan['spark']:.1f}/{plan['duckdb']:.1f} = {agg['plan']['ratio']}x)")
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--sf1":
+        main_sf1(sys.argv[2] if len(sys.argv) > 2 else "BENCH_sf1.json",
+                 sys.argv[3] if len(sys.argv) > 3 else "FLOOR_DECOMP_sf1.json")
+        return
     ab_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_AB.json"
     oracle_path = sys.argv[2] if len(sys.argv) > 2 else None
     out_path = sys.argv[3] if len(sys.argv) > 3 else "FLOOR_DECOMP.json"
