@@ -194,6 +194,67 @@ object TextSignatures {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** One-pass word n-grams of a document — the native form of
+    * [[graft.operators.Curation.wordNgrams]]'s `transform(sequence)/slice/
+    * concat_ws` composition, whose per-gram higher-order-function eval was
+    * measured as the dominant component of BOTH q123's and q75's walls
+    * (tools.DiversityProfile / ContamProbe). Semantics mirror the composed
+    * form EXACTLY (parity-spec pinned): tokens are `split(trim(text),
+    * ' +')` — an empty/blank text yields the single empty token, matching
+    * Spark's `split("")` — and the gram count is `greatest(m - n + 1, 1)`,
+    * so a document with fewer than `n` tokens emits ONE degenerate gram
+    * joining all its tokens. `distinct=true` folds the per-doc
+    * `array_distinct` into the same pass (first-occurrence order, same as
+    * `array_distinct`).
+    */
+  def wordNgrams(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val s = text.trim().toString
+    val toks = new java.util.ArrayList[String](64)
+    if (s.isEmpty) toks.add("")
+    else {
+      var i = 0
+      val len = s.length
+      while (i < len) {
+        if (s.charAt(i) == ' ') i += 1
+        else {
+          var j = i + 1
+          while (j < len && s.charAt(j) != ' ') j += 1
+          toks.add(s.substring(i, j))
+          i = j
+        }
+      }
+    }
+    val m = toks.size
+    val cnt = math.max(m - n + 1, 1)
+    val sb = new java.lang.StringBuilder(32)
+    def gramAt(i: Int): String = {
+      sb.setLength(0)
+      var k = i
+      val end = math.min(i + n, m)
+      while (k < end) {
+        if (k > i) sb.append(' ')
+        sb.append(toks.get(k))
+        k += 1
+      }
+      sb.toString
+    }
+    if (distinct) {
+      val set = new java.util.LinkedHashSet[String](math.min(cnt * 2, 1 << 16))
+      var i = 0
+      while (i < cnt) { set.add(gramAt(i)); i += 1 }
+      val out = new Array[Any](set.size)
+      val it = set.iterator()
+      var o = 0
+      while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      val out = new Array[Any](cnt)
+      var i = 0
+      while (i < cnt) { out(i) = UTF8String.fromString(gramAt(i)); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
   // ------------------------------------------------------------ registration
 
   private[expressions] val fns: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
@@ -205,6 +266,8 @@ object TextSignatures {
       (c: Seq[Expression]) => ShingleJaccard(c.head, c(1), c(2))),
     ("graft_gram_stream", classOf[GramStream],
       (c: Seq[Expression]) => GramStream(c.head)),
+    ("graft_word_ngrams", classOf[WordNgrams],
+      (c: Seq[Expression]) => WordNgrams(c.head, c(1), c(2))),
   )
 
   /** Idempotent direct-session registration (mirrors CosineSimilarity). */
@@ -225,6 +288,9 @@ object TextSignatures {
   }
   def gramStreamCol(spark: SparkSession)(text: Column): Column = {
     register(spark); call_function("graft_gram_stream", text)
+  }
+  def wordNgramsCol(spark: SparkSession)(text: Column, n: Int, distinct: Boolean): Column = {
+    register(spark); call_function("graft_word_ngrams", text, lit(n), lit(distinct))
   }
 
   private[expressions] def requireFoldableInt(e: Expression, name: String): TypeCheckResult =
@@ -322,4 +388,31 @@ case class GramStream(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): GramStream =
     copy(child = c)
+}
+
+/** `graft_word_ngrams(text, n, distinct)` → ARRAY<STRING> — the native
+  * one-pass word n-gram generator; see [[TextSignatures.wordNgrams]].
+  */
+case class WordNgrams(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects a STRING text, got ${first.dataType.simpleString}")
+    else if (!(third.foldable && third.dataType == BooleanType))
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects a literal BOOLEAN distinct flag")
+    else TextSignatures.requireFoldableInt(second, prettyName)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_ngrams"
+
+  override protected def nullSafeEval(text: Any, n: Any, distinct: Any): Any =
+    TextSignatures.wordNgrams(text.asInstanceOf[UTF8String],
+      n.asInstanceOf[Int], distinct.asInstanceOf[Boolean])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n, d) =>
+      s"graft.expressions.TextSignatures.wordNgrams($t, $n, $d)")
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): WordNgrams =
+    copy(first = a, second = b, third = c)
 }

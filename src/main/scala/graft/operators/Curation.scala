@@ -92,19 +92,22 @@ object Curation {
     */
   def contamination(train: DataFrame, holdout: DataFrame, keyCol: String,
                     textCol: String, n: Int): DataFrame = {
+    val spark = train.sparkSession
     val minTok = TextAnalysis.wsTokenCount(col(textCol)) >= n
     // Dedup grams PER DOC before exploding: the downstream count is over
     // distinct shared grams anyway, so pre-distinct rows turn the expensive
     // two-phase distinct aggregate (Expand + double shuffle) into a plain
     // count, and shrink the explode/join input by each doc's repetition.
-    // Tokenization is hoisted into its own projection so the regex split
-    // runs once per row, not once per gram (see wordNgramsOfTokens).
-    def toks(df: DataFrame, cols: Column*) = df.filter(minTok)
-      .select(cols :+ split(trim(col(textCol)), " +").as("_toks"): _*)
-    val trainGrams = toks(train, col(keyCol))
-      .select(col(keyCol), explode(array_distinct(wordNgramsOfTokens(col("_toks"), n))).as("gram"))
-    val holdGrams = toks(holdout)
-      .select(explode(wordNgramsOfTokens(col("_toks"), n)).as("gram")).distinct()
+    // Gram generation is the native one-pass graft_word_ngrams expression
+    // (round 14; the transform/slice/concat_ws composition's per-gram
+    // higher-order-function eval was the measured bulk of q75's sf1 wall,
+    // the same finding as q123's — and the per-doc distinct folds into the
+    // same pass).
+    val ngrams = graft.expressions.TextSignatures.wordNgramsCol(spark) _
+    val trainGrams = train.filter(minTok)
+      .select(col(keyCol), explode(ngrams(col(textCol), n, true)).as("gram"))
+    val holdGrams = holdout.filter(minTok)
+      .select(explode(ngrams(col(textCol), n, false)).as("gram")).distinct()
     trainGrams.join(broadcast(holdGrams), "gram")
       .groupBy(keyCol)
       .agg(count(lit(1)).as("shared_grams"))

@@ -378,10 +378,13 @@ object Dedup {
     // measured 0.77 s of a 3.9 s total at sf0.1 — re-runs per consumer.
     // Persist it once (docs × one gram array ≈ input-sized, the q113
     // candidate-persist precedent); the whole query drops to ~1/3 the wall.
+    // round 14: the native one-pass graft_word_ngrams (distinct folded in)
+    // replaces the transform/slice/concat_ws composition — the q123/q75
+    // higher-order-function finding applied here too
     val g = spread(docs).filter(TextAnalysis.wsTokenCount(col("text")) >= n)
-      .select(col(keyCol), split(trim(col("text")), " +").as("_toks"))
       .select(col(keyCol),
-        array_distinct(Curation.wordNgramsOfTokens(col("_toks"), n)).as("g"))
+        graft.expressions.TextSignatures.wordNgramsCol(docs.sparkSession)(
+          col("text"), n, distinct = true).as("g"))
       .persist()
     val ex = g.select(col(keyCol), explode(col("g")).as("sh"))
     val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))

@@ -108,6 +108,36 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("native graft_word_ngrams ≡ composed transform/slice/concat_ws, both flags") {
+    // the native one-pass generator must be value- AND order-identical to
+    // the composed form it replaced (round 14) — including the degenerate
+    // contract: fewer than n tokens yields ONE gram joining all tokens,
+    // empty/blank text behaves like Spark's split('') single empty token,
+    // and distinct=true matches array_distinct's first-occurrence order
+    val docs = docsOf(
+      (0L, "a b c d e"),
+      (1L, "a b a b a b"),     // repeats: distinct path must dedup in order
+      (2L, "one"),             // < n tokens → one degenerate gram
+      (3L, "two words"),
+      (4L, ""),                // empty → [""] token contract
+      (5L, "   "),             // blank → same
+      (6L, "  padded   runs  of    spaces "),
+    )
+    for (n <- Seq(2, 3, 5)) {
+      val native = docs.select(col("doc_id"),
+        graft.expressions.TextSignatures.wordNgramsCol(spark)(col("text"), n, false).as("g"))
+      val composed = docs.select(col("doc_id"), Curation.wordNgrams("text", n).as("g"))
+      assert(native.orderBy("doc_id").collect().toSeq ==
+        composed.orderBy("doc_id").collect().toSeq, s"plain n=$n")
+      val nativeD = docs.select(col("doc_id"),
+        graft.expressions.TextSignatures.wordNgramsCol(spark)(col("text"), n, true).as("g"))
+      val composedD = docs.select(col("doc_id"),
+        array_distinct(Curation.wordNgrams("text", n)).as("g"))
+      assert(nativeD.orderBy("doc_id").collect().toSeq ==
+        composedD.orderBy("doc_id").collect().toSeq, s"distinct n=$n")
+    }
+  }
+
   test("native repStats ≡ composed formulation on the fixture corpus + edge cases") {
     val fixture = graft.Tables(spark, graft.TestSpark.Sf0001).documents
       .select(col("doc_id"), col("text"))

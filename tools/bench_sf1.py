@@ -291,7 +291,17 @@ def main():
                 "for certification purity. The DuckDB twin materializes "
                 "the same pairs and scores from the committed oracle's "
                 "CTEs untimed and times the cluster/join/window tail, "
-                "row-identity asserted in-run"}
+                "row-identity asserted in-run. READ THE RATIO AS A FLOOR "
+                "MEASUREMENT: the certification fixture bounds the pair "
+                "source to doc_id <= 40 (the oracle's recursive-CTE "
+                "clustering is quadratic), so the timed Spark side is ~5 "
+                "label-propagation scheduling jobs over a few dozen rows "
+                "against DuckDB's sub-millisecond answer — what it buys "
+                "is the committed steady-state WALL (resolve without the "
+                "corpus re-score), not a meaningful engine ratio; the "
+                "at-volume scaling evidence for this family is the "
+                "committed SCALE100 dedup legs and SCALE_INCR_DEDUP "
+                "exponent sweep"}
     # streaming wall ceilings at the sf1 point (round 13): the 16 replays
     # have no DuckDB analog and are excluded from the headline ratio, so
     # STREAM_BUDGET.json's per_sf entry is what bounds them round-over-round
