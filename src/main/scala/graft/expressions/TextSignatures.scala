@@ -255,6 +255,46 @@ object TextSignatures {
     }
   }
 
+  /** One-pass per-document token counts — `(token, count)` for every
+    * DISTINCT whitespace-run token of the doc, first-occurrence order.
+    * Tokenization mirrors `split(trim(text), ' +')` exactly, including the
+    * degenerate contract (empty/blank text yields the single empty token,
+    * count 1), so `explode(graft_token_counts(text))` is row-for-row the
+    * same multiset as `explode(split(...)).groupBy(doc, token).count()` —
+    * WITHOUT the corpus-wide token-major shuffle of raw occurrences that
+    * aggregate needs (2.7M rows at the sf1 point collapse to 1.16M
+    * pre-counted pairs before anything shuffles; tools.TfidfProbe).
+    */
+  def tokenCounts(text: UTF8String): ArrayData = {
+    val s = text.trim().toString
+    val counts = new java.util.LinkedHashMap[String, Int](64)
+    if (s.isEmpty) counts.put("", 1)
+    else {
+      var i = 0
+      val len = s.length
+      while (i < len) {
+        if (s.charAt(i) == ' ') i += 1
+        else {
+          var j = i + 1
+          while (j < len && s.charAt(j) != ' ') j += 1
+          val t = s.substring(i, j)
+          counts.put(t, counts.getOrDefault(t, 0) + 1)
+          i = j
+        }
+      }
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var o = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(o) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(e.getKey), e.getValue)
+      o += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   // ------------------------------------------------------------ registration
 
   private[expressions] val fns: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
@@ -268,6 +308,8 @@ object TextSignatures {
       (c: Seq[Expression]) => GramStream(c.head)),
     ("graft_word_ngrams", classOf[WordNgrams],
       (c: Seq[Expression]) => WordNgrams(c.head, c(1), c(2))),
+    ("graft_token_counts", classOf[TokenCounts],
+      (c: Seq[Expression]) => TokenCounts(c.head)),
   )
 
   /** Idempotent direct-session registration (mirrors CosineSimilarity). */
@@ -291,6 +333,9 @@ object TextSignatures {
   }
   def wordNgramsCol(spark: SparkSession)(text: Column, n: Int, distinct: Boolean): Column = {
     register(spark); call_function("graft_word_ngrams", text, lit(n), lit(distinct))
+  }
+  def tokenCountsCol(spark: SparkSession)(text: Column): Column = {
+    register(spark); call_function("graft_token_counts", text)
   }
 
   private[expressions] def requireFoldableInt(e: Expression, name: String): TypeCheckResult =
@@ -415,4 +460,32 @@ case class WordNgrams(first: Expression, second: Expression, third: Expression)
 
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): WordNgrams =
     copy(first = a, second = b, third = c)
+}
+
+/** `graft_token_counts(text)` → ARRAY<STRUCT<t STRING, c INT>> — per-doc
+  * distinct tokens with occurrence counts; see
+  * [[TextSignatures.tokenCounts]].
+  */
+case class TokenCounts(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a STRING text, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("t", StringType, nullable = false),
+      StructField("c", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_token_counts"
+
+  override protected def nullSafeEval(text: Any): Any =
+    TextSignatures.tokenCounts(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.expressions.TextSignatures.tokenCounts($t)")
+
+  override protected def withNewChildInternal(c: Expression): TokenCounts =
+    copy(child = c)
 }

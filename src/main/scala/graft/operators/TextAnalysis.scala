@@ -147,24 +147,34 @@ object TextAnalysis {
     * ranking happens on the 6-decimal-rounded score (deterministic).
     */
   def tfidfTopTerm(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
-    // (no Inputs.spread here — measured: tokenization is not the bottleneck
-    // and the extra shuffle of raw texts costs more than it buys)
-    val tok = docs.select(col(keyCol),
-      explode(split(trim(col(textCol)), " +")).as("token"))
-    // ONE token-major shuffle feeds both aggregations: HashPartitioning on
-    // `token` satisfies the (doc, token) grouping (a partitioning on a
-    // subset of the group keys co-locates every group), and the df window
-    // needs the same token clustering — so tf-agg and df-window run in the
-    // SAME stage with no second exchange.
-    val tf = tok.repartition(col("token"))
-      .groupBy(keyCol, "token").agg(count(lit(1)).as("tf"))
+    // TF is computed ROW-locally by the native graft_token_counts
+    // expression (round 14): a doc's term frequencies are a per-doc fact,
+    // so aggregating them through a corpus-wide token-major shuffle of raw
+    // occurrences (the r13 shape: 2.7M exploded tokens at sf1 collapsing
+    // to 1.16M (doc, token) groups) moved data to compute something each
+    // row already knew. The exploded stream is now the pre-counted
+    // (doc, token, tf) pairs, and the only corpus exchange left is the
+    // token-clustered df window below.
+    val tf = docs.select(col(keyCol),
+        explode(graft.expressions.TextSignatures
+          .tokenCountsCol(docs.sparkSession)(col(textCol))).as("e"))
+      .select(col(keyCol), col("e.t").as("token"), col("e.c").cast("long").as("tf"))
     // Corpus size as a broadcast 1-row join, not a separate docs.count()
     // action: one DAG, one pass over the inputs per invocation.
     val n = docs.agg(count(lit(1)).cast("double").as("_n"))
-    val scored = tf
+    // df as an AGGREGATE + hint-free join, not a token window (round 14,
+    // TfidfTcAB same-window A/B: 1.32 → 0.93 s min at sf1): tf has one row
+    // per (doc, token) so the per-token row count IS df, the aggregate's
+    // map-side combine collapses the exchange to per-partition vocab, and
+    // AQE picks the join side at runtime — broadcast at this corpus's
+    // 310-term vocab, shuffle join at a corpus-scale vocabulary (the
+    // hint-free form is deliberately the 100 TB posture; the old window
+    // form paid a full token exchange PLUS a per-partition sort). The tf
+    // subtree is scan+explode with no shuffle, so its two consumers
+    // re-run it — measured cheaper than materializing it.
+    val dfTab = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfTab, "token")
       .crossJoin(broadcast(n))
-      // tf has one row per (doc, token), so a per-token count IS df
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
       .withColumn("score", graft.functions.VectorFunctions.roundNative(
         col("tf") * log((col("_n") + 1.0) / (col("df") + 1.0)), 6))
     // top-1 per doc as a hash AGGREGATION, not a rank window: the native
@@ -487,31 +497,43 @@ object TextAnalysis {
       // (The DEPLOYMENT form keeps the top-V vocab as a MAINTAINED artifact
       // — the q119 pattern — and pays only [[vocabOovScore]] per increment;
       // the bench splits that out as the q91_score_only submetric.)
-      val tok = Tables(s, dir).documents
-        .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("token"))
+      val tok = tokenCountPairs(Tables(s, dir).documents, "doc_id", "text")
       vocabOovScore(tok, topVocab(tok, 1000)).presented("doc_id")
     }),
   )
 
+  /** The `(doc_id, token, c)` pre-counted pair stream both q91 halves
+    * consume (round 14): per-doc term frequencies are a row-local fact
+    * (native graft_token_counts — the q53 finding), so everything
+    * downstream moves 1.16M pre-counted pairs instead of 2.7M raw token
+    * occurrences at the sf1 point.
+    */
+  def tokenCountPairs(docs: DataFrame, keyCol: String, textCol: String): DataFrame =
+    docs.select(col(keyCol),
+        explode(graft.expressions.TextSignatures
+          .tokenCountsCol(docs.sparkSession)(col(textCol))).as("e"))
+      .select(col(keyCol), col("e.t").as("token"), col("e.c").cast("long").as("c"))
+
   /** q91's vocabulary half: the top-`v` corpus tokens (count desc, token asc
     * — a total order, so the cut is deterministic) as the `(token, _in)`
-    * probe side. TakeOrdered: bounded v rows on the driver regardless of
-    * corpus size.
+    * probe side. Input is the [[tokenCountPairs]] stream. TakeOrdered:
+    * bounded v rows on the driver regardless of corpus size.
     */
   def topVocab(tok: DataFrame, v: Int): DataFrame =
-    tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    tok.groupBy("token").agg(sum(col("c")).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(v)
       .select(col("token"), lit(1).as("_in"))
 
   /** q91's scoring half alone — the per-increment steady-state cost when the
     * vocabulary is a maintained artifact: one broadcast hash probe over the
-    * token stream and one doc-major aggregate, no token-major exchange.
+    * [[tokenCountPairs]] stream and one doc-major aggregate, no token-major
+    * exchange.
     */
   def vocabOovScore(tok: DataFrame, vocab: DataFrame): DataFrame =
     tok.join(broadcast(vocab), Seq("token"), "left_outer")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        count(when(col("_in").isNull, 1)).as("n_oov"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("_in").isNull, col("c")).otherwise(lit(0L))).as("n_oov"))
       .withColumn("oov_rate",
         graft.functions.VectorFunctions.roundNative(
           col("n_oov") * 10000d / col("n_tokens"), 0) / 10000d)

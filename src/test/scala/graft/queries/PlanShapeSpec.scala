@@ -46,15 +46,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_graft_latest_by"), p)
   }
 
-  test("q53 tf-idf: two data shuffles (token-major, doc-major)") {
+  test("q53 tf-idf: row-local tf, AQE-decided df join, no token window sort") {
     val df = plan("q53_text_tfidf")
-    // token repartition feeds BOTH the tf aggregate and the df window in one
-    // stage; then the per-doc top-term aggregate. (Single-partition
-    // collapses — the corpus-count subplan and the final presentation sort —
-    // move O(partitions) or result-sized rows, not data, and are excluded.)
+    // round 14: tf is computed row-locally (graft_token_counts), df is an
+    // aggregate joined back hint-free — the old shape's token WINDOW
+    // (full exchange of every (doc, token) pair plus a per-partition
+    // sort) is gone. At a vocab-sized df table the join is BROADCAST
+    // (statically at this SF's stats, by AQE at runtime otherwise), so
+    // the only data shuffles left are the df aggregate's map-side-combined
+    // exchange, the doc-major argmax exchange, and — when stats don't
+    // justify the broadcast — the join's probe-side exchange.
+    // (Single-partition collapses — the corpus-count subplan and the
+    // final presentation sort — move O(partitions) or result-sized rows,
+    // not data, and are excluded.)
     val dataShuffles = shuffles(df).filterNot(
       _.outputPartitioning.numPartitions == 1)
-    assert(dataShuffles.size == 2, initialPlan(df).toString)
+    assert(dataShuffles.size <= 3, initialPlan(df).toString)
+    assert(!initialPlan(df).toString.contains("Window"), initialPlan(df).toString)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin"), executed)
   }
 
   test("presentation sort: single-partition merge by default, identical rows to the range sort") {

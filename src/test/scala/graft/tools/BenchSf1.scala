@@ -146,8 +146,8 @@ object BenchSf1 {
     val scoreOnly = {
       import org.apache.spark.sql.functions._
       import graft.operators.TextAnalysis
-      val tok = graft.Tables(spark, dir).documents
-        .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("token"))
+      val tok = TextAnalysis.tokenCountPairs(
+        graft.Tables(spark, dir).documents, "doc_id", "text")
       val vocab = TextAnalysis.topVocab(tok, 1000).localCheckpoint(true)
       def once(): Double = {
         val t0 = System.nanoTime()
