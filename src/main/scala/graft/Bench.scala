@@ -297,12 +297,29 @@ object Bench {
     *                   orchestrator sends it BETWEEN query blocks so the
     *                   deliberately-cached ANN index halves keep their
     *                   within-block amortization, same as normal mode)
+    *   `PLAN <name>` → `PLAN <name> <fp>`: a 16-hex fingerprint of the
+    *                   query's scrubbed optimized logical plan, captured as
+    *                   a side effect of the most recent `RUN <name>` (so it
+    *                   costs nothing — the plan was materialized by the
+    *                   collect anyway). `unknown` if the query was never
+    *                   RUN in this server. This is the mechanical
+    *                   "same-code" attestation behind the adjudicator's
+    *                   envelope rule (round 15): two windows whose
+    *                   fingerprints match ran the same logical plan, with
+    *                   no git-path archaeology. Caveat: loop-style and
+    *                   streaming-replay queries return a read-back of their
+    *                   sink/checkpoint, so their fingerprint attests the
+    *                   final frame's shape, not the replay body — the
+    *                   envelope rule is correspondingly weaker evidence for
+    *                   those (the scrubber strips paths/ids so the
+    *                   fingerprint is at least stable across windows).
     *   `QUIT`        → `BYE`, exit.
     * Protocol replies go to stdout (log4j writes to stderr); the
     * orchestrator ignores any stdout line that is not a protocol reply.
     */
   private def serve(spark: SparkSession, sfDir: String): Unit = {
     val qs = SparkEntry.freshQueries
+    val planFps = scala.collection.mutable.Map.empty[String, String]
     val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
       System.out, java.nio.charset.StandardCharsets.UTF_8), true)
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(
@@ -325,19 +342,55 @@ object Bench {
             case Some(fn) =>
               val t0 = System.nanoTime()
               try {
-                fn(spark, sfDir).collect()
-                out.println(f"TIME $name ${(System.nanoTime() - t0) / 1e9}%.6f")
+                val df = fn(spark, sfDir)
+                df.collect()
+                val dt = (System.nanoTime() - t0) / 1e9
+                // fingerprint AFTER the timed collect: the optimized plan
+                // is already materialized, so this adds no planning cost
+                // to the timed wall (it is outside the TIME measurement
+                // window only in the sense that collect already paid it)
+                try planFps(name) = planFingerprint(df, sfDir)
+                catch { case _: Throwable => () }
+                out.println(f"TIME $name $dt%.6f")
               } catch {
                 case e: Throwable =>
                   System.err.println(s"BENCHFAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
                   out.println(s"FAIL $name ${e.getClass.getSimpleName}")
               }
           }
+        case cmd if cmd.startsWith("PLAN ") =>
+          val name = cmd.drop(5).trim
+          out.println(s"PLAN $name ${planFps.getOrElse(name, "unknown")}")
         case other => out.println(s"FAIL ${other.takeWhile(!_.isWhitespace)} bad-command")
       }
       line = in.readLine()
     }
     out.println("BYE")
+  }
+
+  /** 16-hex SHA-256 prefix of the query's optimized logical plan string
+    * with window-unstable tokens scrubbed: expression ids (`#123`), object
+    * hashes (`@3f9a…`), plan/rdd ids, UUIDs, and absolute paths (the SF dir,
+    * `/tmp` staging, `file:` URIs). Two bench windows with equal
+    * fingerprints executed the same logical plan — the adjudicator's
+    * envelope rule uses this as its same-code predicate. Deterministic
+    * across JVMs for batch plans; pinned by `PlanFingerprintSpec`.
+    */
+  private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame,
+                                     sfDir: String): String = {
+    val raw = df.queryExecution.optimizedPlan.toString
+    val scrubbed = raw
+      .replace(sfDir, "<sf>")
+      .replaceAll("#\\d+[A-Za-z]*", "#x")
+      .replaceAll("@[0-9a-fA-F]{4,}", "@x")
+      .replaceAll("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", "<uuid>")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("(?i)rdd[ _]?\\[?\\d+\\]?", "rdd_x")
+      .replaceAll("file:[^\\s,\\)\\]]+", "<uri>")
+      .replaceAll("/(?:tmp|root)/[^\\s,\\)\\]]+", "<path>")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(scrubbed.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
   }
 
   /** Diffs this capture against the previously committed `bench_out.json`

@@ -26,8 +26,27 @@ import org.apache.spark.sql.SparkSession
   * names never collide; operators using FIXED view names on a shared
   * posture document single-writer semantics, the same contract they
   * already had on the caller session.
+  *
+  * FIXED-POSTURE CONTRACT (ADVICE r14): clones are memoized per
+  * (caller, posture map) and live as long as the caller session — each
+  * distinct posture map permanently allocates a full SessionState. That is
+  * the point (amortization) for the small fixed set of literal postures
+  * operators declare, but a caller passing COMPUTED posture maps (e.g. a
+  * data-derived partition count baked into the map value) would leak one
+  * SessionState per distinct value for the application lifetime. The
+  * per-caller bound below turns that mistake into a fast failure instead
+  * of a slow leak; data-derived knobs belong on the query plan (hints,
+  * repartition) or inside a fixed posture's operator body, not in the
+  * posture key.
   */
 object PostureSessions {
+  /** Max distinct postures per caller session. Generous vs today's usage
+    * (two fixed postures) while small enough that an accidentally computed
+    * posture key fails within seconds, not after hours of SessionState
+    * accretion.
+    */
+  private val MaxPosturesPerCaller = 8
+
   private val cache =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[Map[String, String], SparkSession]]()
 
@@ -43,6 +62,11 @@ object PostureSessions {
         }
       }
       perCaller.getOrElseUpdate(posture, {
+        require(perCaller.size < MaxPosturesPerCaller,
+          s"PostureSessions: caller already holds ${perCaller.size} memoized " +
+            "posture clones — posture maps must be a small FIXED set of " +
+            "literals (see the fixed-posture contract in the scaladoc); a " +
+            "computed posture key leaks one SessionState per distinct value")
         val s2 = caller.newSession()
         posture.foreach { case (k, v) => s2.conf.set(k, v) }
         s2

@@ -244,7 +244,9 @@ object Multimodal {
     // frame-level duplicates (the 2048-cell variant's 98 sf0.01 rows were
     // all bucket-collision noise), so the corpus is the fixture PLUS a
     // deterministic planted-duplicate slice (every doc_id % 50 == 0
-    // re-keyed +10^7, same payload — the q87 derived-fixture pattern): the
+    // re-keyed +10^9, same payload — the q87 derived-fixture pattern; the
+    // offset moved from +10^7 in r14 because that collided with sf1's
+    // 1e7-stride copy keys, see the rekey guard below): the
     // query certifies TRUE near-dup detection at every SF, and the oracle
     // derives the identical corpus.
     "q134_multimodal_frame_dedup" -> ((s, dir) => {

@@ -130,6 +130,12 @@ class Server:
             return -1.0
         return float(parts[2])
 
+    def plan_fp(self, name):
+        """Scrubbed-optimized-plan fingerprint from the most recent RUN of
+        `name` in this server (the envelope rule's same-code attestation)."""
+        r = self._cmd(f"PLAN {name}", ("PLAN",)).split()
+        return r[2] if len(r) == 3 and r[1] == name else "unknown"
+
     def clear(self):
         self._cmd("CLEAR", ("OK",))
 
@@ -158,6 +164,109 @@ def duck_once(con, name, sql):
 def spread(samples):
     ok = [s for s in samples if s > 0]
     return round(max(ok) / min(ok), 3) if len(ok) >= 2 else None
+
+
+# ---- committed same-code envelope (round 15) -------------------------------
+# BENCH_ENVELOPE.json accumulates, per SF and query, the committed windows'
+# (spark_min, duckdb_min, plan fingerprint). The fingerprint comes from the
+# bench server's PLAN command (scrubbed optimized logical plan), so
+# "same-code" is attested mechanically: equal fingerprints = same logical
+# plan, no git archaeology. Normal captures APPEND a window; adjudicate mode
+# only READS (it promises not to touch committed artifacts).
+ENVELOPE_PATH = f"{REPO}/BENCH_ENVELOPE.json"
+ENVELOPE_KEEP = 10  # last N windows per query — enough for the >=3 rule
+
+
+def sf_key(sfdir):
+    return os.path.basename(sfdir.rstrip("/")) or sfdir
+
+
+def load_envelope():
+    try:
+        return json.load(open(ENVELOPE_PATH))
+    except Exception:
+        return {
+            "_doc": "Committed same-code envelope per SF per query: each "
+                "entry is one bench window's (spark_min, duckdb_min, plan "
+                "fingerprint from the serve-mode PLAN command — scrubbed "
+                "optimized logical plan, the mechanical same-code "
+                "attestation). Appended by every normal tools/bench_ab.py "
+                "capture, read-only in adjudicate mode. The adjudicator's "
+                "envelope rule: a flag whose isolated fresh-window min lies "
+                "INSIDE the >=3-window same-fingerprint envelope with a "
+                "stable DuckDB side closes as envelope-drift — otherwise "
+                "every fastest-ever committed sample becomes a future false "
+                "'regression' against itself (the q118 r14 lesson).",
+            "per_sf": {},
+        }
+
+
+def record_envelope(sfdir, per):
+    env = load_envelope()
+    head = subprocess.check_output(
+        ["git", "rev-parse", "--short", "HEAD"], cwd=REPO, text=True).strip()
+    window = f"{time.strftime('%Y-%m-%dT%H:%M:%S')}@{head}"
+    bucket = env.setdefault("per_sf", {}).setdefault(sf_key(sfdir), {})
+    for n, v in per.items():
+        if v["spark_min"] <= 0:
+            continue
+        entries = bucket.setdefault(n, [])
+        entries.append({"window": window, "spark_min": v["spark_min"],
+                        "duckdb_min": v["duckdb_min"], "fp": v["plan_fp"]})
+        del entries[:-ENVELOPE_KEEP]
+    with open(ENVELOPE_PATH, "w") as f:
+        json.dump(env, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+
+def apply_envelope_rule(rows, per, sfdir):
+    """Missing #3 (r14 verdict): close a still-open flag as envelope-drift
+    when its isolated fresh-window min lies inside the committed same-code
+    (same plan-fingerprint) envelope of >=3 windows whose DuckDB side is
+    stable. The envelope is cited in the verdict either way."""
+    env = load_envelope().get("per_sf", {}).get(sf_key(sfdir), {})
+    for n, r in rows.items():
+        if not r["verdict"].startswith(("regression", "borderline")):
+            continue
+        fp = per[n]["plan_fp"]
+        entries = [e for e in env.get(n, [])
+                   if fp != "unknown" and e.get("fp") == fp
+                   and e.get("spark_min", 0) and e["spark_min"] > 0]
+        iso = r.get("isolated_min") or r["ab_min"]
+        if len(entries) < 3:
+            r["envelope"] = {"applies": False, "same_fp_windows": len(entries),
+                             "reason": "fewer than 3 committed windows with "
+                                       "the current plan fingerprint"}
+            continue
+        lo = min(e["spark_min"] for e in entries)
+        hi = max(e["spark_min"] for e in entries)
+        ducks = [e["duckdb_min"] for e in entries
+                 if isinstance(e.get("duckdb_min"), float) and e["duckdb_min"] > 0]
+        fresh_d = r.get("duckdb_min")
+        # stability bound 2.0, not 1.5: the guard exists to catch a baseline
+        # that genuinely moved (data or machine change — those show up far
+        # past 2x), while committed scheduling-floor DuckDB walls (~10 ms)
+        # carry WITHIN-window spreads up to ~1.8x (e.g. q118 in the r14
+        # committed BENCH_AB), so a 1.5 cross-window bound would false-fail
+        # the guard on exactly the queries most prone to drift flags.
+        med = statistics.median(ducks) if ducks else None
+        duck_stable = (len(ducks) >= 2 and max(ducks) / min(ducks) <= 2.0
+                       and isinstance(fresh_d, float) and fresh_d > 0
+                       and med / 2.0 <= fresh_d <= 2.0 * med)
+        r["envelope"] = {
+            "applies": True, "same_fp_windows": len(entries), "fp": fp,
+            "spark_lo": lo, "spark_hi": hi,
+            "duckdb_stable": duck_stable,
+            "windows": [e["window"] for e in entries],
+        }
+        if iso is not None and iso > 0 and iso <= hi and duck_stable:
+            r["verdict"] = (f"envelope-drift (isolated min {iso:.3f}s inside "
+                            f"committed same-code envelope [{lo:.3f}-{hi:.3f}]"
+                            f" over {len(entries)} windows, plan fp {fp}; "
+                            f"duckdb side stable)")
+        elif iso is not None and iso > 0 and iso <= hi:
+            r["envelope"]["note"] = ("isolated min inside envelope but the "
+                                     "DuckDB side is not stable — flag kept")
 
 
 def main():
@@ -208,6 +317,7 @@ def main():
         for name in names:
             sql = oracles.get(name)
             s_warm = srv.run(name)
+            plan_fp = srv.plan_fp(name)
             # q87: swap in the FAIR layout-reading diff for the timed side
             # (the Spark warmup above staged the snapshot layout); the
             # committed arithmetic oracle stays the in-run row cross-check
@@ -257,6 +367,7 @@ def main():
                 "spark": [round(s, 6) for s in s_samples], "spark_warmup": round(s_warm, 6),
                 "duckdb": d_samples if sql is not None else None,
                 "spark_min": s_min, "duckdb_min": d_min,
+                "plan_fp": plan_fp,
                 "spark_spread": spread(s_samples), "duckdb_spread": spread(d_samples),
                 "ratio": round(s_min / d_min, 3)
                          if s_min > 0 and isinstance(d_min, float) and d_min > 0 else None,
@@ -335,6 +446,7 @@ def main():
                                         "min within measured spread band)")
             finally:
                 srv2.quit()
+        apply_envelope_rule(rows, per, sfdir)
         art = {
             "adjudicated_against": flags.get(
                 "against", "committed bench_out.json pair"),
@@ -344,7 +456,11 @@ def main():
                 "spark spread x1.15, floor 1.5x; ratios over the measured "
                 "band get an ISOLATED fresh-window min-of-9 tie-breaker in "
                 "a second server JVM — re-entering the band closes the "
-                "flag as host drift, staying out confirms it",
+                "flag as host drift, staying out confirms it; a flag still "
+                "open whose isolated min lies INSIDE the committed "
+                "same-code envelope (>=3 windows with the current plan "
+                "fingerprint in BENCH_ENVELOPE.json, DuckDB side stable) "
+                "closes as envelope-drift with the envelope cited",
             "sf": sfdir, "flags": rows,
         }
         with open(adjudicate_out, "w") as f:
@@ -487,6 +603,7 @@ def main():
         json.dump(delta, f)
         f.write("\n")
 
+    record_envelope(sfdir, per)
     regenerate_ratio_table(per, s_tot, d_tot, sfdir, passes)
     print(f"\nBENCH_AB.json: spark {s_tot:.3f}s vs duckdb {d_tot:.3f}s = "
           f"{s_tot / d_tot:.2f}x over {len(per)} queries; "
