@@ -69,6 +69,12 @@ object PostureSessions {
             "computed posture key leaks one SessionState per distinct value")
         val s2 = caller.newSession()
         posture.foreach { case (k, v) => s2.conf.set(k, v) }
+        // A fresh SessionState starts with an EMPTY session function
+        // registry: frames built on the clone must resolve the graft_*
+        // natives regardless of which session earlier code registered
+        // them on (idempotent; covers sessions launched without
+        // spark.sql.extensions).
+        graft.expressions.GraftFunctions.registerAll(s2)
         s2
       })
     }

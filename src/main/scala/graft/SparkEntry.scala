@@ -140,16 +140,19 @@ object SparkEntry {
       : Map[String, (SparkSession, String) => DataFrame] =
     qs.map { case (name, fn) =>
       name -> ((s: SparkSession, dir: String) =>
-        // presentationSort is read at PLAN-BUILD time (Present.presented),
-        // so it belongs in the cache key: flipping the conf mid-session
-        // must rebuild the sort shape, not serve the previously built plan.
+        // presentationSort AND rangeSortRows are read at PLAN-BUILD time
+        // (Present.presented), so both belong in the cache key: flipping
+        // either conf mid-session must rebuild the sort shape, not serve
+        // the previously built plan. Unset presentationSort is the AUTO
+        // mode (the derived fan-in rule, r15), distinct from "true".
         planCache.computeIfAbsent((System.identityHashCode(s), name, dir,
-            s.conf.getOption("spark.graft.presentationSort").forall(_.toBoolean)),
+            s.conf.getOption("spark.graft.presentationSort").getOrElse("auto") +
+              ":" + s.conf.getOption("spark.graft.rangeSortRows").getOrElse("")),
           _ => fn(s, dir)))
     }
 
   private val planCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, String, Boolean), DataFrame]()
+    (Int, String, String, String), DataFrame]()
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

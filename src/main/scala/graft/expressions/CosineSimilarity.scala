@@ -120,6 +120,29 @@ object CosineSimilarity {
       .registerFunction(FunctionIdentifier(name), info, builder)
 }
 
+/** Direct-session registration of EVERY graft native function — the
+  * programmatic twin of [[GraftExtensions]] for sessions created without
+  * `spark.sql.extensions` (notably [[graft.PostureSessions]] clones, whose
+  * fresh SessionState starts with an empty session registry: an operator
+  * frame built on a clone would otherwise fail to resolve a function some
+  * earlier call registered on the CALLER only — the q86 r15 lesson).
+  * Idempotent.
+  */
+object GraftFunctions {
+  def registerAll(spark: SparkSession): Unit = {
+    CosineSimilarity.register(spark)
+    TextSignatures.register(spark)
+    TextStats.register(spark)
+    VecPrimitives.register(spark)
+    LshBucket.register(spark)
+    TopKByScore.register(spark)
+    CollectSmallestK.register(spark)
+    ArgMaxText.register(spark)
+    LatestBy.register(spark)
+    FastRound.register(spark)
+  }
+}
+
 /** `spark.sql.extensions=graft.expressions.GraftExtensions` installs the
   * engine's native functions into every session of a deployment.
   */
@@ -138,6 +161,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier(TopKByScore.name),
       new ExpressionInfo(classOf[TopKByScore].getName, TopKByScore.name),
       TopKByScore.builder))
+    ext.injectFunction((FunctionIdentifier(CollectSmallestK.name),
+      new ExpressionInfo(classOf[CollectSmallestK].getName, CollectSmallestK.name),
+      CollectSmallestK.builder))
     ext.injectFunction((FunctionIdentifier(ArgMaxText.name),
       new ExpressionInfo(classOf[ArgMaxText].getName, ArgMaxText.name),
       ArgMaxText.builder))

@@ -295,6 +295,98 @@ object TextSignatures {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Non-overlapping `n`-token windows of the doc, each rejoined with a
+    * single space — the boilerplate "lines" (r15; replaces q119/q117's
+    * transform(sequence(...), i -> array_join(slice(_t, i*n+1, n), ' '))
+    * HOF composition, the measured-every-time ~2-3× penalty). Semantics
+    * mirror the composed form EXACTLY (parity-spec pinned): tokens are
+    * `split(trim(text), ' +')` (empty/blank text yields the single empty
+    * token) and the window count is
+    * `greatest(ceil((m - n) / double(n)), 0) + 1`, so a document with
+    * fewer than `n` tokens emits ONE short line joining all its tokens.
+    */
+  def wordLines(text: UTF8String, n: Int): ArrayData = {
+    val s = text.trim().toString
+    val toks = new java.util.ArrayList[String](64)
+    if (s.isEmpty) toks.add("")
+    else {
+      var i = 0
+      val len = s.length
+      while (i < len) {
+        if (s.charAt(i) == ' ') i += 1
+        else {
+          var j = i + 1
+          while (j < len && s.charAt(j) != ' ') j += 1
+          toks.add(s.substring(i, j))
+          i = j
+        }
+      }
+    }
+    val m = toks.size
+    val cnt = math.max(math.ceil((m - n) / n.toDouble).toInt, 0) + 1
+    val out = new Array[Any](cnt)
+    val sb = new java.lang.StringBuilder(64)
+    var w = 0
+    while (w < cnt) {
+      sb.setLength(0)
+      var k = w * n
+      val end = math.min(k + n, m)
+      while (k < end) {
+        if (k > w * n) sb.append(' ')
+        sb.append(toks.get(k))
+        k += 1
+      }
+      out(w) = UTF8String.fromString(sb.toString)
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Row-local BM25 inputs for a FIXED query-term set: one pass over the
+    * text returns `struct(dl BIGINT, tfs ARRAY<INT>)` — dl mirrors
+    * `TextAnalysis.wsTokenCount` exactly (blank text → 0) and `tfs(i)` is
+    * the exact-match occurrence count of `terms(i)`. Replaces q111's
+    * explode-all-tokens + isin filter + (doc, dl, token) COUNT EXCHANGE:
+    * every token of the corpus materialized as a generator row (≈27M rows
+    * at the sf1 point) to keep ~10⁵, where this expression emits |terms|
+    * ints per document row-locally and the tf aggregate disappears
+    * entirely (r15).
+    */
+  def termTfs(text: UTF8String, terms: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val m = terms.numElements()
+    val termStrs = new Array[String](m)
+    var t0 = 0
+    while (t0 < m) { termStrs(t0) = terms.getUTF8String(t0).toString; t0 += 1 }
+    val tfs = new Array[Int](m)
+    val s = text.trim().toString
+    var dl = 0L
+    if (!s.isEmpty) {
+      var i = 0
+      val len = s.length
+      while (i < len) {
+        if (s.charAt(i) == ' ') i += 1
+        else {
+          var j = i + 1
+          while (j < len && s.charAt(j) != ' ') j += 1
+          dl += 1
+          var t = 0
+          var matched = false
+          while (t < m && !matched) {
+            val term = termStrs(t)
+            if (term.length == j - i && s.regionMatches(i, term, 0, term.length)) {
+              tfs(t) += 1
+              matched = true
+            }
+            t += 1
+          }
+          i = j
+        }
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(dl,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(tfs.map(v => v: Any)))
+  }
+
   // ------------------------------------------------------------ registration
 
   private[expressions] val fns: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
@@ -310,6 +402,10 @@ object TextSignatures {
       (c: Seq[Expression]) => WordNgrams(c.head, c(1), c(2))),
     ("graft_token_counts", classOf[TokenCounts],
       (c: Seq[Expression]) => TokenCounts(c.head)),
+    ("graft_word_lines", classOf[WordLines],
+      (c: Seq[Expression]) => WordLines(c.head, c(1))),
+    ("graft_term_tfs", classOf[TermTfs],
+      (c: Seq[Expression]) => TermTfs(c.head, c(1))),
   )
 
   /** Idempotent direct-session registration (mirrors CosineSimilarity). */
@@ -488,4 +584,58 @@ case class TokenCounts(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): TokenCounts =
     copy(child = c)
+}
+
+/** `graft_word_lines(text, n)` → ARRAY<STRING> — non-overlapping n-token
+  * windows rejoined with spaces (boilerplate "lines"); see
+  * [[TextSignatures.wordLines]].
+  */
+case class WordLines(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects a STRING text, got ${left.dataType.simpleString}")
+    else TextSignatures.requireFoldableInt(right, prettyName)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_lines"
+
+  override protected def nullSafeEval(text: Any, n: Any): Any =
+    TextSignatures.wordLines(text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"graft.expressions.TextSignatures.wordLines($t, $n)")
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression): WordLines =
+    copy(left = a, right = b)
+}
+
+/** `graft_term_tfs(text, terms)` → STRUCT<dl BIGINT, tfs ARRAY<INT>> — doc
+  * length + per-term exact-match frequencies for a fixed term set; see
+  * [[TextSignatures.termTfs]].
+  */
+case class TermTfs(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects a STRING text, got ${left.dataType.simpleString}")
+    else right.dataType match {
+      case ArrayType(StringType, _) if right.foldable => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a literal ARRAY<STRING> term set")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dl", LongType, nullable = false),
+    StructField("tfs", ArrayType(IntegerType, containsNull = false), nullable = false)))
+  override def prettyName: String = "graft_term_tfs"
+
+  override protected def nullSafeEval(text: Any, terms: Any): Any =
+    TextSignatures.termTfs(text.asInstanceOf[UTF8String], terms.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, ts) =>
+      s"graft.expressions.TextSignatures.termTfs($t, $ts)")
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression): TermTfs =
+    copy(left = a, right = b)
 }

@@ -61,12 +61,13 @@ object AsOfJoin {
       val e = Tables(s, dir).eventsUs
       val signups = e.filter(col("event_type") === "signup")
         .select("user_id", "ts_us", "value", "event_id")
-      // EVENTS-sized output through the as-of join's shuffled stages —
-      // distributed range sort (the q10 rule; SortModeProbe at sf1:
-      // 1.99 -> 1.59 s med vs the single-partition presentation merge)
+      // EVENTS-sized output through the as-of join's shuffled stages — the
+      // fan-in rule in Present.presented derives the distributed range
+      // shape (r15; hand pin was SortModeProbe at sf1: 1.99 -> 1.59 s med
+      // vs the single-partition presentation merge)
       leftAsOf(e, signups, "user_id", "ts_us", "value", "event_id")
         .select(col("event_id"), col("asof_value"))
-        .orderBy("event_id")
+        .presented("event_id")
     }),
   )
 

@@ -74,14 +74,14 @@ object Cleaning {
 
   // ------------------------------------------------------ boilerplate strip
 
-  /** Non-overlapping `lineTokens`-token windows of `_t` (an already-split
-    * token array column) — the "lines" the boilerplate pass counts. Same
-    * window formula as [[Curation.chunkDocuments]] with stride = chunk.
-    */
-  private def lineArray(lineTokens: Int): Column = expr(
-    s"""transform(
-          sequence(0, greatest(CAST(ceil((size(_t) - $lineTokens) / CAST($lineTokens AS DOUBLE)) AS INT), 0)),
-          i -> array_join(slice(_t, i * $lineTokens + 1, $lineTokens), ' '))""")
+  // The "lines" the boilerplate pass counts — non-overlapping
+  // lineTokens-token windows, same window formula as
+  // [[Curation.chunkDocuments]] with stride = chunk. r15: the
+  // transform(sequence)/slice/array_join HOF composition moved into the
+  // native graft_word_lines expression (TextSignatures.wordLines,
+  // parity-pinned) after the same composition measured as the dominant
+  // per-row cost in q123/q75/q53 three-for-three (BoilerplateLinesAB
+  // commits this operator's own two-shape numbers).
 
   /** Corpus-level boilerplate removal (the CCNet / RefinedWeb line-dedup
     * stage): split every document into fixed `lineTokens`-token lines,
@@ -134,10 +134,11 @@ object Cleaning {
   private def docLines(docs: DataFrame, keyCol: String, textCol: String,
                        lineTokens: Int): DataFrame = {
     require(lineTokens > 0, s"lineTokens must be positive: $lineTokens")
+    graft.expressions.TextSignatures.register(docs.sparkSession)
     docs
       .filter(TextAnalysis.wsTokenCount(col(textCol)) >= 1)
-      .select(col(keyCol), split(trim(col(textCol)), " +").as("_t"))
-      .select(col(keyCol), lineArray(lineTokens).as("_lines"))
+      .select(col(keyCol),
+        call_function("graft_word_lines", col(textCol), lit(lineTokens)).as("_lines"))
   }
 
   /** Per-line document frequency over `docs`: `(line, df)`. Distinct per

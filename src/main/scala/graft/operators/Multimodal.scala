@@ -181,16 +181,20 @@ object Multimodal {
     // ONE bucket aggregate generates the pairs directly (round 14; was a
     // per-fp cap WINDOW + checkpoint + posting self-join — three extra
     // stages whose scheduling floor WAS the q134 wall once the 2^20 space
-    // fix shrank the data to ~10^5 postings): per bucket, collect the
-    // sorted posting list, cap it (same sorted-first-K semantics the
+    // fix shrank the data to ~10^5 postings): per bucket, keep the
+    // maxPosting SMALLEST doc_ids (same sorted-first-K semantics the
     // window's row_number gave — the flood guard: a saturated bucket
-    // contributes at most maxPosting² pairs, and the bucket list it
-    // materializes is the same thing the window's per-fp sort already
-    // materialized), and emit its (a < b) combinations; the second
-    // exchange counts shared fingerprints per pair. Two shuffles total,
-    // nothing re-read twice, so the decode-once checkpoint is gone too.
+    // contributes at most maxPosting² pairs) and emit its (a < b)
+    // combinations; the second exchange counts shared fingerprints per
+    // pair. Two shuffles total, nothing re-read twice. The cap is enforced
+    // INSIDE the aggregate (native graft_smallest_k, a k-bounded heap —
+    // r15, ADVICE r14): per-bucket memory is O(k) at every stage and the
+    // map-side partial ships at most k postings per bucket through the
+    // shuffle, where the previous slice-after-collect_list held a
+    // saturated bucket's FULL posting list in an unspillable buffer.
+    graft.expressions.CollectSmallestK.register(meta.sparkSession)
     fps.groupBy("fp")
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxPosting).as("ds"))
+      .agg(expr(s"graft_smallest_k(doc_id, $maxPosting)").as("ds"))
       .filter(size(col("ds")) >= 2)
       .select(explode(expr(
         "flatten(transform(ds, (x, i) -> " +

@@ -296,13 +296,25 @@ object TextAnalysis {
   private[graft] def bm25RawContribs(docs: DataFrame, keyCol: String, textCol: String,
                                      terms: Seq[String],
                                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // r15: the corpus pass rides the native graft_term_tfs expression —
+    // one codegen'd scan emits (dl, per-term tf) ROW-LOCALLY, where the
+    // previous shape materialized EVERY corpus token as a generator row
+    // (explode + isin keeps ~10^5 of ~27M rows at the sf1 point) and then
+    // paid a (doc, dl, token) COUNT exchange for frequencies the row
+    // already knew. dl mirrors wsTokenCount exactly (blank text -> 0,
+    // contributing to N and sum(dl) but no tf rows — same as before);
+    // per-(doc, term) rows and values are identical (Bm25TermTfsAB).
+    graft.expressions.TextSignatures.register(docs.sparkSession)
+    val termsArr = array(terms.map(lit): _*)
     val toks = docs.select(col(keyCol),
-      split(trim(col(textCol)), " +").as("_t"), wsTokenCount(col(textCol)).as("dl"))
+      call_function("graft_term_tfs", col(textCol), termsArr).as("_tt"))
+      .select(col(keyCol), col("_tt.dl").as("dl"), col("_tt.tfs").as("_tfs"))
     val stats = broadcast(toks.agg(count(lit(1)).as("_n"), sum("dl").as("_sdl")))
-    val tf = toks.select(col(keyCol), col("dl"), explode(col("_t")).as("tok"))
-      .filter(col("tok").isin(terms: _*))
-      .groupBy(col(keyCol), col("dl"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = toks
+      .select(col(keyCol), col("dl"), posexplode(col("_tfs")).as(Seq("_i", "tf")))
+      .filter(col("tf") > 0)
+      .select(col(keyCol), col("dl"),
+        element_at(termsArr, col("_i") + 1).as("tok"), col("tf"))
     val df = broadcast(tf.groupBy("tok").agg(count(lit(1)).as("df")))
     // expression SHAPES are mirrored verbatim in the oracle: same literals,
     // same association, so every IEEE step rounds identically

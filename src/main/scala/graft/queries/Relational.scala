@@ -171,15 +171,14 @@ object Relational {
   }
 
   // B4: projection with scalar arithmetic. Output is TABLE-sized (every
-  // orders row), so the final sort keeps the distributed range-exchange
-  // shape — the q10 rule: a single-partition presentation merge serializes
-  // a 1.5M-row tail through one core (SortModeProbe at sf1: 1.96 -> 1.56 s
-  // med; the re-executed scan under the range sampling pass is parallel
-  // and cheaper than the serial merge at this output size).
+  // orders row) — the fan-in rule in Present.presented derives the
+  // distributed range-exchange shape from the un-reduced orders fan-in
+  // (r15; was a hand pin backed by SortModeProbe at sf1: 1.96 -> 1.56 s
+  // med — the same measurement now lives in SORT_THRESHOLD.json).
   private def q03Project: Q = (s, dir) =>
     Tables(s, dir).orders
       .select(col("o_orderkey"), (col("o_totalprice") * 0.9).as("discounted"))
-      .orderBy("o_orderkey")
+      .presented("o_orderkey")
 
   // B5: conjunctive predicates — BETWEEN / IN / LIKE / timestamp compare —
   // all pushed to the parquet scan (PushedFilters in .explain).
@@ -193,22 +192,23 @@ object Relational {
       .select("l_orderkey", "l_linenumber", "l_quantity")
       // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture —
       // sort every output column so the order is total and engine-portable.
-      // Output is ~300k rows at sf1 — past the measured range-sort
-      // threshold (the q10 rule; SortModeProbe r14: single 0.582 s med vs
-      // range 0.514 s), so the final sort keeps the distributed shape.
-      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+      // The lineitem fan-in is un-reduced (filters don't lower the bound),
+      // so the rule derives the distributed range shape (r15; hand pin was
+      // SortModeProbe r14: single 0.582 s med vs range 0.514 s).
+      .presented("l_orderkey", "l_linenumber", "l_quantity")
   }
 
   // B6: inner equi-join; fact-to-fact ⇒ Catalyst picks shuffle/sort-merge,
   // AQE may downgrade to broadcast at runtime when one side is small.
-  // Output is orders-sized (1.5M rows at sf1) — the q10 rule; SortModeProbe
-  // r14 measured range 0.786 s med vs single 1.278 s (the serial
+  // Output is orders-sized (1.5M rows at sf1) — the fan-in rule derives
+  // the range shape from the join's larger side (r15; hand pin was
+  // SortModeProbe r14: range 0.786 s med vs single 1.278 s — the serial
   // one-partition merge is the documented 100×-scale hazard too).
   private def q05JoinInner: Q = (s, dir) => {
     val t = Tables(s, dir)
     t.customer.join(t.orders, col("c_custkey") === col("o_custkey"))
       .select(col("c_custkey"), col("o_orderkey"))
-      .orderBy("o_orderkey")
+      .presented("o_orderkey")
   }
 
   // B7: explicit broadcast of the small dimension — no shuffle of customer.
@@ -219,14 +219,15 @@ object Relational {
       .presented("n_name")
   }
 
-  // B8: left outer join. FACT-sized output (one row per order) — the q10
-  // rule applies, and the join's materialized shuffle stages make the
-  // range sampling pass cheap (SortModeProbe at sf1: 2.55 -> 2.28 s med).
+  // B8: left outer join. FACT-sized output (one row per order) — the
+  // fan-in rule derives the range shape, and the join's materialized
+  // shuffle stages make the range sampling pass cheap (r15; hand pin was
+  // SortModeProbe at sf1: 2.55 -> 2.28 s med).
   private def q07JoinOuter: Q = (s, dir) => {
     val t = Tables(s, dir)
     t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_custkey"), coalesce(col("o_orderkey"), lit(-1L)).as("ok"))
-      .orderBy("c_custkey", "ok")
+      .presented("c_custkey", "ok")
   }
 
   // B9: left semi join (EXISTS). Shape (round 12, probed by
@@ -259,18 +260,18 @@ object Relational {
   }
 
   // B11: equi-key + range residual (hash join with non-equi filter).
-  // Output is FACT-sized (~10% of lineitem survives the residual), so the
-  // final sort keeps the distributed range-exchange shape — a single-
-  // partition presentation sort measured ~2x slower here at sf0.1, and the
-  // gap only widens with scale (the one query family where the sorted
-  // result is itself big data).
+  // Output is FACT-sized (~10% of lineitem survives the residual) — the
+  // original query behind the "q10 rule", now an ordinary client of the
+  // derived fan-in rule (a single-partition presentation sort measured
+  // ~2x slower here at sf0.1, and the gap only widens with scale — the
+  // query family where the sorted result is itself big data).
   private def q10JoinRange: Q = (s, dir) => {
     val t = Tables(s, dir)
     t.part.join(t.lineitem,
         col("l_partkey") === col("p_partkey") &&
         col("l_extendedprice") > col("p_retailprice"))
       .select("p_partkey", "l_orderkey", "l_linenumber")
-      .orderBy("p_partkey", "l_orderkey", "l_linenumber")
+      .presented("p_partkey", "l_orderkey", "l_linenumber")
   }
 
   // B12: multi-way star join (the CBS fact/dimension shape) + top-k.
@@ -428,24 +429,24 @@ object Relational {
   }
 
   // B19: analytic lag over event time. EVENTS-sized output through an
-  // already-shuffled window child — distributed range sort (q10 rule;
-  // SortModeProbe at sf1: 1.29 -> 1.09 s med).
+  // already-shuffled window child — the fan-in rule derives the range
+  // shape (r15; hand pin was SortModeProbe at sf1: 1.29 -> 1.09 s med).
   private def q18WindowLag: Q = (s, dir) => {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     Tables(s, dir).eventsUs
       .select(col("event_id"), (col("value") - lag("value", 1).over(w)).as("delta"))
-      .orderBy("event_id")
+      .presented("event_id")
   }
 
   // B20: explicit frame spec — 3-row moving average, decimal-exact.
-  // EVENTS-sized output — same distributed-sort reasoning as q18
-  // (SortModeProbe at sf1: 1.33 -> 1.13 s med).
+  // EVENTS-sized output — same derived range shape as q18
+  // (r15; hand pin was SortModeProbe at sf1: 1.33 -> 1.13 s med).
   private def q19WindowFrame: Q = (s, dir) => {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       .rowsBetween(-2, Window.currentRow)
     Tables(s, dir).eventsUs
       .select(col("event_id"), Exact.davgOver(col("value"), w).as("ma"))
-      .orderBy("event_id")
+      .presented("event_id")
   }
 
   // B21: multi-key sort with mixed direction.

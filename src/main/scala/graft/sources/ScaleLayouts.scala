@@ -68,15 +68,18 @@ object ScaleLayouts {
     // target. Pin the scan packing to the compaction target for the
     // duration of the rewrite so the bin count is a property of this
     // function, not of the session conf or core count.
-    val confs = Seq("spark.sql.files.maxPartitionBytes" -> targetBytes.toString,
-                    "spark.sql.files.openCostInBytes" -> "0")
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try graft.StageDir.publish(destName, sig) { tmp =>
-      spark.read.parquet(srcDir).coalesce(nOut)
+    // The packing pins are COMPUTED from the target, so they live on a
+    // throwaway session clone, never the caller's conf (r15 — the same
+    // caller-isolation rule as the streaming replays; a memoized
+    // PostureSessions clone would leak one SessionState per distinct
+    // target, so this uses a raw newSession: the publish signature gate
+    // already amortizes the rewrite — and the clone — to once per fixture).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+    s2.conf.set("spark.sql.files.openCostInBytes", "0")
+    graft.StageDir.publish(destName, sig) { tmp =>
+      s2.read.parquet(srcDir).coalesce(nOut)
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    } finally saved.foreach { case (k, v) =>
-      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
 
@@ -367,9 +370,15 @@ object ScaleLayouts {
           tmp.toString, LocalDate.of(2026, 1, 2))
       }
       import graft.Present._
+      // presentedResultSized: snapshotDiff's OUTPUT is churn-proportional
+      // by contract (unchanged rows are filtered before the result leaves
+      // the join — scaladoc at snapshotDiff), which the fan-in rule's
+      // upper bound cannot see through the full-outer join (it reads the
+      // 3M-row snapshot leaves). Measured two-mode at sf1 (SortModeProbe
+      // r15): single 0.90 s vs range 1.19 s.
       snapshotDiff(s, root.toString, LocalDate.of(2026, 1, 1),
           LocalDate.of(2026, 1, 2), Seq("o_orderkey"))
-        .presented("o_orderkey")
+        .presentedResultSized("o_orderkey")
     }))
 
   val oracles: Map[String, String] = Map(

@@ -57,7 +57,7 @@ object DocPipeline {
 
   def cleanDocsStream(spark: SparkSession, dir: String, minQuality: Double): DataFrame =
     EventStreams.runToMemory(spark,
-      cleanDocs(documentsStream(spark, dir), minQuality), "append")
+      s => cleanDocs(documentsStream(s, dir), minQuality), "append")
 
   // ------------------------------------------------------- declared queries
 
@@ -83,8 +83,8 @@ object DocPipeline {
     "q121_stream_pii_scrub" -> ((s, dir) => {
       import graft.Present._
       import graft.operators.Cleaning
-      val scrubbed = Cleaning.piiScrub(
-        documentsStream(s, dir).select(col("doc_id"),
+      val scrubbed = (s2: SparkSession) => Cleaning.piiScrub(
+        documentsStream(s2, dir).select(col("doc_id"),
           Cleaning.plantPiiCol("doc_id", "text").as("text")),
         "doc_id", "text")
       EventStreams.runToMemory(s, scrubbed, "append")

@@ -115,19 +115,97 @@ object EventStreams {
       .drop("ts")
   }
 
-  /** Runs a (bounded) streaming DataFrame to completion into a memory sink
-    * and returns the materialized result.
+  /** Fixed conf posture of the replay clone (see [[replaySession]]):
+    * throwaway-checkpoint hygiene, constant for every bounded replay.
+    *  - retain a single batch (nothing resumes from these checkpoints) and
+    *    skip per-row state format validation (the schema is fixed by the
+    *    plan that just built it);
+    *  - each replay registers fresh state-store providers (new checkpoint);
+    *    they accumulate in the provider cache for the session's lifetime,
+    *    and the default 60s maintenance sweep would iterate and snapshot
+    *    ALL of them mid-bench. Replays never resume, so maintenance is pure
+    *    overhead.
+    */
+  private val ReplayPosture = Map(
+    "spark.sql.streaming.minBatchesToRetain" -> "1",
+    "spark.sql.streaming.stateStore.formatValidation.enabled" -> "false",
+    "spark.sql.streaming.stateStore.maintenanceInterval" -> "3600s",
+    "spark.sql.streaming.stateStore.minDeltasForSnapshot" -> "1000")
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  /** The session every bounded replay RUNS on: a memoized
+    * [[graft.PostureSessions]] clone of the caller (r15 — the r14 verdict's
+    * finding: the old set+restore-in-finally on the CALLER session meant a
+    * concurrent query planned on that session mid-replay silently inherited
+    * the replay posture; the same defect class q81/q85 already fixed).
+    * The clone carries the fixed [[ReplayPosture]]; the PER-REPLAY knobs
+    * are (re)applied to the clone on every call — streaming queries bind
+    * runtime conf at START, so a clone-set value affects exactly the replay
+    * started on it, and consecutive replays with different knobs never leak
+    * into each other. The `spark.graft.stream.*` knobs and the state-store
+    * provider are read THROUGH from the caller (probes and the RocksDB
+    * parity spec set them there), so external sweeps keep working.
     *
+    * Single-writer contract: replays on one caller session serialize (as
+    * Bench/Verify/specs always have); what the clone buys is that the
+    * CALLER's concurrently-planned batch queries can never observe replay
+    * posture — the contract is now about the replay machinery's own
+    * internals only.
+    */
+  private[graft] def replaySession(caller: SparkSession,
+                                   noDataBatch: Boolean,
+                                   provider: Option[String]): SparkSession = {
+    val s2 = graft.PostureSessions(caller, ReplayPosture)
+    // Stateful operators allocate one state store per shuffle partition up
+    // front; for these bounded replays a couple is plenty (a real cluster
+    // deployment sizes this to its executor count instead).
+    s2.conf.set("spark.sql.shuffle.partitions",
+      caller.conf.getOption("spark.graft.stream.partitions").getOrElse("4"))
+    // The trailing no-data microbatch exists to close event-time windows
+    // promptly on a LIVE stream; an AvailableNow replay terminates anyway,
+    // so it only adds a full extra microbatch of latency.
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatch.toString)
+    provider.orElse(caller.conf.getOption(ProviderKey)) match {
+      case Some(p) => s2.conf.set(ProviderKey, p)
+      case None => s2.conf.unset(ProviderKey)
+    }
+    for (k <- Seq("spark.graft.stream.trigger", "spark.graft.stream.checkpointBase",
+                  "spark.graft.stream.debugProgress", "spark.graft.stream.partitions"))
+      caller.conf.getOption(k) match {
+        case Some(v) => s2.conf.set(k, v)
+        case None => s2.conf.unset(k)
+      }
+    s2
+  }
+
+  /** Runs a (bounded) streaming frame to completion into a memory sink and
+    * returns the materialized result. The frame is BUILT and RUN on the
+    * replay clone ([[replaySession]]) — a streaming DataFrame executes on
+    * the session it was built against, so the builder takes the session as
+    * an argument; the returned (batch) result is bound to the clone, which
+    * shares the SparkContext, so callers compose/collect it as before.
+    *
+    * @param frame builds the streaming frame against the replay session
     * @param availableNow force Trigger.AvailableNow regardless of the
     *   session trigger conf — required when the source paces batches
     *   (maxFilesPerTrigger) and Trigger.Once would collapse them into one.
     * @param noDataBatch keep the trailing no-data microbatch — required for
     *   APPEND-mode event-time queries, where windows closed by the LAST data
     *   batch's watermark only flush in one further batch.
+    * @param stateStoreProvider force a state-store provider for this replay
+    *   (e.g. RocksDB for transformWithState); None reads the caller's
+    *   setting through, defaulting to the HDFS-backed store.
     */
-  def runToMemory(spark: SparkSession, df: DataFrame, mode: String,
+  def runToMemory(caller: SparkSession, frame: SparkSession => DataFrame,
+                  mode: String,
                   availableNow: Boolean = false,
-                  noDataBatch: Boolean = false): DataFrame = {
+                  noDataBatch: Boolean = false,
+                  stateStoreProvider: Option[String] = None): DataFrame = {
+    val spark = replaySession(caller, noDataBatch, stateStoreProvider)
+    val df = frame(spark)
+    require(df.sparkSession eq spark,
+      "runToMemory: the frame must be built on the replay session it is given")
     // Replay sinks are consumed immediately by the caller; earlier replays'
     // memory tables would otherwise pin their rows for the session lifetime
     // (a bench/verify run does dozens of replays).
@@ -139,28 +217,6 @@ object EventStreams {
     }
     val name = s"graft_stream_${runId.incrementAndGet()}_${System.nanoTime()}"
     sessionSinks.synchronized { sessionSinks += name }
-    // Stateful operators allocate one state store per shuffle partition up
-    // front; for these bounded replays a couple is plenty (a real cluster
-    // deployment sizes this to its executor count instead). The trailing
-    // no-data microbatch exists to close event-time windows promptly on a
-    // LIVE stream; an AvailableNow replay terminates anyway, so it only adds
-    // a full extra microbatch of latency.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      spark.conf.getOption("spark.graft.stream.partitions").getOrElse("4"))
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatch.toString)
-    // Throwaway-replay checkpoint hygiene: retain a single batch (nothing
-    // resumes from these checkpoints) and skip per-row state format
-    // validation (the schema is fixed by the plan that just built it).
-    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
-    spark.conf.set("spark.sql.streaming.stateStore.formatValidation.enabled", "false")
-    // Each replay registers fresh state-store providers (new checkpoint);
-    // they accumulate in the provider cache for the session's lifetime, and
-    // the default 60s maintenance sweep would iterate and snapshot ALL of
-    // them mid-bench. Replays never resume, so maintenance is pure overhead.
-    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
-    spark.conf.set("spark.sql.streaming.stateStore.minDeltasForSnapshot", "1000")
     // A bounded replay fits one microbatch, and Trigger.Once pays one less
     // offset-planning round than AvailableNow (~0.1 s on the measured
     // floor). A LIVE deployment would use AvailableNow/processing-time
@@ -171,7 +227,7 @@ object EventStreams {
         case "once" => Trigger.Once(): @annotation.nowarn("cat=deprecation")
         case _ => Trigger.AvailableNow()
       }
-    try {
+    locally {
       val writer = df.writeStream
         .format("memory")
         .queryName(name)
@@ -200,11 +256,9 @@ object EventStreams {
           .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
         finally s.close()
       }
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      prevNoData.fold(spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled"))(
-        v => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v))
     }
+    // No conf restore: every knob above lives on the replay clone, which
+    // the machinery owns — the caller session was never touched.
     spark.table(name)
   }
 
@@ -220,12 +274,12 @@ object EventStreams {
 
   /** B31: tumbling 1-hour window counts by event type. */
   def tumblingCounts(spark: SparkSession, dir: String): DataFrame =
-    runToMemory(spark, tumblingFrame(spark, dir), "complete")
+    runToMemory(spark, s => tumblingFrame(s, dir), "complete")
       .presented("bucket_us", "event_type")
 
   /** B33: session windows (30-minute gap) per user → sessions per user. */
   def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
-    val agg = readEvents(spark, dir)
+    val agg = (s: SparkSession) => readEvents(s, dir)
       .groupBy(session_window(col("ts_utc"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id")) // one row per session; the count itself stays in state
@@ -238,7 +292,7 @@ object EventStreams {
     * overlapping buckets.
     */
   def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
-    val agg = readEvents(spark, dir)
+    val agg = (s: SparkSession) => readEvents(s, dir)
       .groupBy(window(col("ts_utc"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .select(unix_micros(col("window.start")).as("bucket_us"), col("event_type"), col("cnt"))
@@ -252,20 +306,22 @@ object EventStreams {
     * max() collapse keeps the result well-defined under any batching.
     */
   def statefulUserCounts(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    val updates = readEvents(spark, dir)
-      .select(col("user_id"), col("event_id"))
-      .as[(Long, Long)]
-      .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (user: Long, rows: Iterator[(Long, Long)],
-         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
-          val n = state.getOption.getOrElse(0L) + rows.size
-          state.update(n)
-          (user, n)
-      }
-      .toDF("user_id", "n")
+    val updates = (s: SparkSession) => {
+      import s.implicits._
+      readEvents(s, dir)
+        .select(col("user_id"), col("event_id"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+          (user: Long, rows: Iterator[(Long, Long)],
+           state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            (user, n)
+        }
+        .toDF("user_id", "n")
+    }
     runToMemory(spark, updates, "update")
       .groupBy("user_id").agg(max("n").as("n"))
       .presented("user_id")
@@ -301,7 +357,7 @@ object EventStreams {
     * closure by <1 ms of watermark advance.
     */
   def gapSessions(spark: SparkSession, dir: String): DataFrame =
-    runToMemory(spark, gapSessionsFrom(readEvents(spark, dir)), "append",
+    runToMemory(spark, s => gapSessionsFrom(readEvents(s, dir)), "append",
       availableNow = true, noDataBatch = true)
       .presented("user_id", "session_start_us")
 
@@ -381,8 +437,8 @@ object EventStreams {
     */
   def streamQuantiles(spark: SparkSession, dir: String): DataFrame = {
     import graft.Present._
-    val counts = graft.operators.Sketches.logBucketCounts(
-      readEvents(spark, dir).select(col("event_type"), col("value")),
+    val counts = (s: SparkSession) => graft.operators.Sketches.logBucketCounts(
+      readEvents(s, dir).select(col("event_type"), col("value")),
       "value", "event_type")
     val sketch = runToMemory(spark, counts, "complete")
     graft.operators.Sketches.quantilesFromCounts(sketch, "event_type",
@@ -406,16 +462,14 @@ object EventStreams {
     * harmless because closure is decided by the CURRENT watermark, never by
     * which timer fired.
     */
-  def gapSessionsTws(spark: SparkSession, dir: String): DataFrame = {
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try runToMemory(spark, gapSessionsTwsFrom(readEvents(spark, dir)), "append",
-      availableNow = true, noDataBatch = true)
+  def gapSessionsTws(spark: SparkSession, dir: String): DataFrame =
+    // the RocksDB requirement rides the per-replay provider override — set
+    // on the replay clone only, never on the caller session (r15)
+    runToMemory(spark, s => gapSessionsTwsFrom(readEvents(s, dir)), "append",
+      availableNow = true, noDataBatch = true,
+      stateStoreProvider = Some(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
       .presented("user_id", "session_start_us")
-    finally prev.fold(spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
-  }
 
   private[graft] def gapSessionsTwsFrom(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
@@ -503,16 +557,18 @@ object EventStreams {
     * batches stay cheap to scan.
     */
   def lateDropCounts(spark: SparkSession, dir: String): DataFrame = {
-    val stageDir = stageLateReplay(spark, dir)
-    val src = spark.readStream
-      .schema("ts_us BIGINT")
-      .option("maxFilesPerTrigger", "1") // one staged file per microbatch
-      .parquet(stageDir)
-    val agg = src.withColumn("ts_utc", timestamp_micros(col("ts_us")))
-      .withWatermark("ts_utc", "10 minutes")
-      .groupBy(window(col("ts_utc"), "1 hour"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(unix_micros(col("window.start")).as("bucket_us"), col("cnt"))
+    val agg = (s: SparkSession) => {
+      val stageDir = stageLateReplay(s, dir)
+      s.readStream
+        .schema("ts_us BIGINT")
+        .option("maxFilesPerTrigger", "1") // one staged file per microbatch
+        .parquet(stageDir)
+        .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+        .withWatermark("ts_utc", "10 minutes")
+        .groupBy(window(col("ts_utc"), "1 hour"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_micros(col("window.start")).as("bucket_us"), col("cnt"))
+    }
     runToMemory(spark, agg, "append", availableNow = true, noDataBatch = true)
       .presented("bucket_us")
   }
@@ -570,11 +626,11 @@ object EventStreams {
     * way, without paying a second source's offset/scan machinery.)
     */
   def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
-    val twice = readEvents(spark, dir)
-      .withColumn("_copy", explode(array(lit(1), lit(2))))
     // project BEFORE dropDuplicates: streaming dedup state keeps the whole
     // input row per key, so the projection decides the state size
-    val deduped = twice.select("event_id", "event_type")
+    val deduped = (s: SparkSession) => readEvents(s, dir)
+      .withColumn("_copy", explode(array(lit(1), lit(2))))
+      .select("event_id", "event_type")
       .dropDuplicates("event_id")
     runToMemory(spark, deduped, "append")
       .groupBy("event_type").agg(count(lit(1)).as("n"))
@@ -615,7 +671,7 @@ object EventStreams {
     * exact oracle.
     */
   def attributionPairs(spark: SparkSession, dir: String): DataFrame =
-    runToMemory(spark, attributionPairsFrame(spark, dir), "append")
+    runToMemory(spark, s => attributionPairsFrame(s, dir), "append")
       .presented("imp_id", "click_id")
 
   /** The q73 plan pre-sink (see [[tumblingFrame]] for why it is split out). */
@@ -659,7 +715,7 @@ object EventStreams {
     // availableNow + noDataBatch: the outer-null flush NEEDS the trailing
     // no-data batch — eviction runs under the watermark advanced by the
     // last data batch
-    runToMemory(spark, attributionOuterFrame(spark, dir), "append",
+    runToMemory(spark, s => attributionOuterFrame(s, dir), "append",
       availableNow = true, noDataBatch = true)
       .presented("imp_id", "click_id")
 
@@ -699,9 +755,13 @@ object EventStreams {
     * reach the sink.
     */
   def fileSinkCounts(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val agg = readEvents(spark, dir)
+    // The replay runs on the clone (r15 — same caller-isolation move as
+    // runToMemory; append-mode event-time aggregation NEEDS the trailing
+    // no-data batch: windows closed by the LAST data batch's watermark only
+    // flush there). The frame is built on the clone; the published
+    // read-back below returns a CALLER-bound frame.
+    val s2 = replaySession(spark, noDataBatch = true, provider = None)
+    val agg = readEvents(s2, dir)
       .withWatermark("ts_utc", "10 minutes")
       .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
@@ -718,14 +778,7 @@ object EventStreams {
     val sinkSchema = "bucket_us BIGINT, event_type STRING, cnt BIGINT"
     try {
       graft.StageDir.sweepRunScratch(Seq("graft_filesink_"))
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
-      spark.conf.set("spark.sql.shuffle.partitions",
-        spark.conf.getOption("spark.graft.stream.partitions").getOrElse("4"))
-      // append-mode event-time aggregation: windows closed by the LAST data
-      // batch's watermark only flush in the trailing no-data batch
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      try {
+      locally {
         val q = agg.writeStream
           .format("parquet")
           .option("path", outDir.toString)
@@ -734,10 +787,6 @@ object EventStreams {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        prevNoData.fold(spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled"))(
-          v => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v))
       }
       // The returned frame must not lazily read this run's scratch (the next
       // run sweeps it once released). The committed set — manifest-gated via
@@ -768,11 +817,13 @@ object EventStreams {
     * joins q73/q80.
     */
   def streamStaticCounts(spark: SparkSession, dir: String): DataFrame = {
-    val dim = graft.Tables(spark, dir).table("nation")
-      .select(col("n_nationkey"), col("n_name"))
-    val joined = readEvents(spark, dir)
-      .join(broadcast(dim), pmod(col("user_id"), lit(25)) === col("n_nationkey"))
-      .groupBy("n_name").agg(count(lit(1)).as("n_events"))
+    val joined = (s: SparkSession) => {
+      val dim = graft.Tables(s, dir).table("nation")
+        .select(col("n_nationkey"), col("n_name"))
+      readEvents(s, dir)
+        .join(broadcast(dim), pmod(col("user_id"), lit(25)) === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n_events"))
+    }
     runToMemory(spark, joined, "complete")
       .presented("n_name")
   }
@@ -807,10 +858,13 @@ object EventStreams {
     // stage (3+3+2): the bootstrap delta plus TWO merge applications — the
     // merge path, not just the bootstrap, is what this query certifies, and
     // two applications already pin associativity; each further microbatch
-    // would re-pay the ~0.3s batch floor for no new protocol coverage
-    val src = readEvents(spark, dir, maxFilesPerTrigger = Some(3))
+    // would re-pay the ~0.3s batch floor for no new protocol coverage.
+    // Built and run on the replay clone (r15 caller-isolation); the final
+    // published snapshot is read back on the CALLER below.
+    val s2 = replaySession(spark, noDataBatch = false, provider = None)
+    val src = readEvents(s2, dir, maxFilesPerTrigger = Some(3))
       .select("user_id", "ts_us", "event_id", "value")
-    val finalSnap = streamUpsertRun(spark, src, snapBase)
+    val finalSnap = streamUpsertRun(s2, src, snapBase)
     // Publish the FINAL version via StageDir: atomic rename into a
     // signature-pinned dir outside the sweep namespace, so the returned
     // LAZY read survives every later run (same fixture + same result →
@@ -853,10 +907,11 @@ object EventStreams {
     // publication explicit instead of leaning on the driver's internal
     // synchronization
     val current = new java.util.concurrent.atomic.AtomicReference[String](recovered.orNull)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      spark.conf.getOption("spark.graft.stream.partitions").getOrElse("4"))
-    try {
+    // `spark` here is the replay clone (callers go through replaySession),
+    // which already carries the narrow stream width — no conf mutation, no
+    // restore. The StreamRestartSpec drives this with its own session; its
+    // width is whatever that session set, same as before.
+    locally {
       val ckpt = snapBase.resolve("ckpt")
       val q = src.writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -903,7 +958,7 @@ object EventStreams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     Option(current.get()).getOrElse(
       sys.error("stream upsert produced no snapshot"))
   }

@@ -88,24 +88,50 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.presentationSort")
   }
 
-  test("fact-sized outputs pin the distributed range sort regardless of the flag") {
-    // The q10 rule, now a measured output-row THRESHOLD rather than
-    // per-query hand judgment: SortModeProbe at sf1 shows the range sort
-    // winning from ~300k output rows up (q04, 300k rows: 0.514 vs
-    // 0.582 s med; q05, 1.5M rows: 0.786 vs 1.278 s; q03/q07 0.2-0.4 s
-    // each, r12 series) while group-sized outputs (q06's 25 rows, q13's
-    // handful) keep the single-partition merge. Rule: expected output
-    // >= ~1e5 rows at the bench SF => pin `.orderBy` (distributed range
-    // exchange); below it, `presented` (one merge, no sampling pass).
-    // The single-partition merge on a fact-sized output is also the
-    // 100x-scale hazard — it serializes the tail through one core.
-    for (name <- Seq("q03_project", "q04_filter", "q05_join_inner",
-        "q07_join_outer", "q18_window_lag",
-        "q19_window_frame", "q37_asof_join")) {
+  test("fact-sized fan-in derives the distributed range sort BY RULE (r15)") {
+    // The q10 rule is now a derived threshold in Present.presented, not
+    // per-query hand pins (r14 verdict Missing #4): range sort iff the
+    // plan's un-reduced fan-in rows (parquet-footer leaf counts, filters
+    // deliberately not reducing) exceed Present.RangeSortRows — measured
+    // calibration in SORT_THRESHOLD.json (SortModeProbe r15 at sf1:
+    // q10 merged 13.1 s vs ranged 2.3 s is the wrong-way catastrophe the
+    // rule exists to prevent; a needless range sort costs one flat
+    // sampling job). At THIS test SF every fixture is far below the
+    // threshold, so the same queries plan the single-partition merge —
+    // pin the rule by moving the threshold, not the query:
+    val rangey = Seq("q03_project", "q04_filter", "q05_join_inner",
+      "q07_join_outer", "q10_join_range", "q18_window_lag",
+      "q19_window_frame", "q37_asof_join")
+    for (name <- rangey) {
       val df = plan(name)
-      assert(initialPlan(df).toString.contains("rangepartitioning"),
-        s"$name lost its range-sort pin:\n" + initialPlan(df).toString)
+      assert(!initialPlan(df).toString.contains("rangepartitioning"),
+        s"$name should merge at fixture scale (fan-in below threshold):\n" +
+          initialPlan(df).toString)
     }
+    // lower the threshold below the fixtures' footer counts: the SAME
+    // queries now derive the range shape — and produce identical rows in
+    // identical order
+    val sample = plan("q05_join_inner").collect().toSeq
+    spark.conf.set("spark.graft.rangeSortRows", "10")
+    try {
+      for (name <- rangey) {
+        val df = plan(name)
+        assert(initialPlan(df).toString.contains("rangepartitioning"),
+          s"$name did not inherit the range shape from the rule:\n" +
+            initialPlan(df).toString)
+      }
+      assert(plan("q05_join_inner").collect().toSeq == sample)
+      // ...while a reduced (aggregate) output stays merged even at a tiny
+      // threshold: the rule reads fan-in AFTER row-reducing operators
+      val agg = plan("q06_join_broadcast")
+      assert(!initialPlan(agg).toString.contains("rangepartitioning"),
+        initialPlan(agg).toString)
+      // and a declared result-sized output (q87's churn-proportional diff)
+      // keeps the merge regardless of its table-sized fan-in
+      val diff = plan("q87_snapshot_diff")
+      assert(!initialPlan(diff).toString.contains("rangepartitioning"),
+        initialPlan(diff).toString)
+    } finally spark.conf.unset("spark.graft.rangeSortRows")
   }
 
   test("q11 star join: fact side is never broadcast") {
