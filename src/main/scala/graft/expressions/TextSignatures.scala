@@ -306,6 +306,35 @@ object TextSignatures {
     * fewer than `n` tokens emits ONE short line joining all its tokens.
     */
   def wordLines(text: UTF8String, n: Int): ArrayData = {
+    val chunks = chunkWindows(text, n, n)
+    val out = new Array[Any](chunks.length)
+    var i = 0
+    while (i < chunks.length) { out(i) = chunks(i)._1; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Strided token windows of the doc — `graft_word_chunks(text, c, s)`:
+    * window i covers tokens [i·s, i·s + c), rejoined with single spaces,
+    * emitted as `struct(t STRING, n INT)` where `n` is the window's token
+    * count (= `size(split(chunk, ' +'))` of the rejoined text, the value
+    * q109's consumer derived with a second per-chunk split). Window count
+    * is `greatest(ceil((m - c) / double(s)), 0) + 1` — the same formula as
+    * the composed transform/sequence/slice it replaces
+    * ([[graft.operators.Curation.chunkDocuments]]); stride = chunk gives
+    * [[wordLines]]' non-overlapping lines.
+    */
+  def wordChunks(text: UTF8String, c: Int, s: Int): ArrayData = {
+    val chunks = chunkWindows(text, c, s)
+    val out = new Array[Any](chunks.length)
+    var i = 0
+    while (i < chunks.length) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(chunks(i)._1, chunks(i)._2)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  private def chunkWindows(text: UTF8String, c: Int, stride: Int): Array[(UTF8String, Int)] = {
     val s = text.trim().toString
     val toks = new java.util.ArrayList[String](64)
     if (s.isEmpty) toks.add("")
@@ -323,23 +352,24 @@ object TextSignatures {
       }
     }
     val m = toks.size
-    val cnt = math.max(math.ceil((m - n) / n.toDouble).toInt, 0) + 1
-    val out = new Array[Any](cnt)
+    val cnt = math.max(math.ceil((m - c) / stride.toDouble).toInt, 0) + 1
+    val out = new Array[(UTF8String, Int)](cnt)
     val sb = new java.lang.StringBuilder(64)
     var w = 0
     while (w < cnt) {
       sb.setLength(0)
-      var k = w * n
-      val end = math.min(k + n, m)
+      val start = w * stride
+      var k = start
+      val end = math.min(start + c, m)
       while (k < end) {
-        if (k > w * n) sb.append(' ')
+        if (k > start) sb.append(' ')
         sb.append(toks.get(k))
         k += 1
       }
-      out(w) = UTF8String.fromString(sb.toString)
+      out(w) = (UTF8String.fromString(sb.toString), math.max(end - start, 0))
       w += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    out
   }
 
   /** Row-local BM25 inputs for a FIXED query-term set: one pass over the
@@ -404,6 +434,8 @@ object TextSignatures {
       (c: Seq[Expression]) => TokenCounts(c.head)),
     ("graft_word_lines", classOf[WordLines],
       (c: Seq[Expression]) => WordLines(c.head, c(1))),
+    ("graft_word_chunks", classOf[WordChunks],
+      (c: Seq[Expression]) => WordChunks(c.head, c(1), c(2))),
     ("graft_term_tfs", classOf[TermTfs],
       (c: Seq[Expression]) => TermTfs(c.head, c(1))),
   )
@@ -638,4 +670,38 @@ case class TermTfs(left: Expression, right: Expression) extends BinaryExpression
 
   override protected def withNewChildrenInternal(a: Expression, b: Expression): TermTfs =
     copy(left = a, right = b)
+}
+
+/** `graft_word_chunks(text, c, s)` → ARRAY<STRUCT<t STRING, n INT>> —
+  * strided c-token windows with per-window token counts; see
+  * [[TextSignatures.wordChunks]].
+  */
+case class WordChunks(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects a STRING text, got ${first.dataType.simpleString}")
+    else TextSignatures.requireFoldableInt(second, prettyName) match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        TextSignatures.requireFoldableInt(third, prettyName)
+      case fail => fail
+    }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("t", StringType, nullable = false),
+      StructField("n", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_word_chunks"
+
+  override protected def nullSafeEval(text: Any, c: Any, s: Any): Any =
+    TextSignatures.wordChunks(text.asInstanceOf[UTF8String],
+      c.asInstanceOf[Int], s.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, c, s) =>
+      s"graft.expressions.TextSignatures.wordChunks($t, $c, $s)")
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): WordChunks =
+    copy(first = a, second = b, third = c)
 }

@@ -251,16 +251,19 @@ object Curation {
                      chunkTokens: Int, strideTokens: Int): DataFrame = {
     require(strideTokens > 0 && strideTokens <= chunkTokens,
       s"stride must be in (0, chunk]: $strideTokens vs $chunkTokens")
-    val (c, s) = (chunkTokens, strideTokens)
+    // r15: window generation rides the native graft_word_chunks expression
+    // (strided variant of graft_word_lines; same window-count formula as
+    // the transform/sequence/slice composition it replaces, parity-pinned)
+    // — it also carries each window's token count, so the per-chunk
+    // re-split that derived n_tokens is gone too.
+    graft.expressions.TextSignatures.register(docs.sparkSession)
     docs.filter(TextAnalysis.wsTokenCount(col(textCol)) >= 1)
-      .select(col(keyCol), split(trim(col(textCol)), " +").as("_t"))
-      .select(col(keyCol), posexplode(expr(
-        s"""transform(
-              sequence(0, greatest(CAST(ceil((size(_t) - $c) / CAST($s AS DOUBLE)) AS INT), 0)),
-              i -> array_join(slice(_t, i * $s + 1, $c), ' '))"""))
-        .as(Seq("chunk_id", "chunk_text")))
-      .withColumn("n_tokens",
-        size(split(col("chunk_text"), " +")).cast(org.apache.spark.sql.types.LongType))
+      .select(col(keyCol), posexplode(
+        call_function("graft_word_chunks", col(textCol),
+          lit(chunkTokens), lit(strideTokens)))
+        .as(Seq("chunk_id", "_ch")))
+      .select(col(keyCol), col("chunk_id"), col("_ch.t").as("chunk_text"),
+        col("_ch.n").cast(org.apache.spark.sql.types.LongType).as("n_tokens"))
   }
 
   // ------------------------------------------------------- declared queries

@@ -44,6 +44,26 @@ class WordLinesTermTfsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_word_chunks ≡ the strided composition + per-chunk re-split count") {
+    TextSignatures.register(spark)
+    for ((c, n) <- Seq((4, 2), (4, 4), (3, 1), (7, 3))) {
+      val df = docs.filter(_.trim.nonEmpty).toDF("text")
+        .withColumn("_t", split(trim(col("text")), " +"))
+      val composed = df.select(posexplode(expr(
+          s"""transform(
+                sequence(0, greatest(CAST(ceil((size(_t) - $c) / CAST($n AS DOUBLE)) AS INT), 0)),
+                i -> array_join(slice(_t, i * $n + 1, $c), ' '))"""))
+          .as(Seq("chunk_id", "chunk_text")))
+        .withColumn("n_tokens", size(split(col("chunk_text"), " +")))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+      val native = df.select(posexplode(
+          expr(s"graft_word_chunks(text, $c, $n)")).as(Seq("chunk_id", "_ch")))
+        .select(col("chunk_id"), col("_ch.t"), col("_ch.n"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+      assert(native.toSeq == composed.toSeq, s"chunk=$c stride=$n")
+    }
+  }
+
   test("graft_term_tfs ≡ wsTokenCount + explode/isin/count per term") {
     TextSignatures.register(spark)
     val terms = Seq("dup", "the", "four", "b")
