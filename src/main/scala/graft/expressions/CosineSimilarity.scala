@@ -137,6 +137,7 @@ object GraftFunctions {
     LshBucket.register(spark)
     TopKByScore.register(spark)
     CollectSmallestK.register(spark)
+    SmallestKPairs.register(spark)
     ArgMaxText.register(spark)
     LatestBy.register(spark)
     FastRound.register(spark)
@@ -164,6 +165,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier(CollectSmallestK.name),
       new ExpressionInfo(classOf[CollectSmallestK].getName, CollectSmallestK.name),
       CollectSmallestK.builder))
+    ext.injectFunction((FunctionIdentifier(SmallestKPairs.name),
+      new ExpressionInfo(classOf[SmallestKPairs].getName, SmallestKPairs.name),
+      SmallestKPairs.builder))
     ext.injectFunction((FunctionIdentifier(ArgMaxText.name),
       new ExpressionInfo(classOf[ArgMaxText].getName, ArgMaxText.name),
       ArgMaxText.builder))

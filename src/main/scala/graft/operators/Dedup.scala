@@ -387,18 +387,42 @@ object Dedup {
           col("text"), n, distinct = true).as("g"))
       .persist()
     val ex = g.select(col(keyCol), explode(col("g")).as("sh"))
-    val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
-    val withDf = ex.join(dfreq, "sh")
-    val rare = withDf
-      .withColumn("_rr", row_number().over(
-        Window.partitionBy(col(keyCol)).orderBy(col("df"), col("sh"))))
-      .filter(col("_rr") <= kRare)
-      .select(col(keyCol).as("a"), col("sh"))
-    val postings = withDf
-      .withColumn("_pr", row_number().over(
-        Window.partitionBy(col("sh")).orderBy(col(keyCol))))
-      .filter(col("_pr") <= maxBucket)
-      .select(col(keyCol).as("b"), col("sh"))
+    // r15 candidate-stage reshape, each step measured (Q115Legs /
+    // Q115_JOIN_AB.json / Q115_SHAPE_AB.json, rows asserted identical
+    // throughout):
+    //  - ONE shingle aggregate emits BOTH the document frequency and the
+    //    capped posting list (graft_smallest_k bounded heap — map-side
+    //    partials cap at maxBucket per shingle before the exchange,
+    //    nothing sorts; the row_number window it replaces shuffled and
+    //    per-partition-sorted every posting row and buffered a flooded
+    //    shingle's full run, the ADVICE-r14 unbounded-buffer hazard);
+    //  - the df joins back to the pair stream ONCE, for the rare ranking
+    //    only, as a SHUFFLE_HASH join (sort-merge sorted both
+    //    ~pair-stream-sized sides by the shingle STRING — measured as the
+    //    bulk of the containment wall: 2.92 s -> 0.93 s hinted, values
+    //    asserted equal; build side = vocabulary-sized df table,
+    //    hash-partitioned, so per-task build memory is vocab/partitions —
+    //    the q11 contract, no broadcast cliff);
+    //  - per-doc k-rarest shingles are a BOUNDED AGGREGATE too
+    //    (graft_smallest_k_pairs: k-bounded (df, sh) heap under the same
+    //    (df asc, sh binary-asc) order as the replaced rank window — at
+    //    most kRare pairs per doc cross the shuffle).
+    // Shape A/B at sf1 (full pipeline, med-of-5): join-feeds-both 3.86 s,
+    // persist-the-pair-stream 3.42 s, this combined-aggregate shape
+    // 3.56 s (3.22 s min) — chosen over the persist because a corpus ×
+    // grams pair-stream cache is exactly what a 100 TB run cannot hold,
+    // while this shape's only state is the vocabulary-sized aggregate.
+    graft.expressions.CollectSmallestK.register(docs.sparkSession)
+    graft.expressions.SmallestKPairs.register(docs.sparkSession)
+    val dfPost = ex.groupBy("sh")
+      .agg(count(lit(1)).as("df"),
+        expr(s"graft_smallest_k(${keyCol}, $maxBucket)").as("_bs"))
+    val rare = ex
+      .join(dfPost.select(col("sh"), col("df")).hint("shuffle_hash"), "sh")
+      .groupBy(col(keyCol))
+      .agg(expr(s"graft_smallest_k_pairs(df, sh, $kRare)").as("_rs"))
+      .select(col(keyCol).as("a"), explode(col("_rs.s")).as("sh"))
+    val postings = dfPost.select(col("sh"), explode(col("_bs")).as("b"))
     val candidates = rare.join(postings, "sh")
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
