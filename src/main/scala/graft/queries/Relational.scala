@@ -223,9 +223,23 @@ object Relational {
   // fan-in rule derives the range shape, and the join's materialized
   // shuffle stages make the range sampling pass cheap (r15; hand pin was
   // SortModeProbe at sf1: 2.55 -> 2.28 s med).
+  // Join strategy (r15): LEFT OUTER preserves customer, so only the
+  // ORDERS side can build — under the broadcast threshold Catalyst
+  // broadcasts the FACT and probes the single-split customer scan, so the
+  // fact-sized output materializes on ONE task and the range sampling
+  // re-executes that serial join. Hint the shuffled sort-merge once the
+  // build side outgrows broadcast scale, gated by the same at-rest
+  // measure staging uses (the q81 pattern; Q07_JOIN_AB.json: sf1 1.70 ->
+  // 0.93 s, while at sf0.1 the default broadcast is 0.06 s better and
+  // the gate leaves it alone). Sort-merge over shuffled-hash at equal
+  // measured speed: SMJ spills gracefully when an orders shard outgrows
+  // task memory at the design scale.
   private def q07JoinOuter: Q = (s, dir) => {
     val t = Tables(s, dir)
-    t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+    val orders =
+      if (Tables.sourceStats(dir, "orders")._1 > (2L << 20)) t.orders.hint("merge")
+      else t.orders
+    t.customer.join(orders, col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_custkey"), coalesce(col("o_orderkey"), lit(-1L)).as("ok"))
       .presented("c_custkey", "ok")
   }
