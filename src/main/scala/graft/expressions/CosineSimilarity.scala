@@ -138,6 +138,7 @@ object GraftFunctions {
     TopKByScore.register(spark)
     CollectSmallestK.register(spark)
     SmallestKPairs.register(spark)
+    OovStats.register(spark)
     ArgMaxText.register(spark)
     LatestBy.register(spark)
     FastRound.register(spark)
@@ -168,6 +169,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier(SmallestKPairs.name),
       new ExpressionInfo(classOf[SmallestKPairs].getName, SmallestKPairs.name),
       SmallestKPairs.builder))
+    ext.injectFunction((FunctionIdentifier(OovStats.name),
+      new ExpressionInfo(classOf[OovStats].getName, OovStats.name),
+      OovStats.builder))
     ext.injectFunction((FunctionIdentifier(ArgMaxText.name),
       new ExpressionInfo(classOf[ArgMaxText].getName, ArgMaxText.name),
       ArgMaxText.builder))

@@ -500,19 +500,50 @@ object TextAnalysis {
     // probe side — the corpus tokens stream through one hash lookup and one
     // doc-major aggregation, never sorting.
     "q91_vocab_oov" -> ((s, dir) => {
-      // The token stream feeds both branches (vocab aggregate token-major,
-      // OOV probe doc-major), so the split nominally runs twice — but the
-      // q123 persist-the-arrays treatment MEASURES NEUTRAL-TO-WORSE here
-      // (VocabOovShapeProbe at sf1: plain 1.64 s vs persisted 1.71 s med):
-      // this corpus is docs-small/agg-heavy, and the cache write+read costs
-      // more than the second regex pass saves. Keep the stateless shape.
-      // (The DEPLOYMENT form keeps the top-V vocab as a MAINTAINED artifact
-      // — the q119 pattern — and pays only [[vocabOovScore]] per increment;
-      // the bench splits that out as the q91_score_only submetric.)
-      val tok = tokenCountPairs(Tables(s, dir).documents, "doc_id", "text")
-      vocabOovScore(tok, topVocab(tok, 1000)).presented("doc_id")
+      // r15: the vocabulary half stays the token-major aggregate +
+      // TakeOrdered cut, now DRIVER-PINNED (1000 terms — the same bounded
+      // collect contract as the IVF centroid pins) and baked into the
+      // scoring half as a literal, so scoring is ONE map-only corpus pass
+      // through the native graft_oov_stats expression: no token explode,
+      // no broadcast join, no doc-major re-aggregate (those three stages
+      // were the whole probe branch; the r14 persist treatment measured
+      // neutral-to-worse — VocabOovShapeProbe — because the problem was
+      // the branch's shape, not its double scan). The DEPLOYMENT form
+      // keeps the top-V vocab as a MAINTAINED artifact — the q119
+      // pattern — and pays only [[vocabOovScoreLocal]] per increment;
+      // the bench splits that out as the q91_score_only submetric.
+      val docs = Tables(s, dir).documents
+      val tok = tokenCountPairs(docs, "doc_id", "text")
+      vocabOovScoreLocal(docs, "doc_id", "text",
+        collectVocab(topVocab(tok, 1000))).presented("doc_id")
     }),
   )
+
+  /** The top-V vocabulary as driver-pinned terms — bounded by `v` (the cut
+    * [[topVocab]] already enforces via its limit), the same
+    * bounded-driver-pin contract as the IVF centroids.
+    */
+  def collectVocab(vocab: DataFrame): Seq[String] =
+    vocab.select("token").collect().map(_.getString(0)).toSeq
+
+  /** q91's scoring half over a DRIVER-KNOWN vocabulary: one map-only pass
+    * through the native [[graft.expressions.OovStats]] expression (the
+    * vocabulary hashed once, never per row). Values identical to
+    * [[vocabOovScore]] — same rounding, same blank-doc contract (the
+    * single-empty-token degenerate case scores n_tokens = 1).
+    */
+  def vocabOovScoreLocal(docs: DataFrame, keyCol: String, textCol: String,
+                         terms: Seq[String]): DataFrame = {
+    graft.expressions.OovStats.register(docs.sparkSession)
+    docs.select(col(keyCol),
+        call_function("graft_oov_stats", col(textCol),
+          array(terms.map(lit): _*)).as("_os"))
+      .select(col(keyCol),
+        col("_os.n_tokens").as("n_tokens"), col("_os.n_oov").as("n_oov"))
+      .withColumn("oov_rate",
+        graft.functions.VectorFunctions.roundNative(
+          col("n_oov") * 10000d / col("n_tokens"), 0) / 10000d)
+  }
 
   /** The `(doc_id, token, c)` pre-counted pair stream both q91 halves
     * consume (round 14): per-doc term frequencies are a row-local fact

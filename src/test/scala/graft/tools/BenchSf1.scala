@@ -144,14 +144,15 @@ object BenchSf1 {
     // aggregate. Build the vocab once here (untimed, same cut as q91),
     // time vocabOovScore alone.
     val scoreOnly = {
-      import org.apache.spark.sql.functions._
       import graft.operators.TextAnalysis
-      val tok = TextAnalysis.tokenCountPairs(
-        graft.Tables(spark, dir).documents, "doc_id", "text")
-      val vocab = TextAnalysis.topVocab(tok, 1000).localCheckpoint(true)
+      val docs = graft.Tables(spark, dir).documents
+      // maintained artifact = the driver-pinned term list (r15: the
+      // deployment scorer is the map-only native pass, vocab untimed)
+      val terms = TextAnalysis.collectVocab(TextAnalysis.topVocab(
+        TextAnalysis.tokenCountPairs(docs, "doc_id", "text"), 1000))
       def once(): Double = {
         val t0 = System.nanoTime()
-        TextAnalysis.vocabOovScore(tok, vocab).collect()
+        TextAnalysis.vocabOovScoreLocal(docs, "doc_id", "text", terms).collect()
         (System.nanoTime() - t0) / 1e9
       }
       once() // warmup
