@@ -269,9 +269,51 @@ def apply_envelope_rule(rows, per, sfdir):
                                      "DuckDB side is not stable — flag kept")
 
 
+def isolated_tiebreak(rows, sfdir, cpus, log_path):
+    """MECHANICAL tie-breaker (round 14, improvised for q91 in round 13 and
+    folded into the protocol): every borderline/regression flag gets an
+    ISOLATED fresh-window min-of-9 — a brand-new server JVM (new window),
+    the flagged queries alone, no interleaving. Same-code host drift shows
+    up as an isolated min that re-enters the band; a real regression
+    reproduces it. The samples are committed either way. Shared by
+    adjudicate mode and (round 16) the normal capture's auto-adjudication
+    of its own fresh BENCH_DELTA flags."""
+    flagged = [n for n, r in sorted(rows.items())
+               if r["verdict"].startswith(("regression", "borderline"))]
+    if not flagged:
+        return
+    print(f"ADJ tie-breaker: isolated fresh-window min-of-9 for "
+          f"{flagged}", file=sys.stderr)
+    srv2 = Server(launch_server(sfdir, cpus, log_path + ".iso"))
+    try:
+        for n in flagged:
+            srv2.run(n)  # warm
+            iso = [round(srv2.run(n), 6) for _ in range(9)]
+            srv2.clear()
+            r = rows[n]
+            ok = [s for s in iso if s > 0]
+            r["isolated_samples"] = iso
+            r["isolated_min"] = round(min(ok), 6) if ok else -1.0
+            p = r["prev_committed"]
+            r["isolated_ratio"] = (round(r["isolated_min"] / p, 3)
+                                   if p and r["isolated_min"] > 0 else None)
+            ir = r["isolated_ratio"]
+            if ir is None:
+                pass
+            elif r["verdict"].startswith("regression") and ir <= r["band"]:
+                r["verdict"] = ("host-drift (isolated fresh-window "
+                                "min re-enters band)")
+            elif r["verdict"].startswith("borderline") and ir <= r["spread_band"]:
+                r["verdict"] = ("window-noise (isolated fresh-window "
+                                "min within measured spread band)")
+    finally:
+        srv2.quit()
+
+
 def main():
     positional = [a for a in sys.argv[1:] if not a.startswith("--")]
-    flags = dict(a[2:].split("=", 1) for a in sys.argv[1:] if a.startswith("--"))
+    flags = dict((a[2:].split("=", 1) + ["1"])[:2]
+                 for a in sys.argv[1:] if a.startswith("--"))
     sfdir = positional[0]
     oracle_path = positional[1]
     passes = int(positional[2]) if len(positional) > 2 else 3
@@ -294,6 +336,16 @@ def main():
         prev_spark = json.load(open(f"{REPO}/bench_out.json"))["queries"]
     except Exception:
         pass
+    # --prev-from-delta (adjudicate mode, round 16): when the flag under
+    # adjudication sits in the COMMITTED BENCH_DELTA.json, the committed
+    # bench_out.json is the flagged capture itself — ratios against it would
+    # read ~1.0 and close any flag vacuously. The flag's own `prev` field is
+    # the prior it was raised against; use it.
+    if "prev-from-delta" in flags:
+        if adjudicate_out is None:
+            sys.exit("bench_ab.py: --prev-from-delta requires --adjudicate")
+        dq = json.load(open(f"{REPO}/BENCH_DELTA.json"))["queries"]
+        prev_spark = {n: r["prev"] for n, r in dq.items()}
 
     con = duckdb.connect()
     for t in TABLES:
@@ -410,42 +462,7 @@ def main():
                 "band": band, "spread_band": spread_band, "ratio": ratio,
                 "verdict": verdict,
             }
-        # MECHANICAL tie-breaker (round 14, the step improvised for q91 in
-        # round 13 folded into the protocol): every borderline/regression
-        # flag gets an ISOLATED fresh-window min-of-9 — a brand-new server
-        # JVM (new window), the flagged queries alone, no interleaving.
-        # Same-code host drift shows up as an isolated min that re-enters
-        # the band; a real regression reproduces it. The samples are
-        # committed either way.
-        flagged = [n for n, r in sorted(rows.items())
-                   if r["verdict"].startswith(("regression", "borderline"))]
-        if flagged:
-            print(f"ADJ tie-breaker: isolated fresh-window min-of-9 for "
-                  f"{flagged}", file=sys.stderr)
-            srv2 = Server(launch_server(sfdir, cpus, log_path + ".iso"))
-            try:
-                for n in flagged:
-                    srv2.run(n)  # warm
-                    iso = [round(srv2.run(n), 6) for _ in range(9)]
-                    srv2.clear()
-                    r = rows[n]
-                    ok = [s for s in iso if s > 0]
-                    r["isolated_samples"] = iso
-                    r["isolated_min"] = round(min(ok), 6) if ok else -1.0
-                    p = r["prev_committed"]
-                    r["isolated_ratio"] = (round(r["isolated_min"] / p, 3)
-                                           if p and r["isolated_min"] > 0 else None)
-                    ir = r["isolated_ratio"]
-                    if ir is None:
-                        pass
-                    elif r["verdict"].startswith("regression") and ir <= r["band"]:
-                        r["verdict"] = ("host-drift (isolated fresh-window "
-                                        "min re-enters band)")
-                    elif r["verdict"].startswith("borderline") and ir <= r["spread_band"]:
-                        r["verdict"] = ("window-noise (isolated fresh-window "
-                                        "min within measured spread band)")
-            finally:
-                srv2.quit()
+        isolated_tiebreak(rows, sfdir, cpus, log_path)
         apply_envelope_rule(rows, per, sfdir)
         art = {
             "adjudicated_against": flags.get(
@@ -592,23 +609,64 @@ def main():
                    "ratio": r3(ratio), "band": r3(band)}
         if ratio > band and p >= 0.2:
             flagged.append(n)
+
+    # ---- AUTO-ADJUDICATION of the capture's own fresh flags (round 16):
+    # twice in a row (r14: four flags, r15: q85) the FINAL driver window
+    # raised a flag after the last --adjudicate pass, leaving the committed
+    # delta ledger with a verdict-less flag for the next round to dig up.
+    # The capture now applies the full adjudication machinery to its own
+    # flags in-line: the isolated fresh-window min-of-9 tie-breaker first,
+    # then the committed same-code envelope rule (run BEFORE this window is
+    # appended to the envelope, so a flag can never be closed against
+    # itself). Verdicts land in BENCH_DELTA.json directly; whatever neither
+    # step closes stays in `open_flags` for a manual --adjudicate.
+    adj = {}
+    if flagged:
+        for n in sorted(flagged):
+            v = per[n]
+            spread_band = round((v["spark_spread"] or 1.0) * 1.15, 3)
+            adj[n] = {
+                "prev_committed": prev_spark[n], "ab_min": v["spark_min"],
+                "ab_samples": v["spark"], "ab_spread": v["spark_spread"],
+                "duckdb_min": v["duckdb_min"],
+                "band": rows[n]["band"], "spread_band": spread_band,
+                "ratio": rows[n]["ratio"],
+                "verdict": "regression (exceeds same-window band)",
+            }
+        isolated_tiebreak(adj, sfdir, cpus, log_path)
+        apply_envelope_rule(adj, per, sfdir)
+    open_flags = sorted(n for n, r in adj.items()
+                        if r["verdict"].startswith(("regression", "borderline")))
     delta = {
         "flagged": sorted(flagged),
+        "open_flags": open_flags,
         "band_source": "same-window spark_spread x1.15, floor 1.5x "
                        "(interleaved A/B capture)",
+        "auto_adjudication": adj if adj else None,
+        "auto_adjudication_protocol": (
+            "every fresh flag gets the isolated fresh-window min-of-9 "
+            "tie-breaker (second server JVM) then the committed same-code "
+            "envelope rule, in the capture itself; open_flags lists what "
+            "neither step closed (candidates for a manual --adjudicate)"
+        ) if adj else None,
         "new": sorted(n for n in per if n not in prev_spark),
         "queries": rows,
     }
     with open(f"{REPO}/BENCH_DELTA.json", "w") as f:
         json.dump(delta, f)
         f.write("\n")
+    for n, r in adj.items():
+        print(f"DELTA-ADJ {n:32s} prev {r['prev_committed']} -> cur "
+              f"{r['ab_min']} (ratio {r['ratio']}, band {r['band']}, "
+              f"isolated {r.get('isolated_min')}): {r['verdict']}")
 
     record_envelope(sfdir, per)
     regenerate_ratio_table(per, s_tot, d_tot, sfdir, passes)
     print(f"\nBENCH_AB.json: spark {s_tot:.3f}s vs duckdb {d_tot:.3f}s = "
           f"{s_tot / d_tot:.2f}x over {len(per)} queries; "
           f"median spark spread {ab['noise']['spark_median_spread']}x, "
-          f"flags vs prev: {sorted(flagged) or 'none'}")
+          f"flags vs prev: {sorted(flagged) or 'none'}; "
+          f"open after auto-adjudication: {open_flags or 'none'}")
 
 
 def regenerate_ratio_table(per, s_tot, d_tot, sfdir, passes):
