@@ -681,6 +681,65 @@ object Dedup {
       .observe(eObs, count(lit(1)).as("n"))
       .localCheckpoint(true)
     val edgeCount = eObs.get("n").asInstanceOf[Long]
+    // Tier 0 (round 16, Q85_DECOMP.json): a MEASURED-tiny edge list is
+    // closed on the driver with union-find — the broadcast-join move
+    // (Spark itself collects a measured-small join side to the driver).
+    // The decomposition showed the loop below is already at its algorithmic
+    // minimum for small inputs (2 materialized rounds: one that changes,
+    // one that confirms; two-relaxations-per-round LOSES, 1.04 s vs 0.45 s)
+    // so its remaining wall is pure per-stage scheduling floor — while the
+    // whole component structure fits in one bounded collect. The bound is
+    // the edge count the checkpoint's own Observation already measured:
+    // <= 1M symmetric (long, long) edges ~ a few tens of MB on a driver
+    // sized like any Spark driver that broadcasts a dimension table. At
+    // 100 TB the pair volume of a real near-dup corpus blows past the gate
+    // and the distributed loop below owns the work — this tier exists so
+    // measured-tiny cluster sets (the common case after LSH banding caps)
+    // stop paying 5+ scheduling rounds for sub-millisecond math.
+    val driverMaxEdges = spark.conf.getOption("spark.graft.ccDriverEdges")
+      .map(_.toLong).getOrElse(1000000L)
+    val keysAreLong = fwd.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (keysAreLong && edgeCount <= driverMaxEdges) {
+      import spark.implicits._
+      // ONE job: pull the checkpointed edge list (bounded by the measured
+      // count). Union-find with path-halving + union by rank, then label
+      // every node with its component MIN (the loop's exact contract).
+      val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      val idx = new java.util.HashMap[Long, Int](es.length * 2)
+      def id(k: Long): Int = {
+        var i = idx.getOrDefault(k, -1)
+        if (i < 0) { i = idx.size(); idx.put(k, i) }
+        i
+      }
+      es.foreach { case (s, d) => id(s); id(d) }
+      val n = idx.size()
+      val parent = Array.tabulate(n)(identity)
+      val rank = new Array[Byte](n)
+      def find(x0: Int): Int = {
+        var x = x0
+        while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+        x
+      }
+      es.foreach { case (s, d) =>
+        val (rs, rd) = (find(id(s)), find(id(d)))
+        if (rs != rd) {
+          if (rank(rs) < rank(rd)) parent(rs) = rd
+          else if (rank(rd) < rank(rs)) parent(rd) = rs
+          else { parent(rd) = rs; rank(rs) = (rank(rs) + 1).toByte }
+        }
+      }
+      val keys = new Array[Long](n)
+      idx.forEach((k, i) => keys(i) = k)
+      val minOfRoot = new Array[Long](n)
+      java.util.Arrays.fill(minOfRoot, Long.MaxValue)
+      (0 until n).foreach { i =>
+        val r = find(i)
+        if (keys(i) < minOfRoot(r)) minOfRoot(r) = keys(i)
+      }
+      return (0 until n).map(i => (keys(i), minOfRoot(find(i))))
+        .toDF("doc_id", "canonical")
+    }
     // AQE posture, decided by the MEASURED edge volume: every round's plan
     // is join + aggregate + self-join over edge-list-sized data, and under
     // AQE each of those tiny stages materializes as its own Spark job — at
