@@ -41,11 +41,13 @@ import org.apache.spark.sql.SparkSession
   */
 object PostureSessions {
   /** Max distinct postures per caller session. Generous vs today's usage
-    * (two fixed postures) while small enough that an accidentally computed
-    * posture key fails within seconds, not after hours of SessionState
-    * accretion.
+    * (the two loop postures plus the replay posture's small fixed
+    * knob-combination space — noDataMicroBatches x state-store provider,
+    * keyed since r16 so concurrent replays never race a shared clone)
+    * while small enough that an accidentally computed posture key fails
+    * within seconds, not after hours of SessionState accretion.
     */
-  private val MaxPosturesPerCaller = 8
+  private val MaxPosturesPerCaller = 12
 
   private val cache =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[Map[String, String], SparkSession]]()

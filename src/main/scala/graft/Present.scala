@@ -44,8 +44,11 @@ import org.apache.spark.sql.functions.col
   * operator: Aggregate (incl. Distinct/Deduplicate rewrites), Limit and
   * WindowGroupLimit (top-k) reset the flow to result-sized; joins propagate
   * their larger side (FK–PK row preservation), semi/anti joins their probe
-  * side, unions add; everything else — Project, Window, Generate, and
-  * notably Filter — passes through. Leaf rows come from parquet footer
+  * side, unions add (saturating); Generate over un-reduced fan-in saturates
+  * to "large" — explode output is child rows × array length, so the child
+  * count is no upper bound and the guess-big asymmetry forces the range
+  * sort; everything else — Project, Window, and notably Filter — passes
+  * through. Leaf rows come from parquet footer
   * metadata (exact, metadata-only, cached per file); non-parquet and
   * in-memory leaves count 0 — a LocalRelation under a presented query is a
   * replay read-back or published artifact, i.e. already the RESULT of a
@@ -99,7 +102,21 @@ object Present {
       case LeftSemi | LeftAnti => fanInRows(j.left)
       case _ => math.max(fanInRows(j.left), fanInRows(j.right))
     }
-    case u: Union => u.children.map(fanInRows).sum
+    // Generate (explode & co.) EXPANDS rows — output = child rows × per-row
+    // array length, which no footer can bound, so the child count is not an
+    // upper bound on what reaches the root (r15 ADVICE). Guess big, the
+    // Filter asymmetry but stronger (Filter can only shrink, Generate can
+    // multiply): an un-reduced explode over table-sized fan-in is
+    // fact-sized-or-larger at the design point and must range-sort. A
+    // Generate whose child is already result-sized (fan-in 0: above an
+    // aggregate, or over an in-memory leaf) stays 0 — re-exploding a
+    // reduced result is bounded by what the reduction emitted.
+    case g: Generate =>
+      if (fanInRows(g.child) == 0L) 0L else Long.MaxValue
+    // saturating sum: a Generate sentinel inside a union arm must not
+    // overflow the total back under the threshold
+    case u: Union => u.children.map(fanInRows)
+      .foldLeft(0L)((a, b) => if (a + b < a) Long.MaxValue else a + b)
     case leaf: LeafNode => leafRows(leaf)
     case other if other.children.nonEmpty =>
       other.children.map(fanInRows).max
@@ -138,17 +155,23 @@ object Present {
       case _ => Nil
     }
 
-  private def parquetRowCount(path: String): Long =
-    footerRows.computeIfAbsent(path, { p =>
-      try {
-        val hp = new org.apache.hadoop.fs.Path(p)
-        val conf = new org.apache.hadoop.conf.Configuration()
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, conf)
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try java.lang.Long.valueOf(reader.getRecordCount)
-        finally reader.close()
-      } catch { case _: Throwable => java.lang.Long.valueOf(0L) }
-    }).longValue()
+  private def parquetRowCount(path: String): Long = {
+    // only SUCCESSFUL reads are cached (r15 ADVICE): a transient IO error
+    // must not permanently classify a fact-sized leaf as 0 rows (= silently
+    // flip that query to the single-partition merge for the JVM lifetime);
+    // a failed read answers 0 for THIS plan and retries on the next one
+    val cached = footerRows.get(path)
+    if (cached != null) return cached.longValue()
+    try {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val n = try reader.getRecordCount finally reader.close()
+      footerRows.put(path, java.lang.Long.valueOf(n))
+      n
+    } catch { case _: Throwable => 0L }
+  }
 
   implicit final class PresentationOrdering(private val df: DataFrame) extends AnyVal {
     def presented(cols: Column*): DataFrame =

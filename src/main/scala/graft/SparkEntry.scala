@@ -133,6 +133,14 @@ object SparkEntry {
     * the analyzed logical plan can be built once per (session, query, input
     * dir) and re-executed many times — every execution still runs the full
     * scan/shuffle pipeline, only Catalyst's analyze/resolve pass is reused.
+    *
+    * ONE DECLARED EXCEPTION (r15 ADVICE): q91's builder runs the bounded
+    * top-V vocabulary collect at plan-build time (the IVF-centroid
+    * driver-pin contract — the 1000-term vocabulary becomes a codegen
+    * literal in `graft_oov_stats`). On this cached surface that aggregate
+    * runs once and the vocabulary is frozen into the cached plan — correct
+    * because fixture dirs are immutable and part of the cache key, but a
+    * future mutable-input caller must route q91 through [[freshQueries]].
     * Streaming replays stay uncached: their builder *runs* the stream, so
     * caching would return materialized results instead of re-executing.
     */

