@@ -138,6 +138,7 @@ object GraftFunctions {
     TopKByScore.register(spark)
     CollectSmallestK.register(spark)
     SmallestKPairs.register(spark)
+    FunnelStage.register(spark)
     OovStats.register(spark)
     ArgMaxText.register(spark)
     LatestBy.register(spark)
@@ -169,6 +170,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier(SmallestKPairs.name),
       new ExpressionInfo(classOf[SmallestKPairs].getName, SmallestKPairs.name),
       SmallestKPairs.builder))
+    ext.injectFunction((FunctionIdentifier(FunnelStage.name),
+      new ExpressionInfo(classOf[FunnelStage].getName, FunnelStage.name),
+      FunnelStage.builder))
     ext.injectFunction((FunctionIdentifier(OovStats.name),
       new ExpressionInfo(classOf[OovStats].getName, OovStats.name),
       OovStats.builder))

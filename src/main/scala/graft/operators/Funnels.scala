@@ -20,13 +20,15 @@ import graft.Tables
   *    satisfies the dedup grouping and the window, so the entity exchange
   *    is the only data-proportional shuffle; the cohort-grid-sized final
   *    aggregate is the only other one.
-  *  - '''funnel''' is ONE shuffle by entity + a sorted-array fold per
-  *    entity (`sort_array` + higher-order `aggregate`, fully codegen'd): the
-  *    strictly-ordered step walk happens inside a single per-row lambda —
-  *    not as K self-joins (the naive formulation the ORACLE deliberately
-  *    uses), and no Python/JVM UDF boundary. Per-entity history must fit a
-  *    row (the collect_list bound); funnels over unbounded histories move
-  *    the same fold into mapGroupsWithState (q64's machinery).
+  *  - '''funnel''' is ONE shuffle by entity + a native packed-long fold per
+  *    entity ([[graft.expressions.FunnelStage]] `graft_funnel_stage`): each
+  *    event ships as a single long (`ts << 8 | step_idx`) — ~8 B/event
+  *    through the exchange, primitive-array buffers, one primitive sort +
+  *    greedy walk at eval — not as K self-joins (the naive formulation the
+  *    ORACLE deliberately uses), and no Python/JVM UDF boundary. Per-entity
+  *    history must fit the aggregate buffer (the collect_list bound);
+  *    funnels over unbounded histories move the same fold into
+  *    mapGroupsWithState (q64's machinery).
   */
 object Funnels {
   type Q = (SparkSession, String) => DataFrame
@@ -78,26 +80,32 @@ object Funnels {
                    typeCol: String, tiebreakCol: String,
                    steps: Seq[String], windowUs: Long,
                    includeStepless: Boolean = false): DataFrame = {
-    val walk = steps.zipWithIndex.map { case (step, i) =>
-      // step names land inside a SQL string literal — escape them (a step
-      // like "o'clock_sale" must not break or alter the generated CASE)
-      val lit = step.replace("\\", "\\\\").replace("'", "\\'")
-      val guard = if (i == 0) "" else s"AND x.ts > acc.ts AND x.ts <= acc.ts + ${windowUs}L "
-      s"WHEN acc.stage = $i AND x.tp = '$lit' ${guard}THEN named_struct('stage', ${i + 1}, 'ts', x.ts)"
-    }.mkString(" ")
+    // NATIVE walk (round 16, Q102_DECOMP.json): of q102's 0.58 s sf1 wall,
+    // 0.32 s was the entity exchange + per-entity
+    // sort_array(collect_list(struct(ts, tb, tp))) and the HOF fold itself
+    // was free — so the struct array is the cost, not the walk. The
+    // graft_funnel_stage aggregate packs each event into ONE long
+    // (ts << 8 | step_idx): primitive-array agg buffers, ~8 B/event through
+    // the shuffle instead of the ~34 B struct (the tiebreak column is
+    // dropped outright — the strict-> guard makes the walk's result
+    // invariant to equal-ts order, see the expression scaladoc), and a
+    // primitive sort at eval. The seven-for-seven native-beats-HOF rule
+    // holds (leg A/B in Q102_DECOMP.json). Packing bounds (<=255 steps,
+    // ts in [0, 2^55)) are the expression's documented contract; this
+    // operator's step list is always tiny.
+    require(steps.size <= 255, "funnelStages: step list exceeds the packing bound")
+    graft.expressions.FunnelStage.register(events.sparkSession)
+    val stepIdx = steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+      when(col(typeCol) === s, lit(i)).otherwise(acc)
+    }
     val staged = events
       // non-step events can never advance the fold — drop them BEFORE the
       // shuffle: directly shrinks the one exchange and the per-entity
       // array bound this operator is limited by
       .filter(col(typeCol).isin(steps: _*))
+      .select(col(entityCol), col(tsUsCol).as("_ts"), stepIdx.as("_idx"))
       .groupBy(col(entityCol))
-      .agg(sort_array(collect_list(struct(
-        col(tsUsCol).as("ts"), col(tiebreakCol).as("tb"), col(typeCol).as("tp")))).as("_arr"))
-      .select(col(entityCol),
-        expr(s"""aggregate(_arr,
-                   named_struct('stage', 0, 'ts', CAST(${Long.MinValue} AS BIGINT)),
-                   (acc, x) -> CASE $walk ELSE acc END,
-                   acc -> acc.stage)""").as("stage"))
+      .agg(expr(s"graft_funnel_stage(_ts, _idx, ${windowUs}L)").as("stage"))
     if (!includeStepless) staged
     else {
       // Null entities carry no identity (mirrors cohortRetention); a null
