@@ -381,11 +381,38 @@ object Dedup {
     // round 14: the native one-pass graft_word_ngrams (distinct folded in)
     // replaces the transform/slice/concat_ws composition — the q123/q75
     // higher-order-function finding applied here too
-    val g = spread(docs).filter(TextAnalysis.wsTokenCount(col("text")) >= n)
+    // Storage posture is MEASURED, gated, and conf-overridable
+    // (Q115_PERSIST_AB.json, r16): the gram cache is the dedup family's
+    // only input-sized persist, and the sweep shows it is scale-LOCAL —
+    // at the sf1-scale corpus (5.9 MB at rest) MEMORY_AND_DISK wins ~9%
+    // over recompute (4.46 vs 4.86 s med), but at the 10× decade (57 MB
+    // at rest) the memory posture's median degrades 45% (37.3 s vs NONE's
+    // 25.8, mins all ~22-23 s): the distinct-gram string arrays inflate
+    // ~2 orders of magnitude off at-rest bytes and thrash the storage
+    // region, while recomputing the codegen'd ngram expression per
+    // consumer rides the (page-cached) scan. AUTO therefore persists only
+    // when the input's Catalyst size estimate is measurably small
+    // (default gate 16 MB at rest — between the measured win and loss
+    // points, conf `spark.graft.containmentPersistMaxBytes`), and
+    // otherwise recomputes — the posture a 100 TB run needs, arrived at
+    // without configuration. `spark.graft.containmentGramStorage` forces
+    // MEMORY_AND_DISK / DISK_ONLY / NONE explicitly.
+    val g0 = spread(docs).filter(TextAnalysis.wsTokenCount(col("text")) >= n)
       .select(col(keyCol),
         graft.expressions.TextSignatures.wordNgramsCol(docs.sparkSession)(
           col("text"), n, distinct = true).as("g"))
-      .persist()
+    val conf = docs.sparkSession.conf
+    val g = conf.getOption("spark.graft.containmentGramStorage").getOrElse("AUTO") match {
+      case "NONE" => g0
+      case "AUTO" =>
+        val atRest = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+        val gate = conf.getOption("spark.graft.containmentPersistMaxBytes")
+          .map(_.toLong).getOrElse(16L << 20)
+        if (atRest <= gate)
+          g0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else g0
+      case lvl => g0.persist(org.apache.spark.storage.StorageLevel.fromString(lvl))
+    }
     val ex = g.select(col(keyCol), explode(col("g")).as("sh"))
     // r15 candidate-stage reshape, each step measured (Q115Legs /
     // Q115_JOIN_AB.json / Q115_SHAPE_AB.json, rows asserted identical

@@ -86,7 +86,7 @@ object MergeUpsert {
     * orderkeys are non-negative, negated-minus-one keys never are; a fixed
     * offset would start colliding once the key range outgrew it).
     */
-  private def changeset(o: DataFrame): DataFrame = {
+  private[graft] def changeset(o: DataFrame): DataFrame = {
     val k = col("o_orderkey")
     val upd = o.filter(k % 7 === 0 && k % 11 =!= 0)
       .select(k, lit("U").as("op"), col("o_custkey"),

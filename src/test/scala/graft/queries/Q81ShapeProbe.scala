@@ -34,7 +34,8 @@ object Q81ShapeProbe {
         Tables(sess, sfDir).orders.createOrReplaceTempView("orders")
         val edges = edgeShape(sess.sql(
           """SELECT o_custkey, o_orderkey,
-                    LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_key
+                    LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next1,
+                    LEAD(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next2
              FROM orders""")).localCheckpoint(true)
         edges.createOrReplaceTempView("order_edges")
         val t0 = System.nanoTime()
@@ -73,7 +74,8 @@ object Q81ShapeProbe {
         Tables(sess, sfDir).orders.createOrReplaceTempView("orders")
         val edges = edgeShape(sess.sql(
           """SELECT o_custkey, o_orderkey,
-                    LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_key
+                    LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next1,
+                    LEAD(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next2
              FROM orders""")).localCheckpoint(true)
         edges.createOrReplaceTempView("order_edges")
         sess.sql(sql).collect()
@@ -101,7 +103,8 @@ object Q81ShapeProbe {
         o8.createOrReplaceTempView("orders")
         val edges = sess.sql(
           """SELECT o_custkey, o_orderkey,
-                    LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_key
+                    LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next1,
+                    LEAD(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next2
              FROM orders""").localCheckpoint(true)
         edges.createOrReplaceTempView("order_edges")
         sess.sql(body).collect()
@@ -134,7 +137,8 @@ object Q81ShapeProbe {
         Tables(s2, sfDir).orders.createOrReplaceTempView("orders")
         val edges = s2.sql(
           """SELECT o_custkey, o_orderkey,
-                    LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_key
+                    LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next1,
+                    LEAD(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next2
              FROM orders""").localCheckpoint(true)
         edges.createOrReplaceTempView("order_edges")
         s2.sql(body).collect()

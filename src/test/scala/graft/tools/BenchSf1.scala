@@ -188,11 +188,57 @@ object BenchSf1 {
       println(f"BENCHSF1 q120_resolve_only       $v%8.3f s (scores + pairs untimed)")
       v
     }
+    // q107 MAINTAIN-ONLY sub-metric (round 16, verdict Missing #4): q107's
+    // certification row re-aggregates the base counts AND derives the
+    // changeset every run; the operator's entire point is that the
+    // maintained path is a tiny delta aggregate + one broadcast join onto
+    // PERSISTED counts. Build both artifacts once here (untimed), time
+    // maintainCounts alone.
+    val maintainOnly = {
+      import graft.operators.MergeUpsert
+      val o = graft.Tables(spark, dir).orders
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val baseCounts = o.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val changes = MergeUpsert.changeset(o).localCheckpoint(true)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        MergeUpsert.maintainCounts(baseCounts, changes, "o_custkey").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warmup
+      val v = Seq(once(), once(), once()).min
+      println(f"BENCHSF1 q107_maintain_only      $v%8.3f s (base counts + changeset untimed)")
+      v
+    }
+    // q119 STRIP-ONLY sub-metric (round 16): q119's certification row
+    // rebuilds the standing corpus's (line, df) table from text every run;
+    // in deployment that table is THE maintained artifact and a daily batch
+    // pays only the increment's lines + one dictionary-sized merge. Build
+    // the corpus counts once here (untimed), time the increment strip.
+    val stripOnly = {
+      import graft.operators.Cleaning
+      val docs = graft.Tables(spark, dir).documents
+      val corpusCounts = Cleaning.lineDocFrequencies(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", 16)
+        .localCheckpoint(true)
+      val increment = docs.filter(col("doc_id") % 5 === 0)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        Cleaning.boilerplateStripIncrement(corpusCounts, increment,
+          "doc_id", "text", 16, 2L).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warmup
+      val v = Seq(once(), once(), once()).min
+      println(f"BENCHSF1 q119_strip_only         $v%8.3f s (corpus line-df table untimed)")
+      v
+    }
     def j(d: Double) = f"$d%.3f"
     val json =
       s"""{"sf":"sf1-densified (10x sf0.1, disjoint keys)","dir":"$dir","cores":$cpus,""" +
         s""""queries":{${results.map { case (n, v) => s""""$n":${j(v)}""" }.mkString(",")}},""" +
-        s""""submetrics":{"q129_search_only":${j(searchOnly)},"q91_score_only":${j(scoreOnly)},"q120_resolve_only":${j(resolveOnly)}},""" +
+        s""""submetrics":{"q129_search_only":${j(searchOnly)},"q91_score_only":${j(scoreOnly)},"q120_resolve_only":${j(resolveOnly)},"q107_maintain_only":${j(maintainOnly)},"q119_strip_only":${j(stripOnly)}},""" +
         s""""total":${j(results.map(_._2).filter(_ >= 0).sum)}}"""
     Files.write(Paths.get("/tmp/bench_sf1_spark.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -153,6 +153,67 @@ def submetric_duckdb(con, oracles):
         out["q120_resolve_only"] = timed(resolve)
         print(f"SF1DUCK q120_resolve_only        {out['q120_resolve_only']:8.3f} s"
               "  [submetric twin, scores + pairs untimed]")
+
+    # q107 maintain-only (round 16): base counts + changeset as temp tables
+    # (untimed — deployment persists the counts and the MERGE feed supplies
+    # the changeset), then time the delta aggregate + full-outer apply alone.
+    sql107 = oracles.get("q107_incremental_agg", "")
+    if "merged AS" in sql107:
+        ch_prefix = sql107.split("merged AS")[0].rstrip().rstrip(",")
+        con.execute(f"CREATE OR REPLACE TEMP TABLE q107_ch AS {ch_prefix} "
+                    "SELECT * FROM ch")
+        con.execute("CREATE OR REPLACE TEMP TABLE q107_base AS "
+                    "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey")
+        maintain = """
+          WITH delta AS (SELECT o_custkey,
+                                SUM(CASE WHEN op = 'I' THEN 1 ELSE -1 END) AS d
+                         FROM q107_ch WHERE op <> 'U' GROUP BY o_custkey)
+          SELECT COALESCE(b.o_custkey, d.o_custkey) AS o_custkey,
+                 CAST(COALESCE(b.n, 0) + COALESCE(d.d, 0) AS BIGINT) AS n
+          FROM q107_base b FULL OUTER JOIN delta d ON b.o_custkey = d.o_custkey
+          WHERE COALESCE(b.n, 0) + COALESCE(d.d, 0) > 0
+          ORDER BY o_custkey"""
+        if con.sql(maintain).fetchall() != con.sql(sql107).fetchall():
+            raise RuntimeError("q107 maintain-only twin != full oracle rows")
+        out["q107_maintain_only"] = timed(maintain)
+        print(f"SF1DUCK q107_maintain_only       {out['q107_maintain_only']:8.3f} s"
+              "  [submetric twin, base counts + changeset untimed]")
+
+    # q119 strip-only (round 16): the standing corpus's (line, df) table and
+    # the increment's chunked lines as temp tables (untimed — the df table
+    # IS the maintained artifact, and chunking the increment's text is the
+    # ingest step), then time the merge + threshold + flag + stitch alone.
+    # df is additive over the disjoint corpus/increment doc sets, so the
+    # merged dictionary equals the oracle's whole-union HAVING >= 2 set.
+    sql119 = oracles.get("q119_boilerplate_increment", "")
+    if "flagged AS" in sql119 and "bp AS" in sql119:
+        lines_prefix = sql119.split("bp AS")[0].rstrip().rstrip(",")
+        con.execute(f"CREATE OR REPLACE TEMP TABLE q119_corpus_counts AS {lines_prefix} "
+                    "SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines "
+                    "WHERE doc_id % 5 <> 0 GROUP BY line")
+        con.execute(f"CREATE OR REPLACE TEMP TABLE q119_inc_lines AS {lines_prefix} "
+                    "SELECT doc_id, chunk_id, line FROM lines WHERE doc_id % 5 = 0")
+        strip = """
+          WITH incdf AS (SELECT line, COUNT(DISTINCT doc_id) AS df
+                         FROM q119_inc_lines GROUP BY line),
+               dict AS (SELECT line FROM (
+                          SELECT line, SUM(df) AS df FROM (
+                            SELECT * FROM q119_corpus_counts
+                            UNION ALL SELECT * FROM incdf) u GROUP BY line) m
+                        WHERE df >= 2),
+               flagged AS (SELECT i.doc_id, i.chunk_id, i.line,
+                                  (b.line IS NOT NULL) AS is_bp
+                           FROM q119_inc_lines i LEFT JOIN dict b USING (line))
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_lines,
+                 CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                 COALESCE(string_agg(line, ' ' ORDER BY chunk_id) FILTER (WHERE NOT is_bp), '') AS clean_text
+          FROM flagged GROUP BY doc_id ORDER BY doc_id"""
+        if con.sql(strip).fetchall() != con.sql(sql119).fetchall():
+            raise RuntimeError("q119 strip-only twin != full oracle rows")
+        out["q119_strip_only"] = timed(strip)
+        print(f"SF1DUCK q119_strip_only          {out['q119_strip_only']:8.3f} s"
+              "  [submetric twin, corpus line-df table untimed]")
     return out
 
 
@@ -301,7 +362,26 @@ def main():
                 "corpus re-score), not a meaningful engine ratio; the "
                 "at-volume scaling evidence for this family is the "
                 "committed SCALE100 dedup legs and SCALE_INCR_DEDUP "
-                "exponent sweep"}
+                "exponent sweep",
+            "q107_maintain_only": "maintainCounts alone against persisted "
+                "base counts and a staged changeset (both untimed) — the "
+                "deployment-mode IVM cost is the delta aggregate + one "
+                "broadcast full-outer apply; the q107 row itself "
+                "re-aggregates the base AND derives the changeset every "
+                "run for certification purity (the oracle recomputes the "
+                "merged table from scratch to prove the algebra). The "
+                "DuckDB twin materializes the same artifacts from the "
+                "committed oracle's own CTEs untimed and times the "
+                "delta+apply tail, row-identity asserted in-run",
+            "q119_strip_only": "boilerplateStripIncrement alone against a "
+                "persisted corpus (line, df) table (untimed) — the daily "
+                "batch pays the increment's lines + one dictionary-sized "
+                "merge; the q119 row itself rebuilds the corpus df table "
+                "from text every run for certification purity. The DuckDB "
+                "twin materializes the same df table and increment lines "
+                "from the committed oracle's CTEs untimed and times the "
+                "merge/threshold/flag/stitch tail, row-identity asserted "
+                "in-run"}
     # sub-wall outliers (round 16, verdict Missing #2): the weak rule's
     # 0.6 s wall floor hid three >=3x batch queries, one of them the batch
     # class's LARGEST ratio (q102 8.0x at 0.58 s). Second trigger: any batch
