@@ -1,0 +1,99 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, Tables}
+
+/** Per-stage decompositions for the two sub-wall outliers that entered the
+  * [0.45, 0.6) band in both round-16 sf1 windows without committed stage
+  * arithmetic: q104 SQL UDF (one lineitem aggregate) and q108 n-gram LM
+  * (bigram count + per-head top-k window). Cumulative fresh plans drained
+  * through aggregates over DERIVED columns, medians. Writes
+  * Q104_Q108_DECOMP.json.
+  *
+  * q104 legs: (1) the raw lineitem scan (three columns, count+sum drain —
+  * the schedule + parquet cost), (2) + the inlined-UDF decimal revenue
+  * aggregate (the whole query's work: one whole-stage pass, 3 groups),
+  * (3) the full presented query.
+  *
+  * q108 legs: (1) the row-local bigram explode (NO shuffle), (2) + the
+  * (w1, w2) bigram-count exchange (the corpus exchange, map-side combine),
+  * (3) + the per-w1 top-k rank window (vocabulary-keyed second exchange),
+  * (4) the full presented query.
+  */
+object Q104Q108Decomp {
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(7)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkEntry.configure(
+      SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def med(f: => Unit): Double = {
+      val ts = (1 to (reps + 1)).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.drop(1).sorted
+      ts(ts.size / 2)
+    }
+
+    // ---------------- q104 ----------------
+    val t = Tables(spark, sfDir)
+    val q104Scan = med(t.lineitem
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_discount"))
+      .agg(count(lit(1)), sum(col("l_extendedprice"))).collect())
+    val q104Agg = med {
+      spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_rev(price DOUBLE, disc DOUBLE)
+                   RETURNS DOUBLE RETURN price * (1.0 - disc)""")
+      t.lineitem.groupBy("l_returnflag")
+        .agg(sum(expr("graft_rev(l_extendedprice, l_discount)")
+            .cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+          .cast("double").as("rev"))
+        .agg(count(lit(1)), sum(col("rev"))).collect()
+    }
+    val q104Full = med(SparkEntry.freshQueries("q104_sql_udf")(spark, sfDir).collect())
+    println(f"Q104DECOMP scan=$q104Scan%.3f agg=$q104Agg%.3f full=$q104Full%.3f")
+
+    // ---------------- q108 ----------------
+    val docs = Tables(spark, sfDir).documents
+    def bigrams = docs
+      .filter(graft.operators.TextAnalysis.wsTokenCount(col("text")) >= 2)
+      .select(split(trim(col("text")), " +").as("_t"))
+      .select(explode(expr(
+        "transform(sequence(0, size(_t) - 2), i -> struct(_t[i] AS w1, _t[i + 1] AS w2))")).as("_p"))
+      .filter(col("_p.w1").isNotNull && col("_p.w2").isNotNull)
+      .select(col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+    def counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val q108Explode = med(bigrams
+      .agg(count(lit(1)), sum(length(col("w1")) + length(col("w2")))).collect())
+    val q108Counts = med(counts.agg(count(lit(1)), sum(col("cnt"))).collect())
+    val q108Window = med(graft.operators.TextAnalysis
+      .ngramLmTopK(docs, "text", k = 3)
+      .agg(count(lit(1)), sum(col("cnt")), sum(col("rnk"))).collect())
+    val q108Full = med(SparkEntry.freshQueries("q108_ngram_lm")(spark, sfDir).collect())
+    println(f"Q108DECOMP explode=$q108Explode%.3f counts=$q108Counts%.3f window=$q108Window%.3f full=$q108Full%.3f")
+
+    java.nio.file.Files.write(java.nio.file.Paths.get("Q104_Q108_DECOMP.json"),
+      s"""{
+ "sf": "$sfDir", "reps": $reps,
+ "q104_cumulative_legs": {
+  "lineitem_scan": ${f"$q104Scan%.3f"},
+  "plus_udf_revenue_aggregate": ${f"$q104Agg%.3f"},
+  "full_query_presented": ${f"$q104Full%.3f"}
+ },
+ "q108_cumulative_legs": {
+  "bigram_explode_rowlocal": ${f"$q108Explode%.3f"},
+  "plus_bigram_count_exchange": ${f"$q108Counts%.3f"},
+  "plus_topk_rank_window": ${f"$q108Window%.3f"},
+  "full_query_presented": ${f"$q108Full%.3f"}
+ },
+ "note": "cumulative fresh plans, med-of-$reps, drained through aggregates over derived columns. q104: the temp-function revenue UDF is INLINED by Catalyst (RETURN expression, no UDF call at runtime), so the whole query is one whole-stage scan+hash-agg pass into 3 groups plus presentation - the wall IS the parquet scan of the fact columns plus the fixed per-query floor, with the decimal-exact sum costing the delta between legs 1 and 2. q108: leg 1 is the row-local bigram explode (split + transform, no shuffle); leg 2 adds the single corpus (w1,w2) exchange with map-side combine; leg 3 adds the vocabulary-keyed rank window; the full query re-sorts for presentation. Both shapes are already minimal-exchange; DuckDB answers each in-process without per-stage scheduling, which is the whole sub-wall story at this scale."
+}
+""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}

@@ -385,19 +385,37 @@ def main():
     # sub-wall outliers (round 16, verdict Missing #2): the weak rule's
     # 0.6 s wall floor hid three >=3x batch queries, one of them the batch
     # class's LARGEST ratio (q102 8.0x at 0.58 s). Second trigger: any batch
-    # pair with ratio >= 3 and spark wall in [0.3 s, 0.6 s) lands in this
+    # pair with ratio >= 3 and spark wall in [0.45 s, 0.6 s) lands in this
     # ledger section so no large ratio is absent from every ledger; entries
-    # get decompositions or fixes like the weak list proper.
+    # get decompositions or fixes like the weak list proper. The band's
+    # lower edge matches FLOOR_DECOMP's scheduling-floor cut (0.45 s) —
+    # walls at-or-under it are already classified floor with arithmetic in
+    # that artifact, and a [0.3, 0.45] band double-counted a dozen
+    # floor-class queries whenever a hot host window pushed the fixed
+    # per-query cost over 0.3 s. Entries with a committed per-stage
+    # decomposition carry its pointer so the ledger is self-adjudicating.
+    decomp_pointers = {
+        "q102_funnel": "Q102_DECOMP.json",
+        "q11_star_join": "Q11_DECOMP.json",
+        "q134_multimodal_frame_dedup": "Q134_DECOMP.json",
+        "q53_text_tfidf": "Q53_DECOMP.json",
+        "q85_dedup_cluster": "Q85_DECOMP.json",
+        "q115_dedup_containment": "Q115_SHAPE_AB.json",
+        "q104_sql_udf": "Q104_Q108_DECOMP.json",
+        "q108_ngram_lm": "Q104_Q108_DECOMP.json",
+    }
     artifact["sub_wall_outliers"] = {
         n: {"spark": spark["queries"][n], "duckdb": duck[n],
-            "ratio": ratios[n]}
+            "ratio": ratios[n],
+            **({"decomp": decomp_pointers[n]} if n in decomp_pointers else {})}
         for n in batch
         if ratios.get(n) is not None and ratios[n] >= 3.0
-        and 0.3 <= spark["queries"][n] < 0.6}
+        and 0.45 <= spark["queries"][n] < 0.6}
     artifact["sub_wall_outliers_note"] = (
-        "batch pairs with ratio >= 3x at a spark wall in [0.3, 0.6) s — "
-        "under the weak rule's 0.6 s floor but too large to go untracked; "
-        "each needs a committed decomposition or fix (r16 rule)")
+        "batch pairs with ratio >= 3x at a spark wall in [0.45, 0.6) s — "
+        "above FLOOR_DECOMP's scheduling-floor cut but under the weak "
+        "rule's 0.6 s floor, so no large ratio is absent from every "
+        "ledger; each needs a committed decomposition or fix (r16 rule)")
     # streaming wall ceilings at the sf1 point (round 13): the 16 replays
     # have no DuckDB analog and are excluded from the headline ratio, so
     # STREAM_BUDGET.json's per_sf entry is what bounds them round-over-round
