@@ -411,6 +411,7 @@ def main():
         "q85_dedup_cluster": "Q85_DECOMP.json",
         "q115_dedup_containment": "Q115_SHAPE_AB.json",
         "q04_filter": "Q104_Q108_DECOMP.json",
+        "q37_asof_join": "Q37_DECOMP.json",
         "q104_sql_udf": "Q104_Q108_DECOMP.json",
         "q108_ngram_lm": "Q104_Q108_DECOMP.json",
     }
