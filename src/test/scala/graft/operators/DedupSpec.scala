@@ -33,6 +33,28 @@ class DedupSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("duplicate clustering: driver union-find tier == distributed loop, gate respects conf") {
+    // Since r16 every unit-scale edge set closes on the driver (Tier 0,
+    // spark.graft.ccDriverEdges default 1M) — without this spec the
+    // distributed pointer-jumping loop would only ever run at >=1M edges,
+    // i.e. never under `sbt test`. Force each tier on its own session
+    // clone and pin the fixpoint equality on a multi-component graph with
+    // an odd-length chain (exercises >1 loop round).
+    val chain = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (20L, 23L), (23L, 21L), (30L, 31L))
+    def runWith(gate: String) = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.ccDriverEdges", gate)
+      import s2.implicits._
+      Dedup.duplicateClusters(chain.toDF("a", "b"))
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val expected = Seq((10L, 10L), (11L, 10L), (12L, 10L), (13L, 10L),
+      (14L, 10L), (20L, 20L), (21L, 20L), (23L, 20L), (30L, 30L), (31L, 30L))
+    assert(runWith("1000000") == expected) // driver union-find tier
+    assert(runWith("0") == expected)       // distributed loop forced
+  }
+
   test("exact dedup groups identical texts and keeps the min key") {
     val out = Dedup.exact(docs, "text", "doc_id")
       .orderBy("doc_id").collect()
