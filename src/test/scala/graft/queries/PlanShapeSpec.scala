@@ -134,6 +134,30 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.rangeSortRows")
   }
 
+  test("Generate forces the range shape; Generate above a reduction keeps the merge (r16)") {
+    // fanInRows treats an un-reduced Generate as unknown/large (output =
+    // child rows x array length, no footer can bound it), so an explode
+    // over table-sized fan-in derives the range sort at ANY scale — even
+    // at this fixture SF where the raw footer counts sit far below the
+    // threshold. q33 (posexplode over a filtered leaf) and q94 (frame
+    // generator) are the shipped queries on that path.
+    for (name <- Seq("q33_posexplode", "q94_frame_sample")) {
+      val df = plan(name)
+      assert(initialPlan(df).toString.contains("rangepartitioning"),
+        s"$name: un-reduced Generate must guess big and range-sort:\n" +
+          initialPlan(df).toString)
+    }
+    // ...but a Generate whose child is already reduced (fan-in 0) is
+    // bounded by what the reduction emitted and keeps the merge
+    import org.apache.spark.sql.functions._
+    import graft.Present._
+    val reduced = plan("q13_agg_hash") // small aggregate output
+      .select(explode(array(col("l_returnflag"), col("l_linestatus"))).as("t"))
+      .presented("t")
+    assert(!initialPlan(reduced).toString.contains("rangepartitioning"),
+      initialPlan(reduced).toString)
+  }
+
   test("q11 star join: fact side is never broadcast") {
     val df = plan("q11_star_join")
     val broadcasts = collectAll(initialPlan(df)) { case b: BroadcastExchangeLike => b }
