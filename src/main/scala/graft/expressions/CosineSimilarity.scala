@@ -139,6 +139,7 @@ object GraftFunctions {
     CollectSmallestK.register(spark)
     SmallestKPairs.register(spark)
     FunnelStage.register(spark)
+    GraftPii.register(spark)
     OovStats.register(spark)
     ArgMaxText.register(spark)
     LatestBy.register(spark)
@@ -173,6 +174,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier(FunnelStage.name),
       new ExpressionInfo(classOf[FunnelStage].getName, FunnelStage.name),
       FunnelStage.builder))
+    ext.injectFunction((FunctionIdentifier("graft_pii_scrub"),
+      new ExpressionInfo(classOf[PiiScrub].getName, "graft_pii_scrub"),
+      { children: Seq[Expression] => PiiScrub(children.head) }))
     ext.injectFunction((FunctionIdentifier(OovStats.name),
       new ExpressionInfo(classOf[OovStats].getName, OovStats.name),
       OovStats.builder))

@@ -57,19 +57,26 @@ object Cleaning {
     * a phone needs a leading `+`), so the chain order only matters for
     * future pattern sets. One scan, zero shuffles, idempotent (placeholders
     * contain no digits or `@`, so re-scrubbing is a no-op — pinned by spec).
+    *
+    * r16: the six per-row Java-regex passes this SELECT used to compose
+    * (three `regexp_count`s + the three-deep `regexp_replace` chain —
+    * measured as q116's whole wall beyond the scheduling floor) are fused
+    * into ONE native codegen kernel, `graft_pii_scrub`
+    * ([[graft.expressions.GraftPii]]): hand-rolled linear scanners with
+    * the exact `java.util.regex` match semantics, equivalence pinned by
+    * PiiScrubSpec (adversarial cases + a 1000-sample property sweep
+    * against the regex composition itself). The patterns above remain the
+    * operator's CONTRACT — the spec derives its expected values from them.
     */
   def piiScrub(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    docs.select(
-      col(keyCol),
-      regexp_count(t, lit(EmailPattern)).cast(LongType).as("n_emails"),
-      regexp_count(t, lit(Ipv4Pattern)).cast(LongType).as("n_ips"),
-      regexp_count(t, lit(PhonePattern)).cast(LongType).as("n_phones"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(t, EmailPattern, "<EMAIL>"),
-          Ipv4Pattern, "<IP>"),
-        PhonePattern, "<PHONE>").as("clean_text"))
+    val p = graft.expressions.GraftPii
+      .scrubCol(docs.sparkSession)(col(textCol)).as("_p")
+    docs.select(col(keyCol), p)
+      .select(col(keyCol),
+        col("_p.n_emails").as("n_emails"),
+        col("_p.n_ips").as("n_ips"),
+        col("_p.n_phones").as("n_phones"),
+        col("_p.clean_text").as("clean_text"))
   }
 
   // ------------------------------------------------------ boilerplate strip
