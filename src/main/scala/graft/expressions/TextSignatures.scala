@@ -334,6 +334,43 @@ object TextSignatures {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Consecutive whitespace-token pairs — `struct(w1, w2)` for tokens
+    * `(t[i], t[i+1])`, document order. Tokenization mirrors
+    * `split(trim(text), ' +')` exactly (empty/blank text yields the single
+    * empty token, hence NO pairs — same as the composed form after its
+    * `wsTokenCount >= 2` guard), so
+    * `explode(graft_word_bigrams(text))` is row-for-row the
+    * `explode(transform(sequence(0, size(_t) - 2), i -> struct(...)))`
+    * composition q108/q110 shipped through r15 — without the per-row
+    * sequence/transform machinery (r16; the q123/q75/q53/q117 native-fold
+    * finding applied to the bigram stream).
+    */
+  def wordBigrams(text: UTF8String): ArrayData = {
+    val s = text.trim().toString
+    val toks = new java.util.ArrayList[String](64)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      if (s.charAt(i) == ' ') i += 1
+      else {
+        var j = i + 1
+        while (j < len && s.charAt(j) != ' ') j += 1
+        toks.add(s.substring(i, j))
+        i = j
+      }
+    }
+    val m = toks.size
+    val n = math.max(m - 1, 0)
+    val out = new Array[Any](n)
+    var k = 0
+    while (k < n) {
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(toks.get(k)), UTF8String.fromString(toks.get(k + 1)))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private def chunkWindows(text: UTF8String, c: Int, stride: Int): Array[(UTF8String, Int)] = {
     val s = text.trim().toString
     val toks = new java.util.ArrayList[String](64)
@@ -438,6 +475,8 @@ object TextSignatures {
       (c: Seq[Expression]) => WordChunks(c.head, c(1), c(2))),
     ("graft_term_tfs", classOf[TermTfs],
       (c: Seq[Expression]) => TermTfs(c.head, c(1))),
+    ("graft_word_bigrams", classOf[WordBigrams],
+      (c: Seq[Expression]) => WordBigrams(c.head)),
   )
 
   /** Idempotent direct-session registration (mirrors CosineSimilarity). */
@@ -646,6 +685,33 @@ case class WordLines(left: Expression, right: Expression) extends BinaryExpressi
   * length + per-term exact-match frequencies for a fixed term set; see
   * [[TextSignatures.termTfs]].
   */
+/** `graft_word_bigrams(text)` → ARRAY<STRUCT<w1 STRING, w2 STRING>> —
+  * consecutive token pairs; see [[TextSignatures.wordBigrams]].
+  */
+case class WordBigrams(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a STRING text, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("w1", StringType, nullable = false),
+      StructField("w2", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_word_bigrams"
+
+  override protected def nullSafeEval(text: Any): Any =
+    TextSignatures.wordBigrams(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.expressions.TextSignatures.wordBigrams($t)")
+
+  override protected def withNewChildInternal(c: Expression): WordBigrams =
+    copy(child = c)
+}
+
 case class TermTfs(left: Expression, right: Expression) extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType != StringType)

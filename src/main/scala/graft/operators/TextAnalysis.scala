@@ -204,20 +204,28 @@ object TextAnalysis {
   /** Adjacent word pairs of every document with ≥2 tokens — the shared
     * bigram universe of [[ngramLmTopK]] and [[pmiCollocations]].
     */
-  private def wordBigrams(docs: DataFrame, textCol: String): DataFrame =
+  private def wordBigrams(docs: DataFrame, textCol: String): DataFrame = {
+    // r16: the split + transform(sequence(...)) HOF composition moved into
+    // the native graft_word_bigrams expression (one fused per-row fold, no
+    // sequence/lambda machinery — the q123/q75/q53/q117 finding applied to
+    // the bigram stream; parity pinned by WordLinesTermTfsSpec, leg A/B in
+    // BIGRAM_NATIVE_AB.json). The >=2-token guard stays: it matches the
+    // expression's no-pairs contract for short docs and keeps the plan's
+    // scan shape unchanged.
+    graft.expressions.TextSignatures.register(docs.sparkSession)
     docs.filter(wsTokenCount(col(textCol)) >= 2)
-      .select(split(trim(col(textCol)), " +").as("_t"))
-      .select(explode(expr(
-        "transform(sequence(0, size(_t) - 2), i -> struct(_t[i] AS w1, _t[i + 1] AS w2))")).as("_p"))
-      // split() elements are never null, so this filter drops nothing — but
-      // stating it EXPLICITLY matters downstream: pmiCollocations' joins
-      // infer isnotnull(w1) into one consumer of the bigram-count subtree
-      // and isnotnull(w2) into another, and the now-DIFFERENT filters make
-      // the (w1,w2) exchanges non-identical, defeating ReuseExchange — the
-      // corpus would be tokenized once per consumer (plan-pinned in
-      // PlanShapeSpec).
+      .select(explode(call_function(
+        "graft_word_bigrams", col(textCol))).as("_p"))
+      // the struct fields are non-null by construction, so this filter
+      // drops nothing — but stating it EXPLICITLY matters downstream:
+      // pmiCollocations' joins infer isnotnull(w1) into one consumer of
+      // the bigram-count subtree and isnotnull(w2) into another, and the
+      // now-DIFFERENT filters would make the (w1,w2) exchanges
+      // non-identical, defeating ReuseExchange — the corpus would be
+      // tokenized once per consumer (plan-pinned in PlanShapeSpec).
       .filter(col("_p.w1").isNotNull && col("_p.w2").isNotNull)
       .select(col("_p.w1"), col("_p.w2"))
+  }
 
   def ngramLmTopK(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val counts = wordBigrams(docs, textCol)

@@ -44,6 +44,28 @@ class WordLinesTermTfsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_word_bigrams ≡ the transform/sequence pair composition under the >=2-token guard") {
+    TextSignatures.register(spark)
+    val df = docs.toDF("text")
+      .filter(graft.operators.TextAnalysis.wsTokenCount(col("text")) >= 2)
+      .withColumn("_t", split(trim(col("text")), " +"))
+    val composed = df.selectExpr(
+      """transform(sequence(0, size(_t) - 2),
+           i -> struct(_t[i] AS w1, _t[i + 1] AS w2)) AS pairs""")
+      .selectExpr("explode(pairs) AS p").selectExpr("p.w1", "p.w2")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val native = df.selectExpr("explode(graft_word_bigrams(text)) AS p")
+      .selectExpr("p.w1", "p.w2")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(native.toSeq == composed.toSeq)
+    // short/blank docs: the native emits NO pairs (the composed form only
+    // ever ran behind the guard, where the distinction is invisible)
+    val shorts = Seq("", "   ", "single").toDF("text")
+      .selectExpr("graft_word_bigrams(text) AS p")
+      .collect().map(_.getSeq[Any](0).size)
+    assert(shorts.toSeq == Seq(0, 0, 0))
+  }
+
   test("graft_word_chunks ≡ the strided composition + per-chunk re-split count") {
     TextSignatures.register(spark)
     for ((c, n) <- Seq((4, 2), (4, 4), (3, 1), (7, 3))) {
