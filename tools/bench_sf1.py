@@ -414,6 +414,8 @@ def main():
         "q37_asof_join": "Q37_DECOMP.json",
         "q104_sql_udf": "Q104_Q108_DECOMP.json",
         "q108_ngram_lm": "Q104_Q108_DECOMP.json",
+        "q111_bm25": "TEXT_NATIVE_AB.json",
+        "q110_pmi_collocations": "BIGRAM_NATIVE_AB.json",
     }
     # queries whose certification row deliberately re-does maintained work
     # (the q129 pattern): the committed deployment submetric, not a stage
