@@ -168,8 +168,29 @@ object TextStats {
 
   /** Polynomial rolling hash (base 31, mod 1e9+7) over code points — the
     * fused form of `aggregate(transform(split(text,''), ascii), …)`.
+    *
+    * r16: folds the raw UTF-8 bytes directly while they are ASCII (code
+    * point == byte value — no per-row String allocation or char decode;
+    * `tools.FingerprintFoldAB` measures the byte path ~12% faster than the
+    * code-point loop over the sf1 corpus, values asserted equal per row).
+    * The first non-ASCII byte restarts the row through the code-point
+    * loop, so the value is bit-identical on any input (parity-spec pinned
+    * on mixed ASCII/multibyte strings).
     */
   def fingerprint(text: UTF8String): Long = {
+    val nb = text.numBytes
+    var acc = 0L
+    var i = 0
+    while (i < nb) {
+      val b = text.getByte(i)
+      if (b < 0) return fingerprintCodePoints(text) // non-ASCII: full decode
+      acc = (acc * 31 + b) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+
+  private def fingerprintCodePoints(text: UTF8String): Long = {
     val s = text.toString
     val n = s.length
     var acc = 0L

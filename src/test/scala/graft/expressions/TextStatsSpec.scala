@@ -36,6 +36,12 @@ class TextStatsSpec extends AnyFunSuite {
     "word",
     "ab".repeat(300),
     "the quick brown fox jumps over the lazy dog and then naps",
+    // multibyte: exercise the fingerprint byte-fast-path's full-decode
+    // fallback (r16) — leading/trailing/mid non-ASCII, 2- and 3-byte chars
+    "café au lait",
+    "über alles élève",
+    "ascii prefix then 世界 and back",
+    "世界",
   )
 
   private def edgeDf = {
