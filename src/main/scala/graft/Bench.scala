@@ -179,7 +179,9 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_ex_q74":${r3(exQ74)}$duckdb$budgetNote,"queries":$qs$extra,"sf":"$sfDir"}"""
     }
-    println(line(_.takeWhile(_ != '_'), d => f"$d%.3f", extra = ""))
+    // 2-decimal stdout values (r17): the 3-decimal compact line outgrew the
+    // driver's 2000-char tail at 136 queries (BENCH_r16.json parsed: null)
+    println(line(_.takeWhile(_ != '_'), d => f"$d%.2f", extra = ""))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     // Round-over-round regression ledger: BEFORE overwriting the committed
     // bench_out.json, diff this capture against it and emit BENCH_DELTA.json
@@ -272,10 +274,15 @@ object Bench {
     require(dupPrefixes.isEmpty,
       s"duplicate bench-key prefixes would corrupt the compact stdout line: " +
         dupPrefixes.mkString(", "))
+    // 2-decimal values and NO noise/capture passthrough (r17, verdict
+    // What's-wrong #3): the r16 compact line measured 2053 chars — 53 over
+    // the driver's 2000-char stdout tail — so BENCH_r16.json shipped with
+    // `parsed: null`. This rendering measures ~1725 chars on the same
+    // capture; full precision + noise + capture stay in bench_out.json.
     val qs = queries.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f"
     }.mkString("{", ",", "}")
-    val passthrough = Seq("duckdb_committed", "noise", "stream_budget_ok",
+    val passthrough = Seq("duckdb_committed", "stream_budget_ok",
       "stream_budget_violations")
       .flatMap(f => Option(node.get(f)).map(v => s""""$f":$v"""))
       .mkString(",")

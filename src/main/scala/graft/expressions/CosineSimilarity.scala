@@ -171,12 +171,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier(SmallestKPairs.name),
       new ExpressionInfo(classOf[SmallestKPairs].getName, SmallestKPairs.name),
       SmallestKPairs.builder))
+    ext.injectFunction((FunctionIdentifier(PostingPairs.name),
+      new ExpressionInfo(classOf[PostingPairs].getName, PostingPairs.name),
+      PostingPairs.builder))
     ext.injectFunction((FunctionIdentifier(FunnelStage.name),
       new ExpressionInfo(classOf[FunnelStage].getName, FunnelStage.name),
       FunnelStage.builder))
     ext.injectFunction((FunctionIdentifier("graft_pii_scrub"),
       new ExpressionInfo(classOf[PiiScrub].getName, "graft_pii_scrub"),
-      { children: Seq[Expression] => PiiScrub(children.head) }))
+      GraftPii.builder))
     ext.injectFunction((FunctionIdentifier(OovStats.name),
       new ExpressionInfo(classOf[OovStats].getName, OovStats.name),
       OovStats.builder))

@@ -39,7 +39,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    followed by a required literal can only succeed when the WHOLE
   *    digit run is 1-3 long (every shorter prefix is followed by a digit,
   *    which is neither '.' nor a word boundary), so each quad checks its
-  *    full run length; `\b` is Java's default ASCII word boundary.
+  *    full run length; `\b` is Java's default word boundary, which is
+  *    UNICODE-aware (letterOrDigit or '_' over code points) even while
+  *    `\w` stays ASCII — see isBoundWordBefore/At below (r17 fix).
   *  - phone `\+\d{2}-\d{2}-\d{7}`: fixed-width, anchored at '+'.
   * All matches are non-overlapping and the scan resumes at each match
   * end, exactly like `Matcher.find()`/`replaceAll`.
@@ -52,6 +54,21 @@ object GraftPii {
   @inline private def isWordC(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
       (c >= '0' && c <= '9') || c == '_'
+  // Java-regex `\b` word-char semantics (JDK Pattern.Bound WITHOUT
+  // UNICODE_CHARACTER_CLASS): `ch == '_' || Character.isLetterOrDigit(ch)`
+  // over CODE POINTS — \b is Unicode-aware even while \w stays ASCII, so
+  // 'é'/CJK neighbors suppress an IP boundary that the ASCII isWordC
+  // missed (the r16 ADVICE multibyte parity gap — found by the added
+  // PiiScrubSpec cases, fixed here). codePointBefore/At pair surrogates,
+  // so a 4-byte emoji is judged once as its (non-word) code point.
+  @inline private def isBoundWordBefore(s: String, i: Int): Boolean = {
+    val cp = s.codePointBefore(i)
+    cp == '_'.toInt || Character.isLetterOrDigit(cp)
+  }
+  @inline private def isBoundWordAt(s: String, i: Int): Boolean = {
+    val cp = s.codePointAt(i)
+    cp == '_'.toInt || Character.isLetterOrDigit(cp)
+  }
   @inline private def isDigitC(c: Char): Boolean = c >= '0' && c <= '9'
   @inline private def isLetterC(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
@@ -102,7 +119,7 @@ object GraftPii {
     val n = s.length
     var i = 0
     while (i < n) {
-      if (isDigitC(s.charAt(i)) && (i == 0 || !isWordC(s.charAt(i - 1)))) {
+      if (isDigitC(s.charAt(i)) && (i == 0 || !isBoundWordBefore(s, i))) {
         // four quads: full digit run 1-3 long; first three followed by '.',
         // the last by a word boundary (non-word char or end)
         var p = i
@@ -117,7 +134,7 @@ object GraftPii {
             quads += 1
             if (quads < 4) {
               if (p < n && s.charAt(p) == '.') p += 1 else fail = true
-            } else if (p < n && isWordC(s.charAt(p))) fail = true
+            } else if (p < n && isBoundWordAt(s, p)) fail = true
           }
         }
         if (!fail) { out.add((i.toLong << 32) | p.toLong); i = p }
@@ -179,11 +196,22 @@ object GraftPii {
       emails.size().toLong, nIps, nPhones, UTF8String.fromString(clean)))
   }
 
+  /** Shared by [[register]] and the SparkSessionExtensions injection —
+    * wrong arity raises a clean analysis-time error instead of
+    * `children.head` throwing NoSuchElementException on zero args or
+    * silently ignoring extras (ADVICE r16).
+    */
+  private[expressions] val builder: Seq[Expression] => Expression = {
+    case Seq(e) => PiiScrub(e)
+    case c => throw new IllegalArgumentException(
+      s"graft_pii_scrub expects exactly 1 argument (text), got ${c.size}")
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_pii_scrub"),
       new ExpressionInfo(classOf[PiiScrub].getName, "graft_pii_scrub"),
-      (c: Seq[Expression]) => PiiScrub(c.head))
+      builder)
 
   def scrubCol(spark: SparkSession)(text: Column): Column = {
     register(spark); call_function("graft_pii_scrub", text)

@@ -164,6 +164,9 @@ object Multimodal {
     * fingerprint set is deduplicated ROW-locally (array_distinct), so a
     * doc_id appearing in two rows would double its postings and inflate
     * `shared` counts versus a corpus-wide-distinct oracle (ADVICE r13).
+    * CONTRACT (r17): `doc_id` must be in [0, 2^31) — the fused posting
+    * aggregate packs pairs into one long; out-of-range ids fail loudly at
+    * update (see [[graft.expressions.PostingPairs]]).
     */
   def frameDupPairsMeta(meta: DataFrame, stride: Int, buckets: Int,
                         minShared: Int, maxPosting: Int): DataFrame = {
@@ -187,22 +190,27 @@ object Multimodal {
     // contributes at most maxPosting² pairs) and emit its (a < b)
     // combinations; the second exchange counts shared fingerprints per
     // pair. Two shuffles total, nothing re-read twice. The cap is enforced
-    // INSIDE the aggregate (native graft_smallest_k, a k-bounded heap —
-    // r15, ADVICE r14): per-bucket memory is O(k) at every stage and the
+    // INSIDE the aggregate: round 17 fused the whole posting stage —
+    // k-bounded heap, singleton filter, and pair-combination emission —
+    // into ONE eval (native graft_posting_pairs; was graft_smallest_k +
+    // size filter + nested HOF transforms + struct explode), emitting
+    // packed `(a<<32)|b` longs so the pair-count exchange keys on a single
+    // primitive long (Q134_FUSE_AB.json: 1.27× on the full sf1 wall, rows
+    // identical). Per-bucket memory stays O(k) at every stage and the
     // map-side partial ships at most k postings per bucket through the
-    // shuffle, where the previous slice-after-collect_list held a
-    // saturated bucket's FULL posting list in an unspillable buffer.
-    graft.expressions.CollectSmallestK.register(meta.sparkSession)
+    // shuffle (the r15/ADVICE-r14 bound), where the original
+    // slice-after-collect_list held a saturated bucket's FULL posting
+    // list in an unspillable buffer. Packing contract (loud update-time
+    // error, never silent): doc_id ∈ [0, 2^31) — wider id spaces must
+    // densify first or compose the unpacked graft_smallest_k form.
+    graft.expressions.PostingPairs.register(meta.sparkSession)
     fps.groupBy("fp")
-      .agg(expr(s"graft_smallest_k(doc_id, $maxPosting)").as("ds"))
-      .filter(size(col("ds")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ds, (x, i) -> " +
-          "transform(slice(ds, i + 2, size(ds) - i - 1), " +
-          "y -> struct(x AS a, y AS b))))")).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .agg(expr(s"graft_posting_pairs(doc_id, $maxPosting)").as("pp"))
+      .select(explode(col("pp")).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+      .select(shiftright(col("p"), 32).as("a"),
+        col("p").bitwiseAND(lit(4294967295L)).as("b"), col("shared"))
   }
 
   // ------------------------------------------------------- declared queries

@@ -64,6 +64,15 @@ class PiiScrubSpec extends AnyFunSuite {
       // mixtures
       "mail a@b.com ip 1.2.3.4 tel +12-34-1234567 mail2 c@d.org",
       "overlap a@1.2.3.4.com and bare 5.6.7.8",
+      // non-ASCII neighbors (ADVICE r16): multibyte chars adjacent to
+      // digit runs and pattern anchors — Java's default \b is ASCII-\w,
+      // so 'é' and CJK are NON-word chars and a boundary exists; the
+      // kernel's char-indexed scan must agree on UTF-16 units, including
+      // across a 4-byte emoji's surrogate pair
+      "é1.2.3.4", "1.2.3.4é", "éx@y.comé",
+      "日本x@y.co 世1.2.3.4界", "電話+12-34-1234567です",
+      "🎉1.2.3.4🎉", "🎉a@b.co", "naïve@exämple.com",
+      "日1.2.3.4.5本", "é+12-34-12345678é",
     ).foreach(check)
   }
 
@@ -71,14 +80,19 @@ class PiiScrubSpec extends AnyFunSuite {
     val piiChar = Gen.frequency(
       (6, Gen.alphaNumChar), (2, Gen.const('.')), (1, Gen.const('@')),
       (1, Gen.const('-')), (1, Gen.const('+')), (1, Gen.const('_')),
-      (1, Gen.const('%')), (2, Gen.const(' ')), (1, Gen.numChar))
+      (1, Gen.const('%')), (2, Gen.const(' ')), (1, Gen.numChar),
+      // non-ASCII (ADVICE r16): 2- and 3-byte chars in the stream so
+      // multibyte neighbors hit every anchor position; 4-byte emoji
+      // (surrogate pairs) are seeded via the mid strings below
+      (1, Gen.oneOf('é', '日', '世')))
     val piiString = for {
       n <- Gen.choose(0, 60)
       cs <- Gen.listOfN(n, piiChar)
     } yield cs.mkString
     val seeded = Gen.oneOf(piiString, for {
       pre <- piiString; mid <- Gen.oneOf("a@b.co", "1.2.3.4",
-        "+12-34-1234567", "x@1.2.3.4.com", "@@", "9.9.9.999")
+        "+12-34-1234567", "x@1.2.3.4.com", "@@", "9.9.9.999",
+        "🎉1.2.3.4", "日x@y.co界")
       post <- piiString
     } yield pre + mid + post)
     (0 until 1000).foreach { i =>

@@ -86,15 +86,30 @@ object BenchSf1 {
       Files.createFile(Paths.get(dir, "_STAGED_v2"))
     }
 
+    // per-query scrubbed-plan fingerprints (r17, ADVICE r16): captured as
+    // a side effect of the last completed run — the timed wall is taken
+    // BEFORE the fingerprint work, and the plan was already materialized
+    // by the collect. bench_sf1.py's outlier ledger gates its window-drift
+    // self-adjudication on these (an unchanged fingerprint is the
+    // "same plan" signal; a changed one downgrades the verdict to
+    // unconfirmed instead of silently closing a real regression).
+    val planFps = scala.collection.mutable.Map[String, String]()
     def runOnce(name: String,
                 fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, dir).collect() } catch {
+      val dt = try {
+        val df = fn(spark, dir)
+        df.collect()
+        val t = (System.nanoTime() - t0) / 1e9
+        try planFps(name) = graft.Bench.planFingerprint(df, dir)
+        catch { case _: Exception => () }
+        t
+      } catch {
         case e: Throwable =>
           System.err.println(s"BENCHFAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          return -1.0
+          -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      dt
     }
     val all = SparkEntry.freshQueries
     val results = Queries.map { name =>
@@ -239,6 +254,8 @@ object BenchSf1 {
       s"""{"sf":"sf1-densified (10x sf0.1, disjoint keys)","dir":"$dir","cores":$cpus,""" +
         s""""queries":{${results.map { case (n, v) => s""""$n":${j(v)}""" }.mkString(",")}},""" +
         s""""submetrics":{"q129_search_only":${j(searchOnly)},"q91_score_only":${j(scoreOnly)},"q120_resolve_only":${j(resolveOnly)},"q107_maintain_only":${j(maintainOnly)},"q119_strip_only":${j(stripOnly)}},""" +
+        s""""plan_fps":{${planFps.toSeq.sortBy(_._1)
+          .map { case (n, f) => s""""$n":"$f"""" }.mkString(",")}},""" +
         s""""total":${j(results.map(_._2).filter(_ >= 0).sum)}}"""
     Files.write(Paths.get("/tmp/bench_sf1_spark.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

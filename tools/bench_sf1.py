@@ -230,12 +230,37 @@ def main():
     # previously COMMITTED sf1 walls, read before this capture overwrites
     # them — the sub-wall outlier ledger adjudicates its own churners
     # against them (a query whose committed wall sits in the scheduling
-    # floor entered the band on host drift, not a plan change)
-    prev_spark = {}
+    # floor entered the band on host drift, not a plan change).
+    # r17 (ADVICE r16): the baseline is read from git HEAD, not whatever
+    # capture currently sits at out_path — back-to-back bench runs must
+    # adjudicate against the committed walls, not the prior uncommitted
+    # window. Falls back to the on-disk file outside a git checkout; the
+    # artifact records which baseline the verdicts were computed against.
+    prev_artifact, baseline_src = {}, None
     try:
-        prev_spark = json.load(open(out_path)).get("spark_queries", {})
+        import subprocess
+        blob = subprocess.run(
+            ["git", "show", f"HEAD:{os.path.basename(out_path)}"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(out_path)) or ".")
+        if blob.returncode == 0 and blob.stdout.strip():
+            prev_artifact = json.loads(blob.stdout)
+            head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                                  capture_output=True, text=True,
+                                  cwd=os.path.dirname(
+                                      os.path.abspath(out_path)) or ".")
+            baseline_src = f"git HEAD {head.stdout.strip()}"
     except Exception:
         pass
+    if not prev_artifact:
+        try:
+            prev_artifact = json.load(open(out_path))
+            baseline_src = f"on-disk {out_path} (not a git checkout)"
+        except Exception:
+            pass
+    prev_spark = prev_artifact.get("spark_queries", {})
+    prev_fps = prev_artifact.get("plan_fps", {})
+    cur_fps = spark.get("plan_fps", {})
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
@@ -440,8 +465,36 @@ def main():
         if pw is not None:
             e["prev_committed"] = pw
         if pw is not None and pw <= 0.45:
-            e["verdict"] = ("window-drift (committed wall "
-                            f"{pw:.3f}s is scheduling-floor class)")
+            # r17 (ADVICE r16): a floor-class prior alone must not
+            # self-close the verdict — a real plan/code regression pushing
+            # a floor query into the band has the same wall signature. The
+            # window-drift close additionally requires the scrubbed-plan
+            # fingerprint to be unchanged vs the committed artifact;
+            # changed or missing fingerprints stay UNCONFIRMED (open).
+            fp_prev, fp_cur = prev_fps.get(n), cur_fps.get(n)
+            if fp_prev is not None and fp_prev == fp_cur:
+                e["verdict"] = ("window-drift (committed wall "
+                                f"{pw:.3f}s is scheduling-floor class; "
+                                "plan fingerprint unchanged)")
+            elif not prev_fps:
+                # baseline predates the fingerprint mechanism (pre-r17
+                # artifact): the gate cannot apply retroactively — close
+                # on the floor-class prior as before, but say so; the
+                # gate is fully active from the first committed capture
+                # that carries plan_fps
+                e["verdict"] = ("window-drift (committed wall "
+                                f"{pw:.3f}s is scheduling-floor class; "
+                                "fingerprint baseline unavailable — "
+                                "pre-r17 artifact, gate active from the "
+                                "next committed capture)")
+            else:
+                e["verdict"] = ("window-drift (UNCONFIRMED — committed "
+                                f"wall {pw:.3f}s is floor class but the "
+                                "plan fingerprint is "
+                                + ("missing from the baseline"
+                                   if fp_prev is None else "CHANGED")
+                                + "; re-measure before closing)")
+                e["open"] = True
         elif n in decomp_pointers:
             e["verdict"] = "decomposed (see decomp pointer)"
         elif n in submetric_of:
@@ -460,8 +513,13 @@ def main():
         "rule's 0.6 s floor, so no large ratio is absent from every "
         "ledger; each needs a committed decomposition or fix (r16 rule). "
         "Entries self-adjudicate: a committed-floor prev wall closes as "
-        "window-drift, a decomp pointer cites the committed arithmetic; "
-        "only verdict-less entries are open")
+        "window-drift ONLY when the scrubbed-plan fingerprint also matches "
+        "the committed baseline (r17 gate; changed/missing fingerprints "
+        "stay open as UNCONFIRMED), a decomp pointer cites the committed "
+        "arithmetic; verdict-less or open:true entries are open")
+    artifact["plan_fps"] = cur_fps
+    if baseline_src is not None:
+        artifact["adjudication_baseline"] = baseline_src
     # the weak list itself (>2x at >=0.6 s), emitted with the same
     # self-adjudication the outlier ledger carries (r16): the judge and the
     # README no longer derive it by hand, and a host-phase churner whose
