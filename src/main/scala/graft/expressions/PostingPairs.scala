@@ -89,7 +89,10 @@ case class PostingPairs(child: Expression, kExpr: Expression,
   override def eval(buf: CollectSmallestK.Heap): Any = {
     val a = buf.sortedAscending()
     val n = a.length
-    if (n < 2) return new GenericArrayData(Array.emptyLongArray)
+    // groups of < 2 are the overwhelming majority (~10^6 singleton fp
+    // cells at sf1): share one immutable empty result instead of
+    // allocating a wrapper per group
+    if (n < 2) return PostingPairs.Empty
     val out = new Array[Long](n * (n - 1) / 2)
     var w = 0
     var i = 0
@@ -138,6 +141,9 @@ case class PostingPairs(child: Expression, kExpr: Expression,
 
 object PostingPairs {
   val name = "graft_posting_pairs"
+
+  /** Shared empty eval result — GenericArrayData is read-only downstream. */
+  private val Empty = new GenericArrayData(Array.emptyLongArray)
 
   private val info = new ExpressionInfo(classOf[PostingPairs].getName, name)
 

@@ -39,10 +39,12 @@ object Q134Decomp {
       explode(expr(
         "array_distinct(transform(sequence(0, n_frames - 1, 2), " +
           "i -> (checksum * 131L + CAST(i AS BIGINT) * 2654435761L) % 1048576))")).as("fp"))
+    // r17: the shipped posting stage is the FUSED pair emitter
+    // (graft_posting_pairs — heap + size filter + combination HOFs in one
+    // eval; Q134_FUSE_AB.json), so the cumulative leg measures that
     def postings(s: SparkSession) = {
-      graft.expressions.CollectSmallestK.register(s)
-      fps(s).groupBy("fp").agg(expr("graft_smallest_k(doc_id, 1024)").as("ds"))
-        .filter(size(col("ds")) >= 2)
+      graft.expressions.PostingPairs.register(s)
+      fps(s).groupBy("fp").agg(expr("graft_posting_pairs(doc_id, 1024)").as("ds"))
     }
     def full(s: SparkSession) =
       SparkEntry.freshQueries("q134_multimodal_frame_dedup")(s, sfDir)
