@@ -444,6 +444,12 @@ def main():
         "q117_boilerplate_strip": "Q117_PERSIST_AB.json",
         "q81_recursive_cte": "Q81_STRIDE_AB.json",
         "q87_snapshot_diff": "tools.SnapDiffShapeProbe (measured join-vs-union shape, ScaleLayouts.scala scaladoc)",
+        # r17: floor-boundary churners whose previously committed wall sat
+        # 1-14 ms ABOVE the 0.45 s gate because the baseline artifact was
+        # the round's deliberately committed hot window - adjudicated with
+        # phase-independent committed-history + fingerprint evidence
+        "q101_cohort_retention": "Q101_Q59_FLOOR.json (fp-attested floor churn)",
+        "q59_window_ntile": "Q101_Q59_FLOOR.json (fp-attested floor churn)",
     }
     # queries whose certification row deliberately re-does maintained work
     # (the q129 pattern): the committed deployment submetric, not a stage
