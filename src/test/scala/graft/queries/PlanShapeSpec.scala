@@ -287,4 +287,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
   }
+
+  test("q134 fused pair stage: two data shuffles, map-side posting partial, codegen pair count") {
+    val df = plan("q134_multimodal_frame_dedup")
+    // r17 shape (Q134_FUSE_AB.json): fp explode → ONE fused posting
+    // aggregate (graft_posting_pairs) around the fp exchange → packed-long
+    // explode → plain HashAggregate count around the pair exchange. Two
+    // data shuffles total; the presentation sort's single-partition merge
+    // is excluded. A regression to the HOF shape re-adds the size filter +
+    // struct transforms; a regression of the pair count to a struct key
+    // would demote it from whole-stage-codegen HashAggregate back to the
+    // object hash path.
+    val dataShuffles = shuffles(df).filterNot(
+      _.outputPartitioning.numPartitions == 1)
+    assert(dataShuffles.size == 2, initialPlan(df).toString)
+    val p = initialPlan(df).toString
+    // the fused aggregate partial-aggregates BELOW its exchange (map-side
+    // k-capped combine — the O(k)-per-bucket shuffle-payload bound)
+    assert(p.contains("partial_graft_posting_pairs"), p)
+    // the pair count is a plain codegen HashAggregate on the packed long:
+    // the only ObjectHashAggregates in the plan are the posting stage's
+    // partial+final pair
+    val objAggs = p.split("\n").count(_.contains("ObjectHashAggregate"))
+    assert(objAggs == 2, s"expected exactly the posting partial+final " +
+      s"ObjectHashAggregate pair, found $objAggs\n$p")
+  }
 }
