@@ -346,6 +346,26 @@ def main():
             sys.exit("bench_ab.py: --prev-from-delta requires --adjudicate")
         dq = json.load(open(f"{REPO}/BENCH_DELTA.json"))["queries"]
         prev_spark = {n: r["prev"] for n, r in dq.items()}
+    # --prev-from-sf1 (adjudicate mode, round 17): adjudicating a flag at
+    # the sf1 point needs sf1 priors — bench_out.json carries sf0.1 walls,
+    # and ratios across SFs are meaningless (the q101/q59 r17 case had to
+    # fall back to hand-assembled committed-history evidence,
+    # Q101_Q59_FLOOR.json). Reads spark_queries from the COMMITTED
+    # BENCH_sf1.json via git HEAD (the bench_sf1.py baseline rule),
+    # falling back to the on-disk artifact.
+    if "prev-from-sf1" in flags:
+        if adjudicate_out is None:
+            sys.exit("bench_ab.py: --prev-from-sf1 requires --adjudicate")
+        if "prev-from-delta" in flags:
+            sys.exit("bench_ab.py: --prev-from-sf1 conflicts with "
+                     "--prev-from-delta")
+        import subprocess
+        blob = subprocess.run(["git", "show", "HEAD:BENCH_sf1.json"],
+                              capture_output=True, text=True, cwd=REPO)
+        art = (json.loads(blob.stdout) if blob.returncode == 0
+               and blob.stdout.strip()
+               else json.load(open(f"{REPO}/BENCH_sf1.json")))
+        prev_spark = art["spark_queries"]
 
     con = duckdb.connect()
     for t in TABLES:
