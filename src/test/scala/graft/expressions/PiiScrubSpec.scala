@@ -99,4 +99,24 @@ class PiiScrubSpec extends AnyFunSuite {
       seeded.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(check)
     }
   }
+
+  test("property: kernel == regex composition on fully random code points") {
+    // r17: the multibyte \b parity gap hid for two rounds because the
+    // property alphabet was ASCII-only — this sweep draws UNRESTRICTED
+    // code points (any plane, surrogates paired by Character.toChars)
+    // around planted PII seeds so every anchor position meets arbitrary
+    // Unicode neighbors, including astral ones
+    val rnd = new scala.util.Random(1717)
+    def randCp(): String = {
+      val cp = rnd.nextInt(0x10FFFF + 1)
+      if (cp >= 0xD800 && cp <= 0xDFFF) "x" // lone surrogates: not valid text
+      else new String(Character.toChars(cp))
+    }
+    def randStr(n: Int): String = (0 until n).map(_ => randCp()).mkString
+    val seeds = Seq("1.2.3.4", "a@b.co", "+12-34-1234567", "9.9.9.999", "")
+    (0 until 400).foreach { i =>
+      val s = randStr(rnd.nextInt(8)) + seeds(i % seeds.size) + randStr(rnd.nextInt(8))
+      check(s)
+    }
+  }
 }
