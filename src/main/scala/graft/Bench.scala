@@ -181,7 +181,9 @@ object Bench {
     }
     // 2-decimal stdout values (r17): the 3-decimal compact line outgrew the
     // driver's 2000-char tail at 136 queries (BENCH_r16.json parsed: null)
-    println(line(_.takeWhile(_ != '_'), d => f"$d%.2f", extra = ""))
+    printCompact(line(_.takeWhile(_ != '_'), d => f"$d%.2f", extra = ""),
+      f"BENCH total ${r3(total)}s over ${results.size} queries " +
+        "(full artifact: bench_out.json); compact line follows.")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     // Round-over-round regression ledger: BEFORE overwriting the committed
     // bench_out.json, diff this capture against it and emit BENCH_DELTA.json
@@ -290,8 +292,25 @@ object Bench {
       s""""unit":"sec","total_ex_q74":${r3(node.get("total_ex_q74").asDouble())},""" +
       (if (passthrough.nonEmpty) passthrough + "," else "") +
       s""""capture":${node.get("capture")},"queries":$qs,"sf":"$sfDir"}"""
-    println(line)
+    printCompact(line,
+      f"BENCH total ${r3(node.get("value").asDouble())}s over " +
+        s"${queries.size} queries (A/B window; full artifact: " +
+        "bench_out.json); compact line follows.")
     true
+  }
+
+  /** Emits the compact stdout line behind enough blank-line padding that
+    * the driver's ~2000-char stdout TAIL opens on whitespace, then one
+    * short human summary, then the complete JSON line — never mid-way
+    * through an earlier log line (r17 verdict tidy item: BENCH_r17.json's
+    * tail opened mid-sentence). The padding budget assumes the launcher
+    * appends at most ~150 chars of trailer after our last line. */
+  private def printCompact(line: String, summary: String): Unit = {
+    val tailBudget = 2000
+    val pad = math.max(0, tailBudget - (summary.length + line.length + 2))
+    print("\n" * pad)
+    println(summary)
+    println(line)
   }
 
   /** stdin/stdout line protocol for the interleaved A/B orchestrator

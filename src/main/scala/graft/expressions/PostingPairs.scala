@@ -47,9 +47,18 @@ case class PostingPairs(child: Expression, kExpr: Expression,
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType =>
-      if (kExpr.foldable && kExpr.dataType == IntegerType)
-        TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be a literal int")
+      if (!(kExpr.foldable && kExpr.dataType == IntegerType))
+        TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be a literal int")
+      else kExpr.eval() match {
+        // a null or sub-2 k would silently emit empty arrays for every
+        // group (pairs need at least 2 values) — fail at analysis instead,
+        // matching the loud-failure philosophy of the packing-range check
+        case null => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: k must not be null")
+        case i: Int if i < 2 => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: k must be >= 2 (pairs need at least 2 values), got $i")
+        case _ => TypeCheckResult.TypeCheckSuccess
+      }
     case dt => TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects a BIGINT column, got ${dt.simpleString}")
   }

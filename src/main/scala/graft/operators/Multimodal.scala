@@ -196,9 +196,11 @@ object Multimodal {
     // size filter + nested HOF transforms + struct explode), emitting
     // packed `(a<<32)|b` longs so the pair-count exchange keys on a single
     // primitive long (Q134_FUSE_AB.json: 1.27× on the full sf1 wall, rows
-    // identical). Per-bucket memory stays O(k) at every stage and the
-    // map-side partial ships at most k postings per bucket through the
-    // shuffle (the r15/ADVICE-r14 bound), where the original
+    // identical). The shuffle payload stays O(k) — the map-side partial
+    // ships at most k postings per bucket (the r15/ADVICE-r14 bound) —
+    // while the final eval materializes at most C(k,2) packed longs per
+    // bucket, the same bound the HOF form it replaces had, where the
+    // original
     // slice-after-collect_list held a saturated bucket's FULL posting
     // list in an unspillable buffer. Packing contract (loud update-time
     // error, never silent): doc_id ∈ [0, 2^31) — wider id spaces must

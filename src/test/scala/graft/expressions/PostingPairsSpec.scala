@@ -84,6 +84,24 @@ class PostingPairsSpec extends AnyFunSuite {
     assert(df.toSeq == Seq((0L, 7L), (0L, 2147483647L), (7L, 2147483647L)))
   }
 
+  test("degenerate k literals fail at analysis, never silently empty (ADVICE r17)") {
+    PostingPairs.register(spark)
+    val df = Seq((1L, 1L), (1L, 2L)).toDF("g", "v")
+    for (badK <- Seq("0", "-1", "1", "CAST(NULL AS INT)")) {
+      val e = intercept[Exception] {
+        df.groupBy("g").agg(expr(s"graft_posting_pairs(v, $badK)")).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains("k must be >= 2") ||
+        m.contains("k must not be null")), s"k=$badK: $e")
+    }
+    // k=2 (the minimum useful) still works
+    val ok = df.groupBy("g").agg(expr("graft_posting_pairs(v, 2)").as("pp"))
+      .collect()(0).getSeq[Long](1)
+    assert(ok == Seq((1L << 32) | 2L))
+  }
+
   test("sql registration via extensions resolves (deployment path)") {
     val s2 = spark.newSession()
     import s2.implicits._

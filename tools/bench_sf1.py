@@ -494,11 +494,17 @@ def main():
                                 "pre-r17 artifact, gate active from the "
                                 "next committed capture)")
             else:
+                # three distinct evidence states (ADVICE r17): prev fp
+                # missing (baseline gap), cur fp missing (BenchSf1 swallows
+                # fingerprint exceptions, so cur_fps.get(n) can be None),
+                # or both present and genuinely different
+                fp_state = ("missing from the baseline" if fp_prev is None
+                            else "missing from this capture"
+                            if fp_cur is None else "CHANGED")
                 e["verdict"] = ("window-drift (UNCONFIRMED — committed "
                                 f"wall {pw:.3f}s is floor class but the "
                                 "plan fingerprint is "
-                                + ("missing from the baseline"
-                                   if fp_prev is None else "CHANGED")
+                                + fp_state
                                 + "; re-measure before closing)")
                 e["open"] = True
         elif n in decomp_pointers:
