@@ -404,20 +404,29 @@ object Bench {
     */
   private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame,
                                      sfDir: String): String = {
-    val raw = df.queryExecution.optimizedPlan.toString
-    val scrubbed = raw
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(scrubbedPlan(df, sfDir)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
+  private[graft] def scrubbedPlan(df: org.apache.spark.sql.DataFrame,
+                                  sfDir: String): String =
+    df.queryExecution.optimizedPlan.toString
       .replace(sfDir, "<sf>")
       .replaceAll("#\\d+[A-Za-z]*", "#x")
+      // JVM lambda identities (`…$$Lambda$2634/0x00007f89f4dce3f0`): the
+      // counter and hex address are per-JVM, so any plan with a typed
+      // mapPartitions/mapGroups closure (q54/q74/q94/q95) fingerprinted
+      // differently in EVERY bench window — neither the per-query envelope
+      // rule nor the suite fingerprint-set gate could ever match them (r18)
+      .replaceAll("\\$\\$+Lambda\\$?\\d*/0x[0-9a-fA-F]+", "\\$\\$Lambda\\$x/0xx")
       .replaceAll("@[0-9a-fA-F]{4,}", "@x")
       .replaceAll("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", "<uuid>")
       .replaceAll("plan_id=\\d+", "plan_id=x")
       .replaceAll("(?i)rdd[ _]?\\[?\\d+\\]?", "rdd_x")
       .replaceAll("file:[^\\s,\\)\\]]+", "<uri>")
       .replaceAll("/(?:tmp|root)/[^\\s,\\)\\]]+", "<path>")
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(scrubbed.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(8).map(b => f"$b%02x").mkString
-  }
 
   /** Diffs this capture against the previously committed `bench_out.json`
     * (if any) and writes `BENCH_DELTA.json`: per-query prev/cur/ratio plus

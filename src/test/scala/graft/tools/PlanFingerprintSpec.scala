@@ -49,6 +49,23 @@ class PlanFingerprintSpec extends AnyFunSuite {
     assert(a != c, "a real plan change must move the fingerprint")
   }
 
+  test("lambda identities are scrubbed (typed-closure plans, r18)") {
+    // q54/q74/q94/q95 carry MapPartitions/MapGroups closures whose plan
+    // rendering embeds `$$Lambda$<n>/0x<addr>` — per-JVM tokens that made
+    // their fingerprints differ in every bench window until r18. The
+    // scrubbed text must carry no JVM address and still fingerprint
+    // deterministically across fresh builds.
+    for (n <- Seq("q54_multimodal_decode", "q74_pack_sequences",
+                  "q94_frame_sample", "q95_multimodal_resize")) {
+      val q = SparkEntry.queries(n)
+      val scrubbed = Bench.scrubbedPlan(q(spark, sf), sf)
+      assert(!scrubbed.matches("(?s).*0x[0-9a-fA-F]{6,}.*"),
+        s"$n: JVM address survived the scrub:\n$scrubbed")
+      assert(Bench.planFingerprint(q(spark, sf), sf) ==
+        Bench.planFingerprint(q(spark, sf), sf))
+    }
+  }
+
   test("fingerprint is stable across the sf dir spelling") {
     val q = SparkEntry.queries("q01_scan_count")
     val a = Bench.planFingerprint(q(spark, sf), sf)

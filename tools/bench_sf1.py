@@ -50,6 +50,40 @@ def classify(name, sql):
     return "batch"
 
 
+def floor_drift_verdict(pw, fp_prev, fp_cur, have_prev_fps):
+    """Self-adjudication for an outlier whose committed prior wall is
+    scheduling-floor class (<= 0.45 s). r17 (ADVICE r16): a floor-class
+    prior alone must not self-close the verdict — a real plan/code
+    regression pushing a floor query into the band has the same wall
+    signature. The window-drift close additionally requires the
+    scrubbed-plan fingerprint to be UNCHANGED vs the committed artifact;
+    changed or missing fingerprints stay UNCONFIRMED (open). Module-level
+    so the open-on-changed-fingerprint path is pinned by
+    tools/test_adjudication.py (r18). Returns (verdict, is_open)."""
+    if fp_prev is not None and fp_prev == fp_cur:
+        return (f"window-drift (committed wall {pw:.3f}s is "
+                "scheduling-floor class; plan fingerprint unchanged)", False)
+    if not have_prev_fps:
+        # baseline predates the fingerprint mechanism (pre-r17 artifact):
+        # the gate cannot apply retroactively — close on the floor-class
+        # prior as before, but say so; the gate is fully active from the
+        # first committed capture that carries plan_fps
+        return (f"window-drift (committed wall {pw:.3f}s is "
+                "scheduling-floor class; fingerprint baseline unavailable "
+                "— pre-r17 artifact, gate active from the next committed "
+                "capture)", False)
+    # three distinct evidence states (ADVICE r17): prev fp missing
+    # (baseline gap), cur fp missing (BenchSf1 swallows fingerprint
+    # exceptions, so cur_fps.get(n) can be None), or both present and
+    # genuinely different
+    fp_state = ("missing from the baseline" if fp_prev is None
+                else "missing from this capture"
+                if fp_cur is None else "CHANGED")
+    return (f"window-drift (UNCONFIRMED — committed wall {pw:.3f}s is "
+            "floor class but the plan fingerprint is " + fp_state +
+            "; re-measure before closing)", True)
+
+
 def submetric_duckdb(con, oracles):
     """DuckDB twins for the Spark submetrics — the same build-untimed /
     probe-timed split, with the BUILD side materialized from the committed
@@ -471,41 +505,10 @@ def main():
         if pw is not None:
             e["prev_committed"] = pw
         if pw is not None and pw <= 0.45:
-            # r17 (ADVICE r16): a floor-class prior alone must not
-            # self-close the verdict — a real plan/code regression pushing
-            # a floor query into the band has the same wall signature. The
-            # window-drift close additionally requires the scrubbed-plan
-            # fingerprint to be unchanged vs the committed artifact;
-            # changed or missing fingerprints stay UNCONFIRMED (open).
-            fp_prev, fp_cur = prev_fps.get(n), cur_fps.get(n)
-            if fp_prev is not None and fp_prev == fp_cur:
-                e["verdict"] = ("window-drift (committed wall "
-                                f"{pw:.3f}s is scheduling-floor class; "
-                                "plan fingerprint unchanged)")
-            elif not prev_fps:
-                # baseline predates the fingerprint mechanism (pre-r17
-                # artifact): the gate cannot apply retroactively — close
-                # on the floor-class prior as before, but say so; the
-                # gate is fully active from the first committed capture
-                # that carries plan_fps
-                e["verdict"] = ("window-drift (committed wall "
-                                f"{pw:.3f}s is scheduling-floor class; "
-                                "fingerprint baseline unavailable — "
-                                "pre-r17 artifact, gate active from the "
-                                "next committed capture)")
-            else:
-                # three distinct evidence states (ADVICE r17): prev fp
-                # missing (baseline gap), cur fp missing (BenchSf1 swallows
-                # fingerprint exceptions, so cur_fps.get(n) can be None),
-                # or both present and genuinely different
-                fp_state = ("missing from the baseline" if fp_prev is None
-                            else "missing from this capture"
-                            if fp_cur is None else "CHANGED")
-                e["verdict"] = ("window-drift (UNCONFIRMED — committed "
-                                f"wall {pw:.3f}s is floor class but the "
-                                "plan fingerprint is "
-                                + fp_state
-                                + "; re-measure before closing)")
+            verdict, is_open = floor_drift_verdict(
+                pw, prev_fps.get(n), cur_fps.get(n), bool(prev_fps))
+            e["verdict"] = verdict
+            if is_open:
                 e["open"] = True
         elif n in decomp_pointers:
             e["verdict"] = "decomposed (see decomp pointer)"

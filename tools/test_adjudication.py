@@ -1,0 +1,259 @@
+#!/usr/bin/env python3
+"""Regression tests for the adjudication machinery (r18).
+
+Run: python3 tools/test_adjudication.py
+
+Pins the two r17-verdict defects at the exact histories that exposed them:
+
+1. ENVELOPE CIRCULARITY (What's-wrong #1): the committed q107 history —
+   the r16 12:04 window's 0.752 s wall was an OPEN flag when captured, so
+   it is contested and must not serve as the bound that exonerates the
+   r17 final-capture recurrence (isolated min 0.741 s). With contested
+   samples excluded the envelope is [0.448-0.596] and the flag stays on
+   the isolated-min path instead of self-closing.
+
+2. FP-GATED WINDOW-DRIFT CLOSE (Missing #4): bench_sf1's floor-class
+   self-close must stay OPEN (UNCONFIRMED) whenever the scrubbed-plan
+   fingerprint changed or is missing on either side — only an unchanged
+   fingerprint (or a pre-fingerprint baseline, the documented transition)
+   closes.
+"""
+import json
+import os
+import sys
+import tempfile
+import unittest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import bench_ab  # noqa: E402
+import bench_sf1  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def synth_envelope(path, sf, query, samples):
+    """samples: list of (spark_min, duckdb_min, fp, contested_or_None)."""
+    entries = []
+    for i, (s, d, fp, c) in enumerate(samples):
+        e = {"window": f"2026-08-16T{10 + i:02d}:00:00@abc{i}",
+             "spark_min": s, "duckdb_min": d, "fp": fp}
+        if c:
+            e["contested"] = c
+        entries.append(e)
+    with open(path, "w") as f:
+        json.dump({"per_sf": {sf: {query: entries}}}, f)
+
+
+class EnvelopeContested(unittest.TestCase):
+    def setUp(self):
+        self._orig = bench_ab.ENVELOPE_PATH
+        self.tmp = tempfile.NamedTemporaryFile(
+            mode="w", suffix=".json", delete=False)
+        self.tmp.close()
+        bench_ab.ENVELOPE_PATH = self.tmp.name
+
+    def tearDown(self):
+        bench_ab.ENVELOPE_PATH = self._orig
+        os.unlink(self.tmp.name)
+
+    def _adjudicate(self, iso, duck=0.033):
+        rows = {"q": {"verdict": "regression (exceeds same-window band)",
+                      "isolated_min": iso, "ab_min": iso,
+                      "duckdb_min": duck}}
+        per = {"q": {"plan_fp": "fp1"}}
+        bench_ab.apply_envelope_rule(rows, per, "/data/sf0.1")
+        return rows["q"]
+
+    def test_contested_sample_cannot_exonerate(self):
+        # clean hi 0.596; a contested 0.752 present — iso 0.741 must stay
+        # open (under the pre-r18 rule hi would be 0.752 and it would
+        # self-close as envelope-drift)
+        synth_envelope(self.tmp.name, "sf0.1", "q", [
+            (0.448, 0.032, "fp1", None),
+            (0.478, 0.031, "fp1", None),
+            (0.502, 0.034, "fp1", None),
+            (0.596, 0.042, "fp1", None),
+            (0.752, 0.040, "fp1", "flag open at capture"),
+        ])
+        r = self._adjudicate(0.741)
+        self.assertTrue(r["verdict"].startswith("regression"), r["verdict"])
+        self.assertEqual(r["envelope"]["contested_excluded"], 1)
+        self.assertAlmostEqual(r["envelope"]["spark_hi"], 0.596)
+
+    def test_clean_drift_still_closes(self):
+        # the legitimate path is untouched: iso inside the clean bounds
+        # with a stable DuckDB side closes as envelope-drift
+        synth_envelope(self.tmp.name, "sf0.1", "q", [
+            (0.448, 0.032, "fp1", None),
+            (0.478, 0.031, "fp1", None),
+            (0.596, 0.034, "fp1", None),
+            (0.752, 0.040, "fp1", "flag open at capture"),
+        ])
+        r = self._adjudicate(0.590)
+        self.assertTrue(r["verdict"].startswith("envelope-drift"),
+                        r["verdict"])
+
+    def test_too_few_clean_windows(self):
+        # contested exclusion can starve the rule below 3 windows — it
+        # must decline to apply, not fall back to contested bounds
+        synth_envelope(self.tmp.name, "sf0.1", "q", [
+            (0.448, 0.032, "fp1", None),
+            (0.478, 0.031, "fp1", None),
+            (0.752, 0.040, "fp1", "flag open at capture"),
+            (0.760, 0.041, "fp1", "flag open at capture"),
+        ])
+        r = self._adjudicate(0.741)
+        self.assertTrue(r["verdict"].startswith("regression"))
+        self.assertFalse(r["envelope"]["applies"])
+        self.assertEqual(r["envelope"]["contested_excluded"], 2)
+
+    def test_record_envelope_marks_open_flags(self):
+        os.unlink(self.tmp.name)  # start from no envelope file
+        per = {"qa": {"spark_min": 0.5, "duckdb_min": 0.03, "plan_fp": "f"},
+               "qb": {"spark_min": 0.7, "duckdb_min": 0.04, "plan_fp": "g"}}
+        env = bench_ab.record_envelope("/data/sf0.1", per, contested={"qb"})
+        bucket = env["per_sf"]["sf0.1"]
+        self.assertNotIn("contested", bucket["qa"][0])
+        self.assertIn("contested", bucket["qb"][0])
+
+
+class Q107CommittedHistory(unittest.TestCase):
+    """The r17 final-capture q107 flag, replayed against the committed
+    (re-derived) BENCH_ENVELOPE.json: it must now take the isolated-min
+    path (stay open at the envelope step) instead of self-closing against
+    the contested 0.752 bound."""
+
+    def test_r17_final_capture_flag_stays_open_at_envelope_step(self):
+        env = json.load(open(f"{REPO}/BENCH_ENVELOPE.json"))
+        entries = env["per_sf"]["sf0.1"]["q107_incremental_agg"]
+        contested = [e for e in entries if e.get("contested")]
+        self.assertTrue(any(abs(e["spark_min"] - 0.75231) < 1e-6
+                            for e in contested),
+                        "the r16 12:04 wall must be contested")
+        # the r17 delta's recorded adjudication inputs (012cb66)
+        rows = {"q107_incremental_agg": {
+            "verdict": "regression (exceeds same-window band)",
+            "isolated_min": 0.741232, "ab_min": 0.719026,
+            "duckdb_min": 0.03852}}
+        per = {"q107_incremental_agg": {"plan_fp": "523a8332bf67df31"}}
+        bench_ab.apply_envelope_rule(rows, per, "/data/sf0.1")
+        r = rows["q107_incremental_agg"]
+        self.assertTrue(r["verdict"].startswith("regression"), r["verdict"])
+        self.assertLessEqual(r["envelope"]["spark_hi"], 0.60)
+        self.assertGreaterEqual(r["envelope"]["contested_excluded"], 1)
+
+
+class SuiteDriftGate(unittest.TestCase):
+    """The r17 signature: a 16% Spark-side-only suite inflation (53.2 ->
+    61.8 s at sf0.1, DuckDB flat at ~20.3 s) must flag mechanically."""
+
+    def setUp(self):
+        self._orig = bench_ab.ENVELOPE_PATH
+        self.tmp = tempfile.NamedTemporaryFile(
+            mode="w", suffix=".json", delete=False)
+        self.tmp.close()
+        bench_ab.ENVELOPE_PATH = self.tmp.name
+        self.per = {"q01": {"spark_min": 1.0, "duckdb_min": 0.5,
+                            "plan_fp": "f1"},
+                    "q02": {"spark_min": 2.0, "duckdb_min": 0.7,
+                            "plan_fp": "f2"}}
+        self.fpset = bench_ab.suite_fpset({"q01": "f1", "q02": "f2"})
+
+    def tearDown(self):
+        bench_ab.ENVELOPE_PATH = self._orig
+        if os.path.exists(self.tmp.name):
+            os.unlink(self.tmp.name)
+
+    def _suite_env(self, samples):
+        entries = []
+        for i, (s, d, c) in enumerate(samples):
+            e = {"window": f"2026-08-16T{10 + i:02d}:00:00@abc{i}",
+                 "spark_total": s, "duckdb_total": d, "fpset": self.fpset}
+            if c:
+                e["contested"] = c
+            entries.append(e)
+        with open(self.tmp.name, "w") as f:
+            json.dump({"per_sf": {"sf0.1": {"_suite": entries}}}, f)
+
+    def test_r17_style_inflation_flags(self):
+        self._suite_env([(53.2, 20.2, None), (55.0, 20.4, None),
+                         (58.6, 20.4, None)])
+        out = bench_ab.apply_suite_rule("/data/sf0.1", self.per, 61.8, 20.6)
+        self.assertTrue(out["verdict"].startswith("suite-inflation"),
+                        out["verdict"])
+        self.assertTrue(out.get("open"))
+
+    def test_inside_envelope_ok(self):
+        self._suite_env([(53.2, 20.2, None), (55.0, 20.4, None),
+                         (58.6, 20.4, None)])
+        out = bench_ab.apply_suite_rule("/data/sf0.1", self.per, 56.0, 20.6)
+        self.assertTrue(out["verdict"].startswith("suite-ok"), out["verdict"])
+        self.assertFalse(out.get("open", False))
+
+    def test_both_engines_moved_is_host_phase(self):
+        self._suite_env([(53.2, 20.2, None), (55.0, 20.4, None),
+                         (58.6, 20.4, None)])
+        out = bench_ab.apply_suite_rule("/data/sf0.1", self.per, 70.0, 27.0)
+        self.assertTrue(out["verdict"].startswith("suite-moved-both-engines"),
+                        out["verdict"])
+
+    def test_contested_sample_excluded_from_suite_bounds(self):
+        # an inflated-but-contested 61.8 must not raise hi for the next one
+        self._suite_env([(53.2, 20.2, None), (55.0, 20.4, None),
+                         (58.6, 20.4, None),
+                         (61.8, 20.6, "suite-inflation open")])
+        out = bench_ab.apply_suite_rule("/data/sf0.1", self.per, 61.0, 20.5)
+        self.assertTrue(out["verdict"].startswith("suite-inflation"),
+                        out["verdict"])
+        self.assertEqual(out["contested_excluded"], 1)
+        self.assertAlmostEqual(out["spark_hi"], 58.6)
+
+    def test_fewer_than_three_windows_no_gate(self):
+        self._suite_env([(53.2, 20.2, None), (55.0, 20.4, None)])
+        out = bench_ab.apply_suite_rule("/data/sf0.1", self.per, 61.8, 20.6)
+        self.assertTrue(out["verdict"].startswith("no-envelope"))
+
+    def test_record_envelope_appends_and_contests_suite(self):
+        os.unlink(self.tmp.name)
+        suite = {"spark_total": 61.8, "duckdb_total": 20.6,
+                 "fpset": self.fpset, "open": True,
+                 "verdict": "suite-inflation (...)"}
+        env = bench_ab.record_envelope("/data/sf0.1", self.per, suite=suite)
+        e = env["per_sf"]["sf0.1"]["_suite"][0]
+        self.assertEqual(e["spark_total"], 61.8)
+        self.assertIn("contested", e)
+
+
+class FloorDriftFingerprintGate(unittest.TestCase):
+    def test_unchanged_fingerprint_closes(self):
+        v, is_open = bench_sf1.floor_drift_verdict(0.44, "fpX", "fpX", True)
+        self.assertFalse(is_open)
+        self.assertIn("plan fingerprint unchanged", v)
+
+    def test_changed_fingerprint_stays_open(self):
+        v, is_open = bench_sf1.floor_drift_verdict(0.44, "fpX", "fpY", True)
+        self.assertTrue(is_open)
+        self.assertIn("UNCONFIRMED", v)
+        self.assertIn("CHANGED", v)
+
+    def test_fp_missing_from_baseline_stays_open(self):
+        v, is_open = bench_sf1.floor_drift_verdict(0.44, None, "fpY", True)
+        self.assertTrue(is_open)
+        self.assertIn("missing from the baseline", v)
+
+    def test_fp_missing_from_capture_stays_open(self):
+        # ADVICE r17: BenchSf1 swallows fingerprint exceptions, so the
+        # CURRENT capture's fp can be None — that is not 'CHANGED'
+        v, is_open = bench_sf1.floor_drift_verdict(0.44, "fpX", None, True)
+        self.assertTrue(is_open)
+        self.assertIn("missing from this capture", v)
+        self.assertNotIn("CHANGED", v)
+
+    def test_pre_fingerprint_baseline_transition_close(self):
+        v, is_open = bench_sf1.floor_drift_verdict(0.44, None, "fpY", False)
+        self.assertFalse(is_open)
+        self.assertIn("pre-r17 artifact", v)
+
+
+if __name__ == "__main__":
+    unittest.main(verbosity=2)
