@@ -464,7 +464,7 @@ def main():
     # decomposition carry its pointer so the ledger is self-adjudicating.
     decomp_pointers = {
         "q102_funnel": "Q102_DECOMP.json",
-        "q11_star_join": "Q11_DECOMP.json",
+        "q11_star_join": "Q11_DECOMP.json + Q11_PROBE_AB.json (r18: bloom-injected and agg-below-semi arms measured-and-rejected; floor-classified with every avenue measured)",
         "q134_multimodal_frame_dedup": "Q134_DECOMP.json",
         "q53_text_tfidf": "Q53_DECOMP.json",
         "q85_dedup_cluster": "Q85_DECOMP.json",
