@@ -465,7 +465,7 @@ def main():
     decomp_pointers = {
         "q102_funnel": "Q102_DECOMP.json",
         "q11_star_join": "Q11_DECOMP.json + Q11_PROBE_AB.json (r18: bloom-injected and agg-below-semi arms measured-and-rejected; floor-classified with every avenue measured)",
-        "q134_multimodal_frame_dedup": "Q134_DECOMP.json",
+        "q134_multimodal_frame_dedup": "Q134_DECOMP.json + Q134_PREFILTER_AB.json (r18: singleton-fp prefilter measured-and-rejected in best-case broadcast-back and cached forms; floor-classified for good, every avenue measured)",
         "q53_text_tfidf": "Q53_DECOMP.json",
         "q85_dedup_cluster": "Q85_DECOMP.json",
         "q115_dedup_containment": "Q115_SHAPE_AB.json",
