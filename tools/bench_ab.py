@@ -298,9 +298,10 @@ def apply_suite_rule(sfdir, per, s_tot, d_tot):
                 "duckdb_stable": duck_stable,
                 "windows": [e["window"] for e in clean]})
     if s_tot <= hi:
-        out["verdict"] = (f"suite-ok (spark total {s_tot:.1f}s inside the "
-                          f"same-fpset envelope [{lo:.1f}-{hi:.1f}] over "
-                          f"{len(clean)} windows)")
+        out["verdict"] = (f"suite-ok (spark total {s_tot:.1f}s at or below "
+                          f"the same-fpset envelope hi — [{lo:.1f}-{hi:.1f}] "
+                          f"over {len(clean)} windows; only inflation above "
+                          "hi flags)")
     elif duck_stable:
         out["verdict"] = (
             f"suite-inflation (spark total {s_tot:.1f}s OUTSIDE the "

@@ -130,13 +130,29 @@ class Q107CommittedHistory(unittest.TestCase):
         self.assertTrue(any(abs(e["spark_min"] - 0.75231) < 1e-6
                             for e in contested),
                         "the r16 12:04 wall must be contested")
-        # the r17 delta's recorded adjudication inputs (012cb66)
-        rows = {"q107_incremental_agg": {
-            "verdict": "regression (exceeds same-window band)",
-            "isolated_min": 0.741232, "ab_min": 0.719026,
-            "duckdb_min": 0.03852}}
-        per = {"q107_incremental_agg": {"plan_fp": "523a8332bf67df31"}}
-        bench_ab.apply_envelope_rule(rows, per, "/data/sf0.1")
+        # replay the r17 final-capture moment: only the windows that
+        # existed BEFORE that capture (post-r18 captures legitimately keep
+        # appending clean samples, which must not move this historical
+        # regression test)
+        asof = [e for e in entries if e["window"] < "2026-08-16T17:47"]
+        self.assertGreaterEqual(len(asof), 4)
+        tmp = tempfile.NamedTemporaryFile(
+            mode="w", suffix=".json", delete=False)
+        json.dump({"per_sf": {"sf0.1": {"q107_incremental_agg": asof}}}, tmp)
+        tmp.close()
+        orig = bench_ab.ENVELOPE_PATH
+        bench_ab.ENVELOPE_PATH = tmp.name
+        try:
+            # the r17 delta's recorded adjudication inputs (012cb66)
+            rows = {"q107_incremental_agg": {
+                "verdict": "regression (exceeds same-window band)",
+                "isolated_min": 0.741232, "ab_min": 0.719026,
+                "duckdb_min": 0.03852}}
+            per = {"q107_incremental_agg": {"plan_fp": "523a8332bf67df31"}}
+            bench_ab.apply_envelope_rule(rows, per, "/data/sf0.1")
+        finally:
+            bench_ab.ENVELOPE_PATH = orig
+            os.unlink(tmp.name)
         r = rows["q107_incremental_agg"]
         self.assertTrue(r["verdict"].startswith("regression"), r["verdict"])
         self.assertLessEqual(r["envelope"]["spark_hi"], 0.60)
