@@ -289,10 +289,14 @@ def apply_suite_rule(sfdir, per, s_tot, d_tot):
              and e["duckdb_total"] > 0]
     med = statistics.median(ducks) if ducks else None
     # suite totals average ~136 queries, so the honest band is far tighter
-    # than any per-query one: 1.2x covers the documented same-code window
-    # swing while the r17 signature (DuckDB 20.2->20.6 = 1.02x) passes
+    # than any per-query one. 1.1x (r18, tightened from 1.2 after the first
+    # live evening phase): committed same-code DuckDB totals span only
+    # ~1.085x (19.28-20.93 across the r18 windows), the r17 spark-only
+    # signature (DuckDB 20.2->20.6 = 1.02x) sits well inside, and a
+    # both-engines host phase (DuckDB +15-20%) correctly reads
+    # moved-both-engines instead of being pinned on Spark
     duck_stable = (med is not None and d_tot > 0
-                   and med / 1.2 <= d_tot <= 1.2 * med)
+                   and med / 1.1 <= d_tot <= 1.1 * med)
     out.update({"spark_lo": lo, "spark_hi": hi,
                 "duckdb_median": round(med, 3) if med else None,
                 "duckdb_stable": duck_stable,

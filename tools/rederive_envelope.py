@@ -23,8 +23,10 @@ highest match fraction (required >= 0.9 over >= 50 queries) is that
 window's capture.
 
 Normally run once (the r18 migration); safe to re-run — markings are
-recomputed from scratch each time, and tools/bench_ab.py maintains them
-going forward (record_envelope marks the capture's own open flags).
+recomputed for windows with a committed delta, while windows a live
+capture recorded itself (its own contested marks, full-set `_suite`
+fpsets and verdicts) are preserved untouched; tools/bench_ab.py
+maintains everything going forward.
 """
 import json
 import os
@@ -152,11 +154,16 @@ def main():
                                       f"closure INVALIDATED (iso {iso}, "
                                       f"clean hi {hi})")
                         changed = True
-        # apply: recompute every marker from scratch
+        # apply: recompute markers for windows whose delta was matched;
+        # windows with NO committed delta (intermediate captures) keep
+        # whatever marks the live capture itself wrote — re-running this
+        # script must never erase a capture's own contested record
         for q, entries in bucket.items():
             if q.startswith("_"):
                 continue
             for e in entries:
+                if e["window"] not in win_delta:
+                    continue
                 reason = win_contested.get(e["window"], {}).get(q)
                 if reason is not None:
                     e["contested"] = reason
@@ -177,8 +184,17 @@ def main():
         # live capture's full-set hash — live windows accumulate their own.
         legacy_unstable = {"q54_multimodal_decode", "q74_pack_sequences",
                            "q94_frame_sample", "q95_multimodal_resize"}
+        # live _suite entries (appended by post-r18 captures with FULL-set
+        # fpsets and in-capture verdicts) are authoritative — the backfill
+        # only reconstructs windows that predate the live mechanism, so
+        # re-running this script never clobbers a capture's own record
+        live_suite = {e["window"]: e for e in bucket.get("_suite", [])
+                      if not str(e.get("fpset", "")).startswith("legacy-")}
         suite_entries = []
         for w in sorted(windows):
+            if w in live_suite:
+                suite_entries.append(live_suite[w])
+                continue
             qs = {q: e for q, e in windows[w].items()
                   if not q.startswith("_")}
             fps = {q: e.get("fp", "unknown") for q, e in qs.items()
@@ -199,7 +215,7 @@ def main():
                          if e["duckdb_total"] > 0]
                 med = sorted(ducks)[len(ducks) // 2] if ducks else None
                 duck_stable = (med is not None and d_tot > 0
-                               and med / 1.2 <= d_tot <= 1.2 * med)
+                               and med / 1.1 <= d_tot <= 1.1 * med)
                 if s_tot > hi and duck_stable:
                     entry["contested"] = (
                         "retroactive suite-inflation (backfill): spark "
