@@ -241,6 +241,16 @@ def record_envelope(sfdir, per, contested=(), suite=None):
             e["contested"] = ("suite-inflation flag was open when this "
                               "window was captured — excluded from suite "
                               "envelope bounds")
+        elif str(suite.get("verdict", "")).startswith("suite-moved"):
+            # a both-engines host-phase peak is honest variance but must
+            # not become the Spark bound: one 71 s phase window raising hi
+            # would mask every future Spark-only inflation under it (the
+            # same ratchet the contested rule closes, entering through the
+            # both-engines door — caught live in r18's evening phase)
+            e["contested"] = ("both-engines host phase at capture — "
+                              "excluded from suite envelope bounds so the "
+                              "phase peak cannot mask a later Spark-only "
+                              "inflation")
         entries.append(e)
         del entries[:-ENVELOPE_KEEP]
     with open(ENVELOPE_PATH, "w") as f:
