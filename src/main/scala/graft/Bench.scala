@@ -303,11 +303,22 @@ object Bench {
     * the driver's ~2000-char stdout TAIL opens on whitespace, then one
     * short human summary, then the complete JSON line — never mid-way
     * through an earlier log line (r17 verdict tidy item: BENCH_r17.json's
-    * tail opened mid-sentence). The padding budget assumes the launcher
-    * appends at most ~150 chars of trailer after our last line. */
+    * tail opened mid-sentence). The launcher appends ~150 chars of trailer
+    * (`[success] Total time …`) after our last line, so that allowance is
+    * SUBTRACTED from the pad budget — r18's arithmetic reserved zero bytes
+    * for it and the trailer pushed the summary's first character out of
+    * the window (BENCH_r18.json's tail opened `ENCH total …`). If the JSON
+    * line itself ever grows past the reserved window we fail loudly here
+    * instead of shipping a silently-truncated artifact. */
   private def printCompact(line: String, summary: String): Unit = {
     val tailBudget = 2000
-    val pad = math.max(0, tailBudget - (summary.length + line.length + 2))
+    val trailerReserve = 150
+    require(line.length + trailerReserve <= tailBudget,
+      s"compact bench line (${line.length} chars) no longer fits the " +
+        s"driver's $tailBudget-char stdout tail with the " +
+        s"$trailerReserve-char launcher trailer reserved — shrink the line")
+    val pad = math.max(
+      0, tailBudget - trailerReserve - (summary.length + line.length + 2))
     print("\n" * pad)
     println(summary)
     println(line)

@@ -208,6 +208,20 @@ def load_envelope():
         }
 
 
+def trim_retention(entries):
+    """Clean-sample retention (r19, verdict Missing #1): keep the last
+    ENVELOPE_KEEP CLEAN samples and, separately, the last ENVELOPE_KEEP
+    contested ones (provenance only). r18 trimmed the last N samples
+    regardless of marking, so a multi-hour host phase that contests every
+    window could age the surviving clean samples out entirely and leave
+    the gate blind for rounds — r18's own closing capture read no-envelope
+    because the evening phase contested 8 of the 10 same-fpset windows."""
+    clean = [e for e in entries if not e.get("contested")]
+    cont = [e for e in entries if e.get("contested")]
+    keep = {id(e) for e in clean[-ENVELOPE_KEEP:] + cont[-ENVELOPE_KEEP:]}
+    entries[:] = [e for e in entries if id(e) in keep]
+
+
 def record_envelope(sfdir, per, contested=(), suite=None):
     """Append this window's samples. Queries in `contested` (the capture's
     own still-open flags, r18) get their sample marked — provenance kept,
@@ -215,7 +229,29 @@ def record_envelope(sfdir, per, contested=(), suite=None):
     never exonerate its own future recurrence. `suite` (r18, verdict
     Missing #2) appends the window's suite totals + fingerprint-set hash
     under the reserved `_suite` key; an open suite-inflation verdict marks
-    its own sample contested under the same no-self-exoneration rule."""
+    its own sample contested under the same no-self-exoneration rule.
+
+    r19 (advice, medium): a suite-level verdict that the WINDOW is shifted
+    (suite-inflation, or a both-engines host phase) contests ALL of the
+    window's per-query samples, not just the queries whose individual
+    flags were open — an inflated window's individually-in-band samples
+    would otherwise enter per-query bounds clean and widen every
+    per-query spark_hi, partially reopening the ratchet the contested
+    rule closes."""
+    window_reason = None
+    if suite is not None and suite.get("open"):
+        window_reason = (
+            "suite-inflation flag was open when this window was captured — "
+            "the whole window's Spark walls are systematically shifted, so "
+            "every per-query sample is excluded from envelope bounds, not "
+            "only the queries that individually flagged")
+    elif suite is not None and str(suite.get("verdict", "")).startswith(
+            "suite-moved"):
+        window_reason = (
+            "both-engines host phase at capture — per-query samples carry "
+            "the phase elevation and would mask a later Spark-only "
+            "inflation if they entered bounds (the r18 moved-both suite "
+            "rule, applied per-query)")
     env = load_envelope()
     head = subprocess.check_output(
         ["git", "rev-parse", "--short", "HEAD"], cwd=REPO, text=True).strip()
@@ -231,8 +267,10 @@ def record_envelope(sfdir, per, contested=(), suite=None):
             e["contested"] = ("flag on this query was still open when this "
                               "window was captured — excluded from envelope "
                               "bounds")
+        elif window_reason is not None:
+            e["contested"] = window_reason
         entries.append(e)
-        del entries[:-ENVELOPE_KEEP]
+        trim_retention(entries)
     if suite is not None:
         entries = bucket.setdefault("_suite", [])
         e = {"window": window, "spark_total": suite["spark_total"],
@@ -252,7 +290,7 @@ def record_envelope(sfdir, per, contested=(), suite=None):
                               "phase peak cannot mask a later Spark-only "
                               "inflation")
         entries.append(e)
-        del entries[:-ENVELOPE_KEEP]
+        trim_retention(entries)
     with open(ENVELOPE_PATH, "w") as f:
         json.dump(env, f, indent=1, sort_keys=True)
         f.write("\n")
@@ -820,6 +858,18 @@ def main():
           f"median spark spread {ab['noise']['spark_median_spread']}x, "
           f"flags vs prev: {sorted(flagged) or 'none'}; "
           f"open after auto-adjudication: {open_flags or 'none'}")
+    # --require-suite-ruling (r19, verdict Missing #1b): the round's
+    # CLOSING capture must ship with a ruling suite verdict — on
+    # no-envelope the capture still commits its artifacts (the window's
+    # sample was appended above and counts toward the 3-window minimum)
+    # but exits non-zero so the closing sequence re-captures instead of
+    # shipping a pair the gate could not rule on (r18's failure mode).
+    if ("require-suite-ruling" in flags
+            and str(suite.get("verdict", "")).startswith("no-envelope")):
+        sys.exit(
+            "bench_ab.py: --require-suite-ruling: suite verdict is "
+            "no-envelope — this window's sample was appended; re-capture "
+            "until >=3 clean same-fpset windows let the gate rule")
 
 
 def regenerate_ratio_table(per, s_tot, d_tot, sfdir, passes):

@@ -13,7 +13,12 @@ A window's sample on query Q becomes contested when:
   2. FIXPOINT: the capture auto-closed Q's flag as envelope-drift but the
      cited isolated min falls OUTSIDE the contested-excluded envelope
      rebuilt from the windows before that capture — the closure rested on
-     a contested bound, so the sample inherits the contest.
+     a contested bound, so the sample inherits the contest, or
+  3. WINDOW-WIDE (r19): the window's SUITE sample is contested as a
+     systematic shift (suite-inflation, both-engines host phase, or
+     retro-inflation) — every per-query sample of that window inherits
+     the contest, mirroring the live record_envelope rule, so a phase
+     window's individually-in-band walls never widen per-query spark_hi.
 
 Window -> delta matching is by VALUE, not commit archaeology: each capture
 writes both artifacts from one `per` map, so BENCH_DELTA.queries[q].cur
@@ -30,6 +35,7 @@ maintains everything going forward.
 """
 import json
 import os
+import statistics
 import subprocess
 import sys
 
@@ -113,6 +119,130 @@ def main():
                         f"at {sha}) — excluded from envelope bounds")
             report.append(f"{sf} {w}: delta {sha} (match {frac:.2f}), "
                           f"contested: {sorted(win_contested.get(w, {}))}")
+        # phase 1b: backfill the suite envelope (r18, verdict Missing #2),
+        # hoisted BEFORE the fixpoint since r19 — a window whose suite
+        # sample is contested as systematically shifted (suite-inflation,
+        # both-engines host phase, retro-inflation) has ALL its per-query
+        # samples inherit the contest (the live record_envelope rule,
+        # applied to history: the r18 evening phase left per-query walls —
+        # e.g. a 1.993 s q107 peak — sitting clean inside per-query
+        # bounds, the exact spark_hi ratchet the live rule closes), and
+        # the phase-2 fixpoint must re-judge drift closures against the
+        # properly clean bounds. More specific per-query marks (an open
+        # flag at capture) win over the inherited window-wide reason.
+        import bench_ab
+        # pre-r18 captures rendered typed-closure plans with per-JVM lambda
+        # addresses, so these four queries' historical fps are unique per
+        # window (fixed in Bench.scrubbedPlan r18). Backfilled fpsets hash
+        # the OTHER queries and carry a legacy- prefix: they attest
+        # same-code within history honestly but deliberately never match a
+        # live capture's full-set hash — live windows accumulate their own.
+        legacy_unstable = {"q54_multimodal_decode", "q74_pack_sequences",
+                           "q94_frame_sample", "q95_multimodal_resize"}
+        # live _suite entries (appended by post-r18 captures with FULL-set
+        # fpsets and in-capture verdicts) are authoritative — the backfill
+        # only reconstructs windows that predate the live mechanism, so
+        # re-running this script never clobbers a capture's own record
+        live_suite = {e["window"]: e for e in bucket.get("_suite", [])
+                      if not str(e.get("fpset", "")).startswith("legacy-")}
+        def retro_inflated(entry, prior_pool):
+            """(hi, med) when the entry lies above the ≥3-clean-prior
+            same-fpset envelope with a stable DuckDB side — the live
+            apply_suite_rule's inflation test, replayed under the
+            corrected history. None = no ruling possible or in band."""
+            prior = [e for e in prior_pool
+                     if e["fpset"] == entry["fpset"]
+                     and not e.get("contested")]
+            if len(prior) < 3:
+                return None
+            hi = max(e["spark_total"] for e in prior)
+            ducks = [e["duckdb_total"] for e in prior
+                     if e["duckdb_total"] > 0]
+            med = statistics.median(ducks) if ducks else None
+            d_tot = entry.get("duckdb_total") or 0
+            if (med is None or d_tot <= 0
+                    or not (med / 1.1 <= d_tot <= 1.1 * med)):
+                return None
+            return (hi, med) if entry["spark_total"] > hi else None
+
+        suite_entries = []
+        for w in sorted(windows):
+            if w in live_suite:
+                entry = live_suite[w]
+                # a live capture's own contest is never erased, but a CLEAN
+                # live entry is re-judged under the corrected history: its
+                # capture may have ruled suite-ok against phase-polluted
+                # bounds, or been unable to rule at all (no-envelope at
+                # capture enters clean by ignorance, not by ruling) — the
+                # same inflation test the backfill applies to legacy
+                # windows (r19)
+                if not entry.get("contested"):
+                    rj = retro_inflated(entry, suite_entries)
+                    if rj is not None:
+                        hi, med = rj
+                        entry["contested"] = (
+                            "retroactive suite-inflation (re-derived under "
+                            f"corrected history): spark total "
+                            f"{entry['spark_total']:.1f}s outside the "
+                            f"contested-excluded same-fpset envelope hi "
+                            f"{hi:.1f}s with the DuckDB side stable — "
+                            "excluded from suite envelope bounds")
+                        report.append(
+                            f"{sf} {w}: _suite LIVE RETRO-INFLATION "
+                            f"(spark {entry['spark_total']:.1f} > hi "
+                            f"{hi:.1f}, duck med {med:.1f})")
+                suite_entries.append(entry)
+                continue
+            qs = {q: e for q, e in windows[w].items()
+                  if not q.startswith("_")}
+            fps = {q: e.get("fp", "unknown") for q, e in qs.items()
+                   if q not in legacy_unstable}
+            s_tot = round(sum(e["spark_min"] for e in qs.values()), 3)
+            d_tot = round(sum(e["duckdb_min"] for e in qs.values()
+                              if isinstance(e.get("duckdb_min"), float)
+                              and e["duckdb_min"] > 0), 3)
+            entry = {"window": w, "spark_total": s_tot,
+                     "duckdb_total": d_tot,
+                     "fpset": "legacy-" + bench_ab.suite_fpset(fps)}
+            # statistics.median inside retro_inflated, NOT the upper-middle
+            # element: the live apply_suite_rule uses statistics.median,
+            # and with the tight 1.1x band a borderline even-n window must
+            # classify identically in replayed history and live capture
+            rj = retro_inflated(entry, suite_entries)
+            if rj is not None:
+                hi, med = rj
+                entry["contested"] = (
+                    "retroactive suite-inflation (backfill): spark "
+                    f"total {s_tot:.1f}s outside the prior same-fpset "
+                    f"envelope hi {hi:.1f}s with the DuckDB side "
+                    "stable — excluded from suite envelope bounds")
+                report.append(f"{sf} {w}: _suite RETRO-INFLATION "
+                              f"(spark {s_tot:.1f} > hi {hi:.1f}, "
+                              f"duck {d_tot:.1f} vs med {med:.1f})")
+            suite_entries.append(entry)
+        # every contested suite reason in the ledger's vocabulary denotes a
+        # window-level shift (inflation / host phase / moved-both /
+        # retro-applied elevation), so any suite contest spreads
+        shifted = {e["window"]: e["contested"] for e in suite_entries
+                   if e.get("contested")
+                   and ("inflation" in e["contested"]
+                        or "host phase" in e["contested"]
+                        or "both-engines" in e["contested"]
+                        or "moved-both" in e["contested"]
+                        or "elevation" in e["contested"])}
+        for w, reason in shifted.items():
+            if w not in windows:
+                continue
+            for q in windows[w]:
+                if q in win_contested.get(w, {}):
+                    continue
+                win_contested.setdefault(w, {})[q] = (
+                    "window's suite sample is contested as a systematic "
+                    "shift — per-query sample inherits the contest (r19 "
+                    "window-wide rule applied to history): "
+                    + reason.split(" — ")[0])
+            report.append(f"{sf} {w}: ALL per-query samples inherit the "
+                          "suite contest")
         # phase 2: fixpoint — invalidate envelope-drift closures whose
         # cited bound rested on a now-contested sample
         changed = True
@@ -132,11 +262,18 @@ def main():
                             "envelope-drift"):
                         continue
                     fp = (r.get("envelope") or {}).get("fp")
+                    # samples from windows with NO matched delta carry the
+                    # live capture's own contested mark — phase 1 cannot
+                    # recompute it, but the bound-validity test must still
+                    # respect it (r19 advice: a live-contested sample must
+                    # not serve as the bound that validates a drift closure)
                     prior = [e for q2, es in
                              [(q, bucket.get(q, []))] for e in es
                              if e["window"] < w and e.get("fp") == fp
                              and e.get("spark_min", 0) > 0
-                             and q not in win_contested.get(e["window"], {})]
+                             and q not in win_contested.get(e["window"], {})
+                             and not (e["window"] not in win_delta
+                                      and e.get("contested"))]
                     iso = r.get("isolated_min") or r.get("ab_min")
                     hi = max((e["spark_min"] for e in prior), default=None)
                     if len(prior) < 3 or iso is None or iso > hi:
@@ -157,76 +294,26 @@ def main():
         # apply: recompute markers for windows whose delta was matched;
         # windows with NO committed delta (intermediate captures) keep
         # whatever marks the live capture itself wrote — re-running this
-        # script must never erase a capture's own contested record
+        # script must never erase a capture's own contested record — but a
+        # window-wide suite contest (phase 1b) still lands on their
+        # unmarked samples. Clean retention (r19) is re-applied per query.
         for q, entries in bucket.items():
             if q.startswith("_"):
                 continue
             for e in entries:
-                if e["window"] not in win_delta:
-                    continue
                 reason = win_contested.get(e["window"], {}).get(q)
-                if reason is not None:
+                if e["window"] in win_delta:
+                    if reason is not None:
+                        e["contested"] = reason
+                    else:
+                        e.pop("contested", None)
+                elif reason is not None and not e.get("contested"):
                     e["contested"] = reason
-                else:
-                    e.pop("contested", None)
-        # backfill the suite envelope (r18, verdict Missing #2): each
-        # window's totals + fingerprint-set hash reconstructed from its
-        # per-query samples (every capture appends all queries, so the
-        # reconstruction equals what the capture reported), then the suite
-        # rule replayed chronologically so a retroactively-inflated window
-        # (the r17 61.8 s driver window) is contested from the start
-        import bench_ab
-        # pre-r18 captures rendered typed-closure plans with per-JVM lambda
-        # addresses, so these four queries' historical fps are unique per
-        # window (fixed in Bench.scrubbedPlan r18). Backfilled fpsets hash
-        # the OTHER queries and carry a legacy- prefix: they attest
-        # same-code within history honestly but deliberately never match a
-        # live capture's full-set hash — live windows accumulate their own.
-        legacy_unstable = {"q54_multimodal_decode", "q74_pack_sequences",
-                           "q94_frame_sample", "q95_multimodal_resize"}
-        # live _suite entries (appended by post-r18 captures with FULL-set
-        # fpsets and in-capture verdicts) are authoritative — the backfill
-        # only reconstructs windows that predate the live mechanism, so
-        # re-running this script never clobbers a capture's own record
-        live_suite = {e["window"]: e for e in bucket.get("_suite", [])
-                      if not str(e.get("fpset", "")).startswith("legacy-")}
-        suite_entries = []
-        for w in sorted(windows):
-            if w in live_suite:
-                suite_entries.append(live_suite[w])
-                continue
-            qs = {q: e for q, e in windows[w].items()
-                  if not q.startswith("_")}
-            fps = {q: e.get("fp", "unknown") for q, e in qs.items()
-                   if q not in legacy_unstable}
-            s_tot = round(sum(e["spark_min"] for e in qs.values()), 3)
-            d_tot = round(sum(e["duckdb_min"] for e in qs.values()
-                              if isinstance(e.get("duckdb_min"), float)
-                              and e["duckdb_min"] > 0), 3)
-            entry = {"window": w, "spark_total": s_tot,
-                     "duckdb_total": d_tot,
-                     "fpset": "legacy-" + bench_ab.suite_fpset(fps)}
-            prior = [e for e in suite_entries
-                     if e["fpset"] == entry["fpset"]
-                     and not e.get("contested")]
-            if len(prior) >= 3:
-                hi = max(e["spark_total"] for e in prior)
-                ducks = [e["duckdb_total"] for e in prior
-                         if e["duckdb_total"] > 0]
-                med = sorted(ducks)[len(ducks) // 2] if ducks else None
-                duck_stable = (med is not None and d_tot > 0
-                               and med / 1.1 <= d_tot <= 1.1 * med)
-                if s_tot > hi and duck_stable:
-                    entry["contested"] = (
-                        "retroactive suite-inflation (backfill): spark "
-                        f"total {s_tot:.1f}s outside the prior same-fpset "
-                        f"envelope hi {hi:.1f}s with the DuckDB side "
-                        "stable — excluded from suite envelope bounds")
-                    report.append(f"{sf} {w}: _suite RETRO-INFLATION "
-                                  f"(spark {s_tot:.1f} > hi {hi:.1f}, "
-                                  f"duck {d_tot:.1f} vs med {med:.1f})")
-            suite_entries.append(entry)
-        bucket["_suite"] = suite_entries[-10:]
+            bench_ab.trim_retention(entries)
+        # clean-sample retention (r19): same rule as the live capture —
+        # contested provenance must never age the clean pool out
+        bench_ab.trim_retention(suite_entries)
+        bucket["_suite"] = suite_entries
     with open(ENVELOPE_PATH, "w") as f:
         json.dump(env, f, indent=1, sort_keys=True)
         f.write("\n")

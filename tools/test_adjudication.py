@@ -261,6 +261,101 @@ class SuiteDriftGate(unittest.TestCase):
         self.assertEqual(e["spark_total"], 61.8)
         self.assertIn("contested", e)
 
+    def test_suite_inflation_contests_all_per_query_samples(self):
+        # r19 (advice, medium): an inflated window's individually-in-band
+        # per-query samples must not enter per-query bounds clean — ALL of
+        # the window's samples inherit the suite-level contest
+        os.unlink(self.tmp.name)
+        suite = {"spark_total": 61.8, "duckdb_total": 20.6,
+                 "fpset": self.fpset, "open": True,
+                 "verdict": "suite-inflation (...)"}
+        env = bench_ab.record_envelope("/data/sf0.1", self.per, suite=suite)
+        bucket = env["per_sf"]["sf0.1"]
+        for q in ("q01", "q02"):
+            self.assertIn("contested", bucket[q][0], q)
+            self.assertIn("suite-inflation", bucket[q][0]["contested"])
+
+    def test_suite_moved_both_contests_all_per_query_samples(self):
+        # same rule through the both-engines door: phase-elevated per-query
+        # walls must not widen per-query spark_hi (the r18 second ratchet,
+        # applied per-query)
+        os.unlink(self.tmp.name)
+        suite = {"spark_total": 70.0, "duckdb_total": 27.0,
+                 "fpset": self.fpset,
+                 "verdict": "suite-moved-both-engines (...)"}
+        env = bench_ab.record_envelope("/data/sf0.1", self.per, suite=suite)
+        bucket = env["per_sf"]["sf0.1"]
+        for q in ("q01", "q02"):
+            self.assertIn("contested", bucket[q][0], q)
+            self.assertIn("host phase", bucket[q][0]["contested"])
+
+    def test_suite_ok_window_stays_clean_per_query(self):
+        os.unlink(self.tmp.name)
+        suite = {"spark_total": 55.0, "duckdb_total": 20.4,
+                 "fpset": self.fpset, "verdict": "suite-ok (...)"}
+        env = bench_ab.record_envelope("/data/sf0.1", self.per, suite=suite)
+        bucket = env["per_sf"]["sf0.1"]
+        for q in ("q01", "q02"):
+            self.assertNotIn("contested", bucket[q][0], q)
+
+
+class CleanRetention(unittest.TestCase):
+    """r19 (verdict Missing #1): retention keeps the last ENVELOPE_KEEP
+    CLEAN samples — a phase that contests every window must never age the
+    clean pool out and leave the gates blind (r18's closing capture read
+    no-envelope after the evening phase contested 8 of 10 windows)."""
+
+    def setUp(self):
+        self._orig = bench_ab.ENVELOPE_PATH
+        self.tmp = tempfile.NamedTemporaryFile(
+            mode="w", suffix=".json", delete=False)
+        self.tmp.close()
+        bench_ab.ENVELOPE_PATH = self.tmp.name
+
+    def tearDown(self):
+        bench_ab.ENVELOPE_PATH = self._orig
+        if os.path.exists(self.tmp.name):
+            os.unlink(self.tmp.name)
+
+    def test_trim_keeps_clean_and_contested_pools_separately(self):
+        entries = ([{"window": f"w{i:02d}", "spark_min": 1.0}
+                    for i in range(12)]
+                   + [{"window": f"w{i:02d}", "spark_min": 2.0,
+                       "contested": "phase"} for i in range(12, 27)])
+        bench_ab.trim_retention(entries)
+        clean = [e for e in entries if not e.get("contested")]
+        cont = [e for e in entries if e.get("contested")]
+        self.assertEqual(len(clean), bench_ab.ENVELOPE_KEEP)
+        self.assertEqual(len(cont), bench_ab.ENVELOPE_KEEP)
+        # newest of each pool survive
+        self.assertEqual(clean[-1]["window"], "w11")
+        self.assertEqual(cont[-1]["window"], "w26")
+
+    def test_phase_heavy_history_still_lets_suite_gate_rule(self):
+        # 3 clean windows, then a long phase appends 9 contested windows:
+        # under keep-10-total the clean pool would be down to 1 and the
+        # gate blind; under clean retention it must still rule
+        per = {"q01": {"spark_min": 1.0, "duckdb_min": 0.5,
+                       "plan_fp": "f1"}}
+        fpset = bench_ab.suite_fpset({"q01": "f1"})
+        os.unlink(self.tmp.name)
+        for s in (53.2, 55.0, 54.1):
+            bench_ab.record_envelope(
+                "/data/sf0.1", per,
+                suite={"spark_total": s, "duckdb_total": 20.3,
+                       "fpset": fpset, "verdict": "suite-ok (...)"})
+        for i in range(9):
+            bench_ab.record_envelope(
+                "/data/sf0.1", per,
+                suite={"spark_total": 65.0 + i, "duckdb_total": 26.0,
+                       "fpset": fpset,
+                       "verdict": "suite-moved-both-engines (...)"})
+        out = bench_ab.apply_suite_rule("/data/sf0.1", per, 54.5, 20.4)
+        self.assertTrue(out["verdict"].startswith("suite-ok"),
+                        out["verdict"])
+        self.assertEqual(out["same_fpset_windows"], 3)
+        self.assertEqual(out["contested_excluded"], 9)
+
 
 class FloorDriftFingerprintGate(unittest.TestCase):
     def test_unchanged_fingerprint_closes(self):
