@@ -10,7 +10,7 @@ import graft.{SparkEntry, Tables}
   * arithmetic: q04 filter (pushed-predicate fact scan), q104 SQL UDF (one
   * lineitem aggregate) and q108 n-gram LM (bigram count + per-head top-k
   * window). Cumulative fresh plans drained through aggregates over DERIVED
-  * columns, medians. Writes Q104_Q108_DECOMP.json.
+  * columns, medians. Writes Q04_Q104_Q108_DECOMP.json.
   *
   * q104 legs: (1) the raw lineitem scan (three columns, count+sum drain —
   * the schedule + parquet cost), (2) + the inlined-UDF decimal revenue
@@ -51,9 +51,16 @@ object Q104Q108Decomp {
       .select("l_orderkey", "l_linenumber", "l_quantity")
     val q04Scan = med(q04Filtered
       .agg(count(lit(1)), sum(col("l_quantity"))).collect())
+    // r19 (verdict Missing #3): the fetch leg — the SAME ~300k three-column
+    // rows collected to the driver WITHOUT the presentation sort. NOT
+    // cumulative with leg 1 (it replaces the agg drain with the collect):
+    // it bounds scan + row encode + driver transfer TOGETHER, and
+    // full-minus-fetch isolates the range-sort presentation (the range
+    // partitioner's sampling pass + sort + ordered collect).
+    val q04Fetch = med(q04Filtered.collect())
     val q04Full = med(SparkEntry.freshQueries("q04_filter")(spark, sfDir).collect())
     val q04Rows = q04Filtered.count()
-    println(f"Q04DECOMP scan_filter=$q04Scan%.3f full=$q04Full%.3f rows=$q04Rows")
+    println(f"Q04DECOMP scan_filter=$q04Scan%.3f fetch=$q04Fetch%.3f full=$q04Full%.3f rows=$q04Rows")
 
     // ---------------- q104 ----------------
     val q104Scan = med(t.lineitem
@@ -90,11 +97,13 @@ object Q104Q108Decomp {
     val q108Full = med(SparkEntry.freshQueries("q108_ngram_lm")(spark, sfDir).collect())
     println(f"Q108DECOMP explode=$q108Explode%.3f counts=$q108Counts%.3f window=$q108Window%.3f full=$q108Full%.3f")
 
-    java.nio.file.Files.write(java.nio.file.Paths.get("Q104_Q108_DECOMP.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get("Q04_Q104_Q108_DECOMP.json"),
       s"""{
  "sf": "$sfDir", "reps": $reps,
+ "covers": ["q04_filter", "q104_sql_udf", "q108_ngram_lm"],
  "q04_cumulative_legs": {
   "scan_filter_pushed": ${f"$q04Scan%.3f"},
+  "unsorted_collect_scan_plus_fetch": ${f"$q04Fetch%.3f"},
   "full_query_presented": ${f"$q04Full%.3f"},
   "result_rows": $q04Rows
  },
@@ -109,7 +118,7 @@ object Q104Q108Decomp {
   "plus_topk_rank_window": ${f"$q108Window%.3f"},
   "full_query_presented": ${f"$q108Full%.3f"}
  },
- "note": "cumulative fresh plans, med-of-$reps, drained through aggregates over derived columns. q04: leg 1 is the pushed-filter lineitem scan (PushedFilters carry all four predicates to the parquet reader) drained through a count+sum; the delta to the full query is the range-sort presentation PLUS the driver fetch of the ~300k surviving rows (the bench collects every result row, and a 300k-row collect is not floor) - the scan shape is minimal, and the sort stays range-partitioned because fanInRows guesses big through a Filter by design (a 100 TB run cannot assume selectivity). q104: the temp-function revenue UDF is INLINED by Catalyst (RETURN expression, no UDF call at runtime), so the whole query is one whole-stage scan+hash-agg pass into 3 groups plus presentation - the wall IS the parquet scan of the fact columns plus the fixed per-query floor, with the decimal-exact sum costing the delta between legs 1 and 2. q108: leg 1 is the row-local bigram explode (split + transform, no shuffle); leg 2 adds the single corpus (w1,w2) exchange with map-side combine; leg 3 adds the vocabulary-keyed rank window; the full query re-sorts for presentation. Both shapes are already minimal-exchange; DuckDB answers each in-process without per-stage scheduling, which is the whole sub-wall story at this scale."
+ "note": "cumulative fresh plans, med-of-$reps, drained through aggregates over derived columns. q04: leg 1 is the pushed-filter lineitem scan (PushedFilters carry all four predicates to the parquet reader) drained through a count+sum; leg 2 (NOT cumulative - it swaps the agg drain for the collect) fetches the SAME ~300k three-column rows unsorted, bounding scan + row encode + driver transfer together - measured BELOW the agg-drain leg, so the driver fetch is cheap, not the story - and full-minus-fetch isolates the range-sort presentation (the range partitioner's sampling pass over the filtered input, the sort, and the ordered collect), which is the dominant delta. Both engines pay the protocol's total ORDER BY on the same rows; DuckDB sorts in-process with no sampling pass or per-stage scheduling, which is the sub-wall story. The scan shape is minimal, and the sort stays range-partitioned because fanInRows guesses big through a Filter by design (a 100 TB run cannot assume selectivity - the r15 SortModeProbe rejection of the single-partition merge stands). q104: the temp-function revenue UDF is INLINED by Catalyst (RETURN expression, no UDF call at runtime), so the whole query is one whole-stage scan+hash-agg pass into 3 groups plus presentation - the wall IS the parquet scan of the fact columns plus the fixed per-query floor, with the decimal-exact sum costing the delta between legs 1 and 2. q108: leg 1 is the row-local bigram explode (split + transform, no shuffle); leg 2 adds the single corpus (w1,w2) exchange with map-side combine; leg 3 adds the vocabulary-keyed rank window; the full query re-sorts for presentation. Both shapes are already minimal-exchange; DuckDB answers each in-process without per-stage scheduling, which is the whole sub-wall story at this scale."
 }
 """.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -469,10 +469,10 @@ def main():
         "q53_text_tfidf": "Q53_DECOMP.json",
         "q85_dedup_cluster": "Q85_DECOMP.json",
         "q115_dedup_containment": "Q115_SHAPE_AB.json",
-        "q04_filter": "Q104_Q108_DECOMP.json",
+        "q04_filter": "Q04_Q104_Q108_DECOMP.json",
         "q37_asof_join": "Q37_DECOMP.json",
-        "q104_sql_udf": "Q104_Q108_DECOMP.json",
-        "q108_ngram_lm": "Q104_Q108_DECOMP.json",
+        "q104_sql_udf": "Q04_Q104_Q108_DECOMP.json",
+        "q108_ngram_lm": "Q04_Q104_Q108_DECOMP.json",
         "q111_bm25": "TEXT_NATIVE_AB.json",
         "q110_pmi_collocations": "BIGRAM_NATIVE_AB.json",
         "q117_boilerplate_strip": "Q117_PERSIST_AB.json",
