@@ -434,6 +434,9 @@ object Similarity {
                     trainSampleMod: Int = 1): Unit = {
     val (centTbl, cellsTbl) = ivfArtifactNames(tag)
     Seq(centTbl, cellsTbl).foreach(graft.StageDir.dropManagedTable(spark, _))
+    // a rebuild recenters and re-assigns everything — stale streaming
+    // segments (q137) from a prior index generation must not survive it
+    graft.StageDir.deleteRecursively(ivfSegmentBase(spark, tag))
     val trainSet =
       if (trainSampleMod <= 1) corpus
       else corpus.filter(Curation.portableHash(col(keyCol)) % trainSampleMod === 0)
@@ -475,11 +478,55 @@ object Similarity {
     val probesWithVec = probes
       .join(queries.select(col(keyCol).as("q_id"), col(vecCol).as("qv"),
         nrm(col(vecCol)).as("qn")), "q_id")
-    val scored = probesWithVec.join(spark.table(cellsTbl), "cent_id")
-      .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id").as("n_id"),
-        rnd(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("sim"))
+    // the index is the bucketed base table plus any streaming-append
+    // segments (q137's LSM tail — see [[appendIvfSegment]]); each source
+    // is scored separately so the base keeps its bucketed cent_id join
+    // while the (small) segment read joins plain, and only the narrow
+    // (q_id, n_id, sim) streams union before the top-k heap
+    val segs = listIvfSegments(spark, tag)
+    val cellSources = spark.table(cellsTbl) +:
+      (if (segs.isEmpty) Nil
+       else Seq(spark.read.parquet(segs: _*)))
+    val scored = cellSources.map { cells =>
+      probesWithVec.join(cells, "cent_id")
+        .filter(col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id").as("n_id"),
+          rnd(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("sim"))
+    }.reduce(_ unionByName _)
     topKPerGroup(scored, "q_id", "sim", "n_id", k)
+  }
+
+  /** Root of the per-microbatch segment directories for `tag` — a stable
+    * warehouse location derived like a managed table's, but holding plain
+    * parquet dirs `b<batchId>`, one per streamed append.
+    */
+  def ivfSegmentBase(spark: SparkSession, tag: String): java.nio.file.Path =
+    java.nio.file.Paths.get(spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"graft_ivf_seg_x$tag")))
+
+  private def listIvfSegments(spark: SparkSession, tag: String): Seq[String] =
+    Option(ivfSegmentBase(spark, tag).toFile.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .map(_.getAbsolutePath).sorted.toSeq
+
+  /** STREAMING append (q137): one microbatch's cell assignments, written
+    * to a batch-id-keyed segment directory with OVERWRITE. `foreachBatch`
+    * delivers at-least-once — a blind append into the bucketed cells
+    * table would double a replayed batch's vectors after a crash, while
+    * overwrite-by-batch-id makes the maintenance loop idempotent (the
+    * q98 version-per-batch-id lesson applied to index maintenance).
+    * Segments are the LSM tail of the index: small, unbucketed, scored
+    * alongside the bucketed base by [[searchIvfIndex]]; a rebuild
+    * ([[buildIvfIndex]] clears them) or a batch [[appendToIvfIndex]]
+    * compaction absorbs them back into the bucketed base.
+    */
+  def appendIvfSegment(spark: SparkSession, increment: DataFrame,
+                       keyCol: String, vecCol: String, tag: String,
+                       batchId: Long): Unit = {
+    val (centTbl, _) = ivfArtifactNames(tag)
+    ivfCellRows(spark, increment, keyCol, vecCol, centTbl)
+      .write.mode("overwrite")
+      .parquet(ivfSegmentBase(spark, tag).resolve(s"b$batchId").toString)
   }
 
   /** Diagnostic twin of [[searchIvfIndex]] truncated before the top-k —

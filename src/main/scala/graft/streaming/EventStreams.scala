@@ -976,6 +976,70 @@ object EventStreams {
       sys.error("stream upsert produced no snapshot"))
   }
 
+  /** q137: the q129 persisted-IVF APPEND contract through Structured
+    * Streaming — the one §2.C deployment form that had no streaming twin
+    * (r18 verdict Next-round #6). The corpus slice (vec_id %5≠0) builds
+    * the persisted index once per call (the q129 certification-rebuild
+    * convention); the increment slice (%5=0) then arrives as a bounded
+    * multi-file stream and each microbatch APPENDS its cell assignments
+    * as a batch-id-keyed index SEGMENT via `foreachBatch` (q98's
+    * foreachBatch-maintenance loop composed with
+    * [[graft.operators.Similarity.appendIvfSegment]] — overwrite by batch
+    * id, so the at-least-once replay of a crashed batch is idempotent);
+    * the final index (bucketed base + segments) is searched with the
+    * held-out query slice (vec_id ≤ 5).
+    *
+    * Appends are blind inserts against FROZEN centroids — a vector's cell
+    * depends only on the centroid table — so the final artifact is
+    * independent of batch boundaries and arrival order: the streamed
+    * index equals the batch-appended one, which is exactly what the
+    * from-scratch SQL oracle computes (the q129 k-means replay with the
+    * cells built over corpus ∪ increment).
+    *
+    * At 100 TB this is the ingestion path: embeddings arrive
+    * continuously, each microbatch pays one broadcast-centroids join plus
+    * an append of batch-sized bucketed files, and searches always probe
+    * the current index — no corpus exchange anywhere, state lives in the
+    * bucketed table, not the state store.
+    */
+  def streamIvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = graft.Tables(spark, dir).embeddings
+    val tag = s"st${Integer.toHexString(dir.hashCode)}"
+    Similarity.buildIvfIndex(spark, emb.filter(col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding", tag)
+    // bounded multi-file replay (the events convention): staged once per
+    // fixture, 4 files at 2 per trigger → two append microbatches; the
+    // %5=0 filter runs inside the stream, so batch membership is whatever
+    // the staging produced — order-independence makes that irrelevant
+    val stageDir = ReplayStage.stage(spark, s"$dir/embeddings.parquet",
+      s"graft_emb_stage_${Integer.toHexString(dir.hashCode)}", n = 4)
+    val ckptBase = graft.StageDir.acquireRunDir("graft_ivfappend_")
+    try {
+      graft.StageDir.sweepRunScratch(Seq("graft_ivfappend_"))
+      val s2 = replaySession(spark, noDataBatch = false, provider = None)
+      val schema = graft.Tables(s2, dir).table("embeddings").schema
+      val src = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(stageDir)
+        .filter(col("vec_id") % 5 === 0)
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // batch-id-keyed segment with overwrite: foreachBatch is
+          // at-least-once, and a replayed batch must not double its
+          // vectors in the index — see Similarity.appendIvfSegment
+          Similarity.appendIvfSegment(batch.sparkSession, batch,
+            "vec_id", "embedding", tag, id)
+        }
+        .option("checkpointLocation", ckptBase.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally graft.StageDir.releaseRunDir(ckptBase)
+    Similarity.searchIvfIndex(spark, emb.filter(col("vec_id") <= 5),
+      "vec_id", "embedding", tag, k = 3, nprobe = 4)
+      .presented("q_id", "rnk")
+  }
+
   // ------------------------------------------------------- declared queries
 
   val queries: Map[String, Q] = Map(
@@ -993,6 +1057,7 @@ object EventStreams {
     "q83_stream_file_sink" -> ((s, dir) => fileSinkCounts(s, dir).presented("bucket_us", "event_type")),
     "q98_stream_upsert" -> ((s, dir) => streamUpsert(s, dir)),
     "q99_stream_static_join" -> ((s, dir) => streamStaticCounts(s, dir)),
+    "q137_stream_ivf_append" -> ((s, dir) => streamIvfAppend(s, dir)),
   )
 
   /** All three streaming results are deterministic aggregates of the bounded
@@ -1162,5 +1227,55 @@ object EventStreams {
          WHERE (NOT b2 OR bucket_us + 3600000000 > (SELECT v FROM w1))
            AND bucket_us + 3600000000 <= (SELECT v FROM w2)
          GROUP BY bucket_us ORDER BY bucket_us""",
+    // q137: the streamed-append index must equal the batch construction —
+    // the q129 k-means replay (centroids trained on the %5≠0 corpus slice,
+    // two Lloyd iterations, round-6 at every step) with the CELLS built
+    // over corpus ∪ increment (i.e. every vector, since appends against
+    // frozen centroids are order-independent blind inserts), probed by the
+    // held-out vec_id ≤ 5 query slice.
+    "q137_stream_ivf_append" ->
+      """WITH corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+              c0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cent_id, cvec FROM (
+                       SELECT ROW_NUMBER() OVER (ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id) AS rn,
+                              CAST(embedding AS DOUBLE[]) AS cvec
+                       FROM corp) s
+                     WHERE rn <= 16),
+              a1 AS (SELECT vec_id, cent_id FROM (
+                       SELECT e.vec_id, c.cent_id,
+                              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC, c.cent_id) AS rn
+                       FROM corp e CROSS JOIN c0 c) x WHERE rn = 1),
+              m1 AS (SELECT a1.cent_id, t.pos, ROUND(AVG(CAST(e.embedding[t.pos] AS DOUBLE)), 6) AS v
+                     FROM a1 JOIN corp e USING (vec_id), LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS pos) t
+                     GROUP BY a1.cent_id, t.pos),
+              c1 AS (SELECT s.cent_id, COALESCE(r.cvec, s.cvec) AS cvec
+                     FROM c0 s LEFT JOIN (SELECT cent_id, list(v ORDER BY pos) AS cvec FROM m1 GROUP BY cent_id) r USING (cent_id)),
+              a2 AS (SELECT vec_id, cent_id FROM (
+                       SELECT e.vec_id, c.cent_id,
+                              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC, c.cent_id) AS rn
+                       FROM corp e CROSS JOIN c1 c) x WHERE rn = 1),
+              m2 AS (SELECT a2.cent_id, t.pos, ROUND(AVG(CAST(e.embedding[t.pos] AS DOUBLE)), 6) AS v
+                     FROM a2 JOIN corp e USING (vec_id), LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS pos) t
+                     GROUP BY a2.cent_id, t.pos),
+              c2 AS (SELECT s.cent_id, COALESCE(r.cvec, s.cvec) AS cvec
+                     FROM c1 s LEFT JOIN (SELECT cent_id, list(v ORDER BY pos) AS cvec FROM m2 GROUP BY cent_id) r USING (cent_id)),
+              ca AS (SELECT e.vec_id, c.cent_id,
+                            ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) AS s
+                     FROM embeddings e CROSS JOIN c2 c),
+              cells AS (SELECT vec_id AS c_id, cent_id FROM
+                          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id) AS rn FROM ca) x
+                        WHERE rn = 1),
+              caq AS (SELECT i.vec_id, c.cent_id,
+                             ROUND(list_cosine_similarity(CAST(i.embedding AS DOUBLE[]), c.cvec), 6) AS s
+                      FROM embeddings i CROSS JOIN c2 c WHERE i.vec_id <= 5),
+              probes AS (SELECT vec_id AS q_id, cent_id FROM
+                           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id) AS rn FROM caq) y
+                         WHERE rn <= 4),
+              cand AS (SELECT q_id, c_id AS n_id FROM probes JOIN cells USING (cent_id) WHERE c_id <> q_id),
+              scored AS (SELECT q_id, n_id,
+                                ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+                         FROM cand JOIN embeddings a ON a.vec_id = q_id JOIN embeddings b ON b.vec_id = n_id)
+         SELECT q_id, rnk, n_id, sim FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk FROM scored) z
+         WHERE rnk <= 3 ORDER BY q_id, rnk""",
   )
 }
