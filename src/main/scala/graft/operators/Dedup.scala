@@ -215,9 +215,19 @@ object Dedup {
     */
   def incrementalCandidates(existingBands: DataFrame, incoming: DataFrame,
                             keyCol: String, k: Int = 5,
-                            maxCandidatesPerNewId: Int = 1024): DataFrame = {
-    val newBands = minhashBandTable(incoming, keyCol, k)
-      .withColumnRenamed(keyCol, "new_id")
+                            maxCandidatesPerNewId: Int = 1024): DataFrame =
+    incrementalCandidatesFromBands(existingBands,
+      minhashBandTable(incoming, keyCol, k).withColumnRenamed(keyCol, "new_id"),
+      maxCandidatesPerNewId)
+
+  /** [[incrementalCandidates]] with the increment's band table supplied by
+    * the caller — lets a gate that also APPENDS the increment's bands to a
+    * persisted artifact (q114) band the increment exactly once per call
+    * instead of once for the candidate join and again for the append.
+    */
+  def incrementalCandidatesFromBands(existingBands: DataFrame,
+                                     newBands: DataFrame,
+                                     maxCandidatesPerNewId: Int = 1024): DataFrame = {
     existingBands
       .join(newBands, Seq("band", "bh"))
       .select("old_id", "new_id")
@@ -257,10 +267,12 @@ object Dedup {
                                          k: Int = 5,
                                          jaccardThreshold: Double = 0.8,
                                          maxCandidatesPerNewId: Int = 1024,
-                                         broadcastPairLimit: Long = 4000000L): DataFrame = {
+                                         broadcastPairLimit: Long = 4000000L,
+                                         incomingBands: Option[DataFrame] = None): DataFrame = {
     val spark = incoming.sparkSession
     val candidates =
-      incrementalCandidates(existingBands, incoming, keyCol, k, maxCandidatesPerNewId)
+      incomingBands.map(incrementalCandidatesFromBands(existingBands, _, maxCandidatesPerNewId))
+        .getOrElse(incrementalCandidates(existingBands, incoming, keyCol, k, maxCandidatesPerNewId))
         .localCheckpoint(true)
     val candSide =
       if (candidates.count() <= broadcastPairLimit) broadcast(candidates)
@@ -309,25 +321,57 @@ object Dedup {
                                             nBuckets: Int = 8): DataFrame = {
     val (bandsTbl, textsTbl) = incrementalArtifactNames(tag)
     Seq(bandsTbl, textsTbl).foreach(graft.StageDir.dropManagedTable(spark, _))
-    minhashBandTable(corpus, keyCol, k).withColumnRenamed(keyCol, "old_id")
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(nBuckets, "band", "bh").sortBy("band", "bh")
-      .saveAsTable(bandsTbl)
-    corpus.select(col(keyCol).as("old_id"), col("text").as("ta"))
-      .write.mode("overwrite").format("parquet").saveAsTable(textsTbl)
+    // r19 (guide §2.6, overlap independent jobs): the band table and the
+    // text projection are INDEPENDENT artifacts of the same corpus slice —
+    // two writes with no data dependency. Submitting them concurrently
+    // lets the cheap projection write back-fill the bucketed write's
+    // shuffle/sort tail instead of queueing a whole job behind it; same
+    // again for the two appends below. Measured at sf0.1 (Q114Legs): the
+    // serial chain paid bands+texts+append as a straight sum.
+    inParallel(
+      () => minhashBandTable(corpus, keyCol, k).withColumnRenamed(keyCol, "old_id")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, "band", "bh").sortBy("band", "bh")
+        .saveAsTable(bandsTbl),
+      () => corpus.select(col(keyCol).as("old_id"), col("text").as("ta"))
+        .write.mode("overwrite").format("parquet").saveAsTable(textsTbl))
+    // r19: band the increment ONCE per call — the same rows feed the
+    // candidate join and the corpus-grows append (it used to be banded
+    // twice, once in each). Eager localCheckpoint: increment-sized by the
+    // gate's contract, materialized before either consumer runs.
+    val incBands = minhashBandTable(incoming, keyCol, k)
+      .withColumnRenamed(keyCol, "new_id")
+      .localCheckpoint(true)
     val out = incrementalMinhashMatchesPrebanded(
       spark.table(bandsTbl), spark.table(textsTbl), incoming, keyCol, k,
-      jaccardThreshold)
+      jaccardThreshold, incomingBands = Some(incBands))
       .localCheckpoint(true)
-    // corpus-grows: the increment's banding is paid here, exactly once —
+    // corpus-grows: the increment's banding was paid above, exactly once —
     // the next increment gates against these rows without re-banding them
-    minhashBandTable(incoming, keyCol, k).withColumnRenamed(keyCol, "old_id")
-      .write.mode("append").format("parquet")
-      .bucketBy(nBuckets, "band", "bh").sortBy("band", "bh")
-      .saveAsTable(bandsTbl)
-    incoming.select(col(keyCol).as("old_id"), col("text").as("ta"))
-      .write.mode("append").format("parquet").saveAsTable(textsTbl)
+    inParallel(
+      () => incBands.withColumnRenamed("new_id", "old_id")
+        .write.mode("append").format("parquet")
+        .bucketBy(nBuckets, "band", "bh").sortBy("band", "bh")
+        .saveAsTable(bandsTbl),
+      () => incoming.select(col(keyCol).as("old_id"), col("text").as("ta"))
+        .write.mode("append").format("parquet").saveAsTable(textsTbl))
     out
+  }
+
+  /** Runs independent write jobs concurrently (guide §2.6) and rethrows
+    * the first failure after all complete. Child threads inherit the
+    * caller's job group/description (SparkContext local properties are
+    * inheritable), so Verify's per-query watchdog cancellation still
+    * reaches these jobs.
+    */
+  private def inParallel(fs: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = fs.map { f =>
+      val t = new Thread(() => try f() catch { case e: Throwable => errs.add(e) })
+      t.setDaemon(true); t.start(); t
+    }
+    ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
   }
 
   // ------------------------------------------- containment (excerpt dedup)
