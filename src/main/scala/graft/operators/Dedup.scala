@@ -358,21 +358,7 @@ object Dedup {
     out
   }
 
-  /** Runs independent write jobs concurrently (guide §2.6) and rethrows
-    * the first failure after all complete. Child threads inherit the
-    * caller's job group/description (SparkContext local properties are
-    * inheritable), so Verify's per-query watchdog cancellation still
-    * reaches these jobs.
-    */
-  private def inParallel(fs: (() => Unit)*): Unit = {
-    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val ts = fs.map { f =>
-      val t = new Thread(() => try f() catch { case e: Throwable => errs.add(e) })
-      t.setDaemon(true); t.start(); t
-    }
-    ts.foreach(_.join())
-    if (!errs.isEmpty) throw errs.peek()
-  }
+  private def inParallel(fs: (() => Unit)*): Unit = Inputs.runConcurrently(fs: _*)
 
   // ------------------------------------------- containment (excerpt dedup)
 

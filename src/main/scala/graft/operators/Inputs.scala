@@ -48,4 +48,22 @@ private[graft] object Inputs {
       } catch { case _: Exception => f }
       entry.foldLeft(h)((a, c) => (a ^ c) * 1099511628211L)
     }
+
+  /** Runs independent actions (typically writes of independent artifacts)
+    * concurrently and rethrows the first failure after all complete —
+    * guide §2.6: Spark happily schedules several jobs at once, and a cheap
+    * job back-fills the expensive one's straggler tail instead of queueing
+    * serially behind it. Child threads inherit the caller's job
+    * group/description (SparkContext local properties are inheritable), so
+    * per-query watchdog cancellation still reaches these jobs.
+    */
+  def runConcurrently(fs: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = fs.map { f =>
+      val t = new Thread(() => try f() catch { case e: Throwable => errs.add(e) })
+      t.setDaemon(true); t.start(); t
+    }
+    ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
 }

@@ -403,11 +403,20 @@ object Similarity {
     * form, see [[graft.expressions.VecPrimitives]]).
     */
   private def ivfCellRows(spark: SparkSession, df: DataFrame, keyCol: String,
-                          vecCol: String, centTbl: String): DataFrame = {
+                          vecCol: String, centTbl: String): DataFrame =
+    ivfCellRowsFrom(spark, df, keyCol, vecCol, spark.table(centTbl))
+
+  /** [[ivfCellRows]] against a caller-supplied centroid frame — lets the
+    * index BUILD assign cells straight off the (pinned, nlist-row) trained
+    * centroids instead of reading back the just-written centroid table,
+    * which also removes the write→read dependency between the two index
+    * halves so their writes can overlap (guide §2.6).
+    */
+  private def ivfCellRowsFrom(spark: SparkSession, df: DataFrame, keyCol: String,
+                              vecCol: String, cent: DataFrame): DataFrame = {
     val cos = VectorFunctions.cosineNative(spark) _
     val nrm = VectorFunctions.normNative(spark)(_)
     val rnd = VectorFunctions.roundNative(spark) _
-    val cent = spark.table(centTbl)
     topKPerGroup(
       df.select(col(keyCol).as("c_id"), col(vecCol))
         .join(broadcast(cent))
@@ -440,12 +449,18 @@ object Similarity {
     val trainSet =
       if (trainSampleMod <= 1) corpus
       else corpus.filter(Curation.portableHash(col(keyCol)) % trainSampleMod === 0)
-    kmeansCentroids(trainSet, keyCol, vecCol, nlist, kmeansIters)
-      .write.mode("overwrite").format("parquet").saveAsTable(centTbl)
-    ivfCellRows(spark, corpus, keyCol, vecCol, centTbl)
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(nBuckets, "cent_id").sortBy("cent_id")
-      .saveAsTable(cellsTbl)
+    // r19 (guide §2.6): the trained centroid frame is a pinned local
+    // dataset (nlist rows), so the cell assignment can run straight off it
+    // — no read-back of the just-written centroid table, and the two index
+    // halves' writes carry no data dependency, so they run as concurrent
+    // jobs (the cheap centroid write back-fills the bucketed cells write).
+    val cent = kmeansCentroids(trainSet, keyCol, vecCol, nlist, kmeansIters)
+    Inputs.runConcurrently(
+      () => cent.write.mode("overwrite").format("parquet").saveAsTable(centTbl),
+      () => ivfCellRowsFrom(spark, corpus, keyCol, vecCol, cent)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, "cent_id").sortBy("cent_id")
+        .saveAsTable(cellsTbl))
   }
 
   /** SEARCH: today's increment probes the persisted index — reads only the
