@@ -660,26 +660,7 @@ object Dedup {
   def semanticDedupPairs(emb: DataFrame, keyCol: String, vecCol: String,
                          minSim: Double = 0.9, nlist: Int = 16,
                          kmeansIters: Int = 2, maxCell: Int = 4096,
-                         trainSampleMod: Int = 1): DataFrame =
-    semanticDedupPairsImpl(emb, keyCol, vecCol, minSim, nlist, kmeansIters,
-      maxCell, trainSampleMod)
-
-  /** Probe arm (Q124SidedAB): `sided` force-materialized before
-    * [[boundedCandidates]] regardless of the AUTO gate — measures whether
-    * the four static consumers of the cell-assignment subtree actually
-    * recompute it at runtime or AQE stage reuse already dedupes them.
-    */
-  private[graft] def semanticDedupPairsCkpt(emb: DataFrame, keyCol: String,
-                                            vecCol: String,
-                                            minSim: Double): DataFrame =
-    semanticDedupPairsImpl(emb, keyCol, vecCol, minSim, 16, 2, 4096, 1,
-      forceSided = Some(true))
-
-  private def semanticDedupPairsImpl(emb: DataFrame, keyCol: String, vecCol: String,
-                                     minSim: Double, nlist: Int,
-                                     kmeansIters: Int, maxCell: Int,
-                                     trainSampleMod: Int,
-                                     forceSided: Option[Boolean] = None): DataFrame = {
+                         trainSampleMod: Int = 1): DataFrame = {
     val spark = emb.sparkSession
     val cos = graft.functions.VectorFunctions.cosineNative(spark) _
     val trainSet =
@@ -697,37 +678,8 @@ object Dedup {
     // bit-identical to the inline cosine; see expressions.VecPrimitives)
     val dot = graft.functions.VectorFunctions.dotNative(spark) _
     val nrm = graft.functions.VectorFunctions.normNative(spark)(_)
-    val sided0 = cells.join(emb.select(col(keyCol).as("_id"), col(vecCol).as("_v"),
+    val sided = cells.join(emb.select(col(keyCol).as("_id"), col(vecCol).as("_v"),
       nrm(col(vecCol)).as("_n")), "_id")
-    // r19 (Q124SidedAB): [[boundedCandidates]] consumes its input FOUR
-    // times (a/b sides of the in-cap self-join + a/b sides of the chain
-    // leg) and AQE stage reuse does NOT unify them at runtime (1 reused
-    // exchange of 16 in the executed plan) — the scan + broadcast-centroid
-    // scoring + argmax aggregate ran once per consumer. Persisting `sided`
-    // cuts q124 from 1.13 s med to 0.82 s med at sf0.1 (rows identical).
-    // Storage posture follows the q115 containment precedent: a corpus ×
-    // (vector, norm) cache is what a 100 TB run cannot hold, so AUTO
-    // persists only when the input's at-rest size estimate is small
-    // (default 64 MB — embedding payloads are fixed-width doubles, ~1×
-    // in-memory inflation, unlike the ~100× shingle-array case that set
-    // containment's 16 MB gate), and recomputes otherwise. Conf:
-    // `spark.graft.semanticSidedStorage` = AUTO|NONE|<StorageLevel>,
-    // `spark.graft.semanticPersistMaxBytes` sizes the AUTO gate.
-    val conf = spark.conf
-    val persistSided = forceSided.getOrElse(
-      conf.getOption("spark.graft.semanticSidedStorage").getOrElse("AUTO") match {
-        case "NONE" => false
-        case "AUTO" =>
-          val atRest = emb.queryExecution.optimizedPlan.stats.sizeInBytes
-          val gate = conf.getOption("spark.graft.semanticPersistMaxBytes")
-            .map(_.toLong).getOrElse(64L << 20)
-          atRest <= gate
-        case _ => true
-      })
-    val sided =
-      if (persistSided)
-        sided0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else sided0
     boundedCandidates(sided, "_id", Seq("cent_id"), Seq("_v", "_n"), maxCell)
       .select(col("a"), col("b"),
         graft.functions.VectorFunctions.roundNative(spark)(
