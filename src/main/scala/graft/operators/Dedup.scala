@@ -71,6 +71,42 @@ object Dedup {
       .withColumn("_bsz", count(lit(1)).over(w))
   }
 
+  /** Candidate-stage input materialization (r19). [[boundedCandidates]]
+    * consumes its signature table FOUR times (a/b sides of the in-cap
+    * self-join + a/b sides of the chain leg), and neither exchange reuse
+    * nor AQE stage reuse unifies the four identical subtrees at runtime
+    * (measured on q124: zero reused exchanges — the scan + signature
+    * kernel ran once per consumer). An EAGER localCheckpoint collapses
+    * them to one computation and wins (q124 med 0.647 → 0.452 s at sf0.1,
+    * CandidateCacheAB); a LAZY MEMORY_AND_DISK persist of the same frame
+    * LOSES (med 0.734 — columnar encode/decode of the payload plus the
+    * cache boundary's AQE restrictions cost more than the recomputes), so
+    * the checkpoint is the shipped form. An input-sized materialization
+    * is still exactly what a 100 TB run cannot hold (the q115
+    * containment-gram lesson), so AUTO materializes only when the
+    * SOURCE's at-rest size estimate is at or under
+    * `spark.graft.candidateMaterializeMaxBytes` (default 64 MB) and
+    * recomputes otherwise; `spark.graft.candidateInputMaterialize` forces
+    * NONE/FORCE explicitly. Gate stats come from the raw source scan
+    * (reliable file-size stats), never the derived frame (a join estimate
+    * without CBO is a size product — useless as a gate).
+    */
+  private def materializeCandidateInput(input: DataFrame,
+                                        source: DataFrame): DataFrame = {
+    val conf = input.sparkSession.conf
+    val doIt = conf.getOption("spark.graft.candidateInputMaterialize")
+      .getOrElse("AUTO") match {
+      case "NONE" => false
+      case "AUTO" =>
+        val atRest = source.queryExecution.optimizedPlan.stats.sizeInBytes
+        val gate = conf.getOption("spark.graft.candidateMaterializeMaxBytes")
+          .map(_.toLong).getOrElse(64L << 20)
+        atRest <= gate
+      case _ => true
+    }
+    if (doIt) input.localCheckpoint(true) else input
+  }
+
   /** Within-bucket candidate pairs with a HOT-BUCKET bound. Buckets at or
     * under `maxBucket` pair exhaustively (`a < b`) exactly as before; an
     * OVER-cap bucket — a degenerate signature flood: empty/boilerplate
@@ -137,8 +173,10 @@ object Dedup {
                    maxBucket: Int = 1024): DataFrame = {
     val spark = docs.sparkSession
     val d = spread(docs)
-    val bands = d.select(col(keyCol),
-      posexplode(TextSignatures.minhashBandsCol(spark)(col("text"), k)).as(Seq("band", "bh")))
+    val bands = materializeCandidateInput(
+      d.select(col(keyCol),
+        posexplode(TextSignatures.minhashBandsCol(spark)(col("text"), k)).as(Seq("band", "bh"))),
+      docs)
     val candidates = boundedCandidates(bands, keyCol, Seq("band", "bh"), Nil, maxBucket)
       .dropDuplicates("a", "b")
     candidates
@@ -521,8 +559,9 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, keyCol: String, textCol: String,
                    maxDist: Int = 3, maxBucket: Int = 4096): DataFrame = {
-    boundedCandidates(simhashChunkTable(docs, keyCol, textCol), keyCol,
-      Seq("chunk", "cv"), Seq("simhash"), maxBucket)
+    boundedCandidates(
+      materializeCandidateInput(simhashChunkTable(docs, keyCol, textCol), docs),
+      keyCol, Seq("chunk", "cv"), Seq("simhash"), maxBucket)
       .withColumn("hamming", bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))))
       .filter(col("hamming") <= maxDist)
       .select("a", "b", "hamming")
@@ -614,8 +653,10 @@ object Dedup {
       case None => return emb.select(col(keyCol).as("a"), col(keyCol).as("b"),
         lit(0.0).as("sim")).limit(0)
     }
-    val bucketed = graft.operators.Similarity.withLshBucket(emb, vecCol, nPlanes, dim)
-      .select(col(keyCol), col(vecCol), col("bucket"))
+    val bucketed = materializeCandidateInput(
+      graft.operators.Similarity.withLshBucket(emb, vecCol, nPlanes, dim)
+        .select(col(keyCol), col(vecCol), col("bucket")),
+      emb)
     boundedCandidates(bucketed, keyCol, Seq("bucket"), Seq(vecCol), maxBucket)
       .select(col("a"), col("b"),
         rnd(cos(col(s"${vecCol}_a"), col(s"${vecCol}_b")), 6).as("sim"))
@@ -678,8 +719,10 @@ object Dedup {
     // bit-identical to the inline cosine; see expressions.VecPrimitives)
     val dot = graft.functions.VectorFunctions.dotNative(spark) _
     val nrm = graft.functions.VectorFunctions.normNative(spark)(_)
-    val sided = cells.join(emb.select(col(keyCol).as("_id"), col(vecCol).as("_v"),
-      nrm(col(vecCol)).as("_n")), "_id")
+    val sided = materializeCandidateInput(
+      cells.join(emb.select(col(keyCol).as("_id"), col(vecCol).as("_v"),
+        nrm(col(vecCol)).as("_n")), "_id"),
+      emb)
     boundedCandidates(sided, "_id", Seq("cent_id"), Seq("_v", "_n"), maxCell)
       .select(col("a"), col("b"),
         graft.functions.VectorFunctions.roundNative(spark)(

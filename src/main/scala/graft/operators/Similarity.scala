@@ -109,7 +109,7 @@ object Similarity {
   /** Per-group top-k via the bounded-heap aggregate; returns
     * `(group, rnk, idCol, scoreCol)` rows, rank 1 = best.
     */
-  private[operators] def topKPerGroup(scored: DataFrame, groupCol: String,
+  private[graft] def topKPerGroup(scored: DataFrame, groupCol: String,
                                       scoreCol: String, idCol: String,
                                       k: Int): DataFrame = {
     graft.expressions.TopKByScore.register(scored.sparkSession)
