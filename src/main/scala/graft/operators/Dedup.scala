@@ -476,9 +476,17 @@ object Dedup {
         val atRest = docs.queryExecution.optimizedPlan.stats.sizeInBytes
         val gate = conf.getOption("spark.graft.containmentPersistMaxBytes")
           .map(_.toLong).getOrElse(16L << 20)
-        if (atRest <= gate)
-          g0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // r19 (Q115GramStorageAB, honest per-run-clear protocol): the
+        // eager localCheckpoint beats the r16 MEMORY_AND_DISK persist on
+        // the gated small side too (med 1.996 -> 1.893, min 1.926 ->
+        // 1.705 at sf0.1) — no columnar encode/decode, no cache-boundary
+        // AQE restrictions. The 16 MB at-rest gate is unchanged: the r16
+        // 10x-decade loss (string-array inflation thrashing storage) is a
+        // property of materializing gram arrays at all, so the big side
+        // still recomputes.
+        if (atRest <= gate) g0.localCheckpoint(true)
         else g0
+      case "LOCALCKPT" => g0.localCheckpoint(true) // explicit probe arm
       case lvl => g0.persist(org.apache.spark.storage.StorageLevel.fromString(lvl))
     }
     val ex = g.select(col(keyCol), explode(col("g")).as("sh"))
