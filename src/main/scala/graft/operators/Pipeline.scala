@@ -56,10 +56,23 @@ object Pipeline {
       .select(col("doc_id"), col("clean_text").as("text"))
     val pairs = Dedup.ngramJaccardPairs(pairSrc, "doc_id", 3)
       .filter(col("jaccard") >= 0.1)
+    // r19 (guide §2.3/§2.4): every clustered doc has doc_id <= PairBound
+    // (pairs are generated only over that slice), so the resolution leg is
+    // pruned to the bound BEFORE scoring — the old shape scored the WHOLE
+    // corpus (a second full langid+scrub+stats pass, plan scan (9) in
+    // plans/r19/q136_before.txt) just to inner-join it down to <= 41
+    // cluster rows. Identical result: resolveDuplicates' inner join kept
+    // only clustered (<= PairBound) keys either way, and per-doc scores
+    // don't depend on other rows.
     val resolved = Dedup.resolveDuplicates(
-      scrub.select(col("doc_id"), col("clean_text")), pairs, "doc_id", "clean_text")
+      scrub.filter(col("doc_id") <= PairBound)
+        .select(col("doc_id"), col("clean_text")), pairs, "doc_id", "clean_text")
+    // keep-list is bounded by PairBound rows — broadcast it so the corpus
+    // side never shuffles (the old plan paid a SortMergeJoin with an
+    // exchange+sort on BOTH sides for a <= 41-row right side)
     val decided = scrub
-      .join(resolved.select(col("doc_id"), col("keep")), Seq("doc_id"), "left")
+      .join(broadcast(resolved.select(col("doc_id"), col("keep"))),
+        Seq("doc_id"), "left")
       .filter(coalesce(col("keep"), lit(true)))
     // stage 4: quality gate on the scrubbed text
     val st = graft.expressions.TextStats.statsCol(spark)(col("clean_text"))
