@@ -151,9 +151,12 @@ object Bench {
     // round-over-round; STREAM_BUDGET.json carries per-query ceilings
     // (1.5× the max wall observed across the r10/r11 capture windows) and
     // every bench run at the budget's SF checks them mechanically.
-    val budgetNote: String = {
+    // (full, compact): bench_out.json carries the {wall, budget} detail per
+    // violation; the stdout line carries names only (r19 — full detail on a
+    // two-violation host-phase window grew the line past the tail guard)
+    val (budgetNote, budgetNoteCompact): (String, String) = {
       val p = java.nio.file.Paths.get("STREAM_BUDGET.json")
-      if (!java.nio.file.Files.exists(p)) ""
+      if (!java.nio.file.Files.exists(p)) ("", "")
       else try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(p.toFile)
         import scala.jdk.CollectionConverters._
@@ -162,18 +165,23 @@ object Bench {
         val entry = Option(node.get("per_sf")).flatMap { ps =>
           ps.fields().asScala.find(e => sfDir.contains(e.getKey)).map(_.getValue)
         }
-        if (entry.isEmpty) ""
+        if (entry.isEmpty) ("", "")
         else {
           val budgets = entry.get.get("budgets_s").fields().asScala
             .map(e => e.getKey -> e.getValue.asDouble()).toMap
           val viol = results.collect {
-            case (k, v) if budgets.get(k).exists(v > _) =>
-              s""""$k":{"wall":${r3(v)},"budget":${budgets(k)}}"""
+            case (k, v) if budgets.get(k).exists(v > _) => (k, v)
           }
-          if (viol.isEmpty) s""","stream_budget_ok":true"""
-          else s""","stream_budget_violations":${viol.mkString("{", ",", "}")}"""
+          if (viol.isEmpty)
+            (s""","stream_budget_ok":true""", s""","stream_budget_ok":true""")
+          else (
+            s""","stream_budget_violations":${viol.map { case (k, v) =>
+              s""""$k":{"wall":${r3(v)},"budget":${budgets(k)}}"""
+            }.mkString("{", ",", "}")}""",
+            s""","stream_budget_violations":${viol.map(_._1).sorted
+              .map("\"" + _ + "\"").mkString("[", ",", "]")}""")
         }
-      } catch { case _: Exception => "" }
+      } catch { case _: Exception => ("", "") }
     }
     // Two renderings of one measurement:
     //  - stdout: COMPACT (short qNN keys, 3-decimal secs) — the driver's
@@ -189,14 +197,16 @@ object Bench {
     require(dupPrefixes.isEmpty,
       s"duplicate bench-key prefixes would corrupt the compact stdout line: " +
         dupPrefixes.mkString(", "))
-    def line(keyOf: String => String, fmt: Double => String, extra: String): String = {
+    def line(keyOf: String => String, fmt: Double => String, extra: String,
+             budget: String = budgetNote): String = {
       val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_ex_q74":${r3(exQ74)}$duckdb$budgetNote,"queries":$qs$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_ex_q74":${r3(exQ74)}$duckdb$budget,"queries":$qs$extra,"sf":"$sfDir"}"""
     }
     // 2-decimal stdout values (r17): the 3-decimal compact line outgrew the
     // driver's 2000-char tail at 136 queries (BENCH_r16.json parsed: null)
-    printCompact(line(_.takeWhile(_ != '_'), d => f"$d%.2f", extra = ""),
+    printCompact(line(_.takeWhile(_ != '_'), d => f"$d%.2f", extra = "",
+        budget = budgetNoteCompact),
       f"BENCH total ${r3(total)}s over ${results.size} queries " +
         "(full artifact: bench_out.json); compact line follows.")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -299,14 +309,25 @@ object Bench {
     val qs = queries.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f"
     }.mkString("{", ",", "}")
-    val passthrough = Seq("duckdb_committed", "stream_budget_ok",
-      "stream_budget_violations")
-      .flatMap(f => Option(node.get(f)).map(v => s""""$f":$v"""))
-      .mkString(",")
+    // stream_budget_violations pass through as NAMES ONLY (r19): the full
+    // {wall, budget} detail stays in bench_out.json — a host-phase window
+    // with two violations grew the full-detail line to 1958 chars, which
+    // tripped printCompact's loud-fail guard and exited the whole capture
+    // nonzero. The capture field is likewise dropped from stdout (a
+    // ~110-char constant already committed in bench_out.json).
+    val passthrough = (
+      Seq("duckdb_committed", "stream_budget_ok")
+        .flatMap(f => Option(node.get(f)).map(v => s""""$f":$v""")) ++
+      Option(node.get("stream_budget_violations")).map { v =>
+        import scala.jdk.CollectionConverters._
+        s""""stream_budget_violations":${v.fieldNames().asScala.toSeq.sorted
+          .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      }
+    ).mkString(",")
     val line = s"""{"metric":"total","value":${r3(node.get("value").asDouble())},""" +
       s""""unit":"sec","total_ex_q74":${r3(node.get("total_ex_q74").asDouble())},""" +
       (if (passthrough.nonEmpty) passthrough + "," else "") +
-      s""""capture":${node.get("capture")},"queries":$qs,"sf":"$sfDir"}"""
+      s""""queries":$qs,"sf":"$sfDir"}"""
     printCompact(line,
       f"BENCH total ${r3(node.get("value").asDouble())}s over " +
         s"${queries.size} queries (A/B window; full artifact: " +
