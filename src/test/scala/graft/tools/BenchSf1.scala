@@ -34,6 +34,12 @@ object BenchSf1 {
       SparkSession.builder().master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.local.dir", graft.streaming.EventStreams.scratchBase)
+        // same warehouse posture as graft.Bench (r19): certification
+        // artifacts are throwaway derived data; keep both SF points'
+        // measurement environments identical
+        .config("spark.sql.warehouse.dir",
+          sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE",
+            graft.StageDir.scratchBase + "/graft_warehouse"))
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
