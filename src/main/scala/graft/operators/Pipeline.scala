@@ -31,9 +31,13 @@ object Pipeline {
   type Q = (SparkSession, String) => DataFrame
 
   /** pair-source bound, the q85/q120 convention: the O(pairs) n-gram stage
-    * runs over this id prefix; resolution still covers the whole corpus.
+    * AND resolution scoring run over this id prefix (r19 pruned the
+    * resolution leg to the bound — clusters can only contain bounded ids),
+    * while the keep DECISION still covers the whole corpus via the
+    * broadcast left join below. `private[graft]` so probes (Q136Legs)
+    * measure the same bound the query ships with.
     */
-  private val PairBound = 40
+  private[graft] val PairBound = 40
 
   def curate(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession

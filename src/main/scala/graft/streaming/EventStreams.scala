@@ -184,7 +184,8 @@ object EventStreams {
     s2.conf.set("spark.sql.shuffle.partitions",
       caller.conf.getOption("spark.graft.stream.partitions").getOrElse("4"))
     for (k <- Seq("spark.graft.stream.trigger", "spark.graft.stream.checkpointBase",
-                  "spark.graft.stream.debugProgress", "spark.graft.stream.partitions"))
+                  "spark.graft.stream.debugProgress", "spark.graft.stream.partitions",
+                  "spark.graft.stream.twoSourceJoin"))
       caller.conf.getOption(k) match {
         case Some(v) => s2.conf.set(k, v)
         case None => s2.conf.unset(k)
@@ -210,13 +211,29 @@ object EventStreams {
     *   (e.g. RocksDB for transformWithState); None reads the caller's
     *   setting through, defaulting to the HDFS-backed store.
     */
+  /** Wall-clock phase probe for the replay machinery: when the caller
+    * session sets `spark.graft.stream.debugPhases=true`, each labelled
+    * phase of a replay prints `STREAMPHASE <label> <secs>` — the
+    * setup-vs-trigger-vs-readback split the engine's own `durationMs`
+    * (triggerExecution breakdown) cannot see. Measurement-only: a single
+    * conf read + nanoTime when enabled, nothing when off.
+    */
+  private[graft] def phased[T](caller: SparkSession, label: String)(body: => T): T = {
+    if (!caller.conf.getOption("spark.graft.stream.debugPhases").contains("true")) body
+    else {
+      val t0 = System.nanoTime()
+      try body
+      finally println(f"STREAMPHASE $label ${(System.nanoTime() - t0) / 1e9}%.3f")
+    }
+  }
+
   def runToMemory(caller: SparkSession, frame: SparkSession => DataFrame,
                   mode: String,
                   availableNow: Boolean = false,
                   noDataBatch: Boolean = false,
                   stateStoreProvider: Option[String] = None): DataFrame = {
-    val spark = replaySession(caller, noDataBatch, stateStoreProvider)
-    val df = frame(spark)
+    val spark = phased(caller, "session")(replaySession(caller, noDataBatch, stateStoreProvider))
+    val df = phased(caller, "frame")(frame(spark))
     require(df.sparkSession eq spark,
       "runToMemory: the frame must be built on the replay session it is given")
     // Replay sinks are consumed immediately by the caller; earlier replays'
@@ -257,18 +274,18 @@ object EventStreams {
         writer.option("checkpointLocation", dir.toString)
         dir
       }
-      val q = writer.start()
-      q.awaitTermination()
+      val q = phased(caller, "start")(writer.start())
+      phased(caller, "await")(q.awaitTermination())
       // Probe hook: surface the engine's own per-phase timing breakdown.
       if (spark.conf.getOption("spark.graft.stream.debugProgress").contains("true"))
         q.recentProgress.foreach(p => println(s"PROGRESS ${p.json}"))
-      ckpt.foreach { dir => // best-effort scratch cleanup
+      phased(caller, "ckptclean")(ckpt.foreach { dir => // best-effort scratch cleanup
         import scala.jdk.CollectionConverters._
         val s = java.nio.file.Files.walk(dir)
         try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
         finally s.close()
-      }
+      })
     }
     // No conf restore: every knob above lives on the replay clone, which
     // the machinery owns — the caller session was never touched.
@@ -687,9 +704,21 @@ object EventStreams {
     runToMemory(spark, s => attributionPairsFrame(s, dir), "append")
       .presented("imp_id", "click_id")
 
-  /** The q73 plan pre-sink (see [[tumblingFrame]] for why it is split out). */
+  /** The q73 plan pre-sink (see [[tumblingFrame]] for why it is split out).
+    * SELF-join over ONE stream source (r20): the impression and click sides
+    * are two filters of the same events stream, so instantiating two
+    * independent file sources paid a second per-batch offset resolution +
+    * directory listing + WAL entry for identical data. One source feeds
+    * both sides (Spark's documented stream self-join support); the join
+    * result is byte-identical — oracle re-checked.
+    */
   private[graft] def attributionPairsFrame(spark: SparkSession, dir: String): DataFrame =
-    attributionPairsFrom(readEvents(spark, dir), readEvents(spark, dir))
+    if (twoSourceJoin(spark)) attributionPairsFrom(readEvents(spark, dir), readEvents(spark, dir))
+    else { val ev = readEvents(spark, dir); attributionPairsFrom(ev, ev) }
+
+  /** A/B escape hatch for the r20 shared-source change (default: shared). */
+  private def twoSourceJoin(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.stream.twoSourceJoin").contains("true")
 
   /** The q73 join over caller-provided event streams (same `ts_utc` +
     * `event_type` shape as [[readEvents]]) — the certified plan decoupled
@@ -732,9 +761,15 @@ object EventStreams {
       availableNow = true, noDataBatch = true)
       .presented("imp_id", "click_id")
 
-  /** The q80 plan pre-sink (see [[tumblingFrame]] for why it is split out). */
+  /** The q80 plan pre-sink (see [[tumblingFrame]] for why it is split out).
+    * One shared stream source for both join sides — see
+    * [[attributionPairsFrame]]; the per-side watermarks still come from
+    * each side's own filter, so the final `min` watermark (and therefore
+    * the outer-null cutoff) is unchanged.
+    */
   private[graft] def attributionOuterFrame(spark: SparkSession, dir: String): DataFrame =
-    attributionOuterFrom(readEvents(spark, dir), readEvents(spark, dir))
+    if (twoSourceJoin(spark)) attributionOuterFrom(readEvents(spark, dir), readEvents(spark, dir))
+    else { val ev = readEvents(spark, dir); attributionOuterFrom(ev, ev) }
 
   /** The q80 join over caller-provided event streams — see
     * [[attributionPairsFrom]] for why the plan is source-decoupled.
@@ -790,8 +825,8 @@ object EventStreams {
     val ckpt = base.resolve("ckpt")
     val sinkSchema = "bucket_us BIGINT, event_type STRING, cnt BIGINT"
     try {
-      graft.StageDir.sweepRunScratch(Seq("graft_filesink_"))
-      locally {
+      phased(spark, "fs_sweep")(graft.StageDir.sweepRunScratch(Seq("graft_filesink_")))
+      phased(spark, "fs_stream") {
         val q = agg.writeStream
           .format("parquet")
           .option("path", outDir.toString)
@@ -813,11 +848,12 @@ object EventStreams {
       // alters the result republishes into a new dir instead of certifying
       // the stale copy.
       val fresh = spark.read.schema(sinkSchema).parquet(outDir.toString)
-      val published = graft.StageDir.publish(
-        s"graft_filesink_snap_x${dirTag(dir)}",
-        s"${eventsSig(dir)}:c${contentSig(fresh)}") { tmp =>
+      val sig = phased(spark, "fs_contentsig")(
+        s"${eventsSig(dir)}:c${contentSig(fresh)}")
+      val published = phased(spark, "fs_publish")(graft.StageDir.publish(
+        s"graft_filesink_snap_x${dirTag(dir)}", sig) { tmp =>
         fresh.write.mode("overwrite").parquet(tmp.toString)
-      }
+      })
       spark.read.schema(sinkSchema).parquet(published.toString)
     } finally graft.StageDir.releaseRunDir(base)
   }
@@ -877,7 +913,7 @@ object EventStreams {
     val s2 = replaySession(spark, noDataBatch = false, provider = None)
     val src = readEvents(s2, dir, maxFilesPerTrigger = Some(3))
       .select("user_id", "ts_us", "event_id", "value")
-    val finalSnap = streamUpsertRun(s2, src, snapBase)
+    val finalSnap = phased(spark, "up_stream")(streamUpsertRun(s2, src, snapBase))
     // Publish the FINAL version via StageDir: atomic rename into a
     // signature-pinned dir outside the sweep namespace, so the returned
     // LAZY read survives every later run (same fixture + same result →
@@ -887,14 +923,15 @@ object EventStreams {
     // coalesce(1): output partitions are sized to snapshot volume from the
     // parquet footer row count (metadata-only with aggregate pushdown).
     val snap = spark.read.parquet(finalSnap)
-    val published = graft.StageDir.publish(
-      s"graft_upsert_snap_x${dirTag(dir)}",
-      s"${eventsSig(dir)}:c${contentSig(snap)}") { tmp =>
+    val upSig = phased(spark, "up_contentsig")(
+      s"${eventsSig(dir)}:c${contentSig(snap)}")
+    val published = phased(spark, "up_publish")(graft.StageDir.publish(
+      s"graft_upsert_snap_x${dirTag(dir)}", upSig) { tmp =>
       val rpp = spark.conf.getOption("spark.graft.upsert.rowsPerPartition")
         .map(_.toLong).getOrElse(4000000L)
       val parts = math.max(1L, (snap.count() + rpp - 1) / rpp).toInt
       snap.repartition(parts).write.mode("overwrite").parquet(tmp.toString)
-    }
+    })
     spark.read.parquet(published.toString).presented("user_id")
     } finally graft.StageDir.releaseRunDir(snapBase)
   }
@@ -1006,8 +1043,9 @@ object EventStreams {
     import graft.operators.Similarity
     val emb = graft.Tables(spark, dir).embeddings
     val tag = s"st${Integer.toHexString(dir.hashCode)}"
-    Similarity.buildIvfIndex(spark, emb.filter(col("vec_id") % 5 =!= 0),
-      "vec_id", "embedding", tag)
+    phased(spark, "ivf_build")(
+      Similarity.buildIvfIndex(spark, emb.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", tag))
     // bounded multi-file replay (the events convention): staged once per
     // fixture, 4 files at 2 per trigger → two append microbatches; the
     // %5=0 filter runs inside the stream, so batch membership is whatever
@@ -1022,18 +1060,20 @@ object EventStreams {
       val src = s2.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2").parquet(stageDir)
         .filter(col("vec_id") % 5 === 0)
-      val q = src.writeStream
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          // batch-id-keyed segment with overwrite: foreachBatch is
-          // at-least-once, and a replayed batch must not double its
-          // vectors in the index — see Similarity.appendIvfSegment
-          Similarity.appendIvfSegment(batch.sparkSession, batch,
-            "vec_id", "embedding", tag, id)
-        }
-        .option("checkpointLocation", ckptBase.resolve("ckpt").toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      phased(spark, "ivf_stream") {
+        val q = src.writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            // batch-id-keyed segment with overwrite: foreachBatch is
+            // at-least-once, and a replayed batch must not double its
+            // vectors in the index — see Similarity.appendIvfSegment
+            Similarity.appendIvfSegment(batch.sparkSession, batch,
+              "vec_id", "embedding", tag, id)
+          }
+          .option("checkpointLocation", ckptBase.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     } finally graft.StageDir.releaseRunDir(ckptBase)
     Similarity.searchIvfIndex(spark, emb.filter(col("vec_id") <= 5),
       "vec_id", "embedding", tag, k = 3, nprobe = 4)

@@ -10,7 +10,7 @@ import graft.operators.{Cleaning, Dedup, TextAnalysis}
   * does the ~1.5 s wall go?
   *   scrub-pass : one full corpus pass of plantPII+langid+scrub+stats+score
   *                (noop-sink collect of the scored frame)
-  *   pairs      : bounded (doc_id <= 40) n-gram pair generation, collected
+  *   pairs      : bounded (doc_id <= Pipeline.PairBound) n-gram pair generation, collected
   *   clusters   : duplicateClusters' eager pointer-jump loop over the pairs
   *   full       : the declared query end-to-end (presented + collect)
   * Args: [reps].
@@ -47,7 +47,7 @@ object Q136Legs {
       val tScrub = t {
         scored.write.format("noop").mode("overwrite").save()
       }
-      val pairSrc = scrub.filter(col("doc_id") <= 40)
+      val pairSrc = scrub.filter(col("doc_id") <= graft.operators.Pipeline.PairBound)
         .select(col("doc_id"), col("clean_text").as("text"))
       var pairs: org.apache.spark.sql.DataFrame = null
       val tPairs = t {

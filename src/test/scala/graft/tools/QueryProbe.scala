@@ -19,6 +19,11 @@ object QueryProbe {
       SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
+        // match the bench posture (r20): probe deltas must track bench deltas
+        .config("spark.local.dir", graft.streaming.EventStreams.scratchBase)
+        .config("spark.sql.warehouse.dir",
+          sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE",
+            graft.StageDir.scratchBase + "/graft_warehouse"))
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -25,19 +25,27 @@ object StreamPhaseProbe {
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.local.dir", graft.streaming.EventStreams.scratchBase)
+        // match the bench posture (r20): q83/q98/q137 write warehouse artifacts
+        .config("spark.sql.warehouse.dir",
+          sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE",
+            graft.StageDir.scratchBase + "/graft_warehouse"))
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.graft.stream.debugProgress", "true")
+    spark.conf.set("spark.graft.stream.debugPhases", "true")
     val qs = SparkEntry.freshQueries.filter { case (n, _) =>
       n.contains("_stream_") && filters.exists(n.contains)
     }
     qs.toSeq.sortBy(_._1).foreach { case (n, fn) =>
       (1 to reps).foreach { i =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).collect()
-        val dt = (System.nanoTime() - t0) / 1e9
-        println(f"PHASEPROBE $n rep=$i wall=$dt%.3f")
+        val df = fn(spark, sfDir)
+        val tBuilt = System.nanoTime()
+        df.collect()
+        val t1 = System.nanoTime()
+        println(f"PHASEPROBE $n rep=$i wall=${(t1 - t0) / 1e9}%.3f " +
+          f"build=${(tBuilt - t0) / 1e9}%.3f collect=${(t1 - tBuilt) / 1e9}%.3f")
       }
     }
     spark.stop()
