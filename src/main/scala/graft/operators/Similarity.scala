@@ -412,20 +412,27 @@ object Similarity {
     * which also removes the write→read dependency between the two index
     * halves so their writes can overlap (guide §2.6).
     */
-  private def ivfCellRowsFrom(spark: SparkSession, df: DataFrame, keyCol: String,
-                              vecCol: String, cent: DataFrame): DataFrame = {
+  private[graft] def ivfCellRowsFrom(spark: SparkSession, df: DataFrame, keyCol: String,
+                                     vecCol: String, cent: DataFrame): DataFrame = {
     val cos = VectorFunctions.cosineNative(spark) _
     val nrm = VectorFunctions.normNative(spark)(_)
     val rnd = VectorFunctions.roundNative(spark) _
-    topKPerGroup(
-      df.select(col(keyCol).as("c_id"), col(vecCol))
-        .join(broadcast(cent))
-        .select(col("c_id"), col("cent_id"),
-          rnd(cos(col(vecCol), col("cvec")), 6).as("s")),
-      "c_id", "s", "cent_id", 1)
-      .select(col("c_id"), col("cent_id"))
-      .join(df.select(col(keyCol).as("c_id"), col(vecCol).as("nv"),
-        nrm(col(vecCol)).as("nn")), "c_id")
+    // r20 (guide §2.4): the k=1 nearest-cell argmax is ONE declarative
+    // aggregation — `max_by` over the `(s, -cent_id)` struct is exactly
+    // TopKByScore's total order (higher score wins, ties to the smaller
+    // cent_id) — with the vector and its norm riding the map-side partial
+    // agg (the broadcast expansion's 16 rows/key collapse back to one
+    // BEFORE the exchange, so the shuffled bytes match the old join-back's
+    // df side). The old shape paid heap-topK + a join BACK to df: one more
+    // exchange and a second scan of df per build/append.
+    df.select(col(keyCol).as("c_id"), col(vecCol).as("nv"), nrm(col(vecCol)).as("nn"))
+      .join(broadcast(cent))
+      .select(col("c_id"), col("nv"), col("nn"), col("cent_id"),
+        rnd(cos(col("nv"), col("cvec")), 6).as("s"))
+      .groupBy("c_id")
+      .agg(max_by(col("cent_id"), struct(col("s"), (-col("cent_id")).as("_t"))).as("cent_id"),
+        first(col("nv")).as("nv"), first(col("nn")).as("nn"))
+      .select(col("c_id"), col("cent_id"), col("nv"), col("nn"))
   }
 
   /** BUILD: train centroids on (a deterministic sample of) the corpus and
