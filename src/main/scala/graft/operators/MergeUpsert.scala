@@ -85,19 +85,33 @@ object MergeUpsert {
     * key, and insert keys are collision-free at ANY scale factor (base
     * orderkeys are non-negative, negated-minus-one keys never are; a fixed
     * offset would start colliding once the key range outgrew it).
+    *
+    * ONE scan, not a 3-leg union (r20, guide §2.4): the old shape scanned
+    * the base three times (one filter-pruned scan per op class) and paid a
+    * union + three job-floor rounds; each row now emits its up-to-3 op
+    * structs through one explode-of-array-literal pass — same rows (op
+    * classes U/D are disjoint by construction; a key can be both D and I
+    * — e.g. ≡0 mod 143 — exactly as the union emitted both). Measured
+    * alternated A/B (`ChangesetShapeAB`, row identity asserted): q90 med
+    * 0.583 → 0.450 s, q107 med 0.918 → 0.604 s at sf0.1. Presentation-sort
+    * modes are unchanged at every SF: [[merge]] localCheckpoints the
+    * changeset, so the fan-in walk sees the checkpoint's RDD leaf (counts
+    * 0) on that side either way (SortRuleCalibrate re-checked: q90
+    * fan=150k/single at sf0.1), and q107's delta sits below an Aggregate.
     */
   private[graft] def changeset(o: DataFrame): DataFrame = {
     val k = col("o_orderkey")
-    val upd = o.filter(k % 7 === 0 && k % 11 =!= 0)
-      .select(k, lit("U").as("op"), col("o_custkey"),
-        (col("o_totalprice") + 1000.0).as("o_totalprice"))
-    val del = o.filter(k % 11 === 0)
-      .select(k, lit("D").as("op"), col("o_custkey"),
-        lit(null).cast("double").as("o_totalprice"))
-    val ins = o.filter(k % 13 === 0)
-      .select((-k - 1).as("o_orderkey"), lit("I").as("op"),
-        col("o_custkey"), col("o_totalprice"))
-    upd.unionByName(del).unionByName(ins)
+    o.select(explode(array(
+      when(k % 7 === 0 && k % 11 =!= 0, struct(
+        k.as("o_orderkey"), lit("U").as("op"), col("o_custkey"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"))),
+      when(k % 11 === 0, struct(
+        k.as("o_orderkey"), lit("D").as("op"), col("o_custkey"),
+        lit(null).cast("double").as("o_totalprice"))),
+      when(k % 13 === 0, struct(
+        (-k - 1).as("o_orderkey"), lit("I").as("op"),
+        col("o_custkey"), col("o_totalprice").as("o_totalprice")))
+    )).as("_r")).filter(col("_r").isNotNull).select(col("_r.*"))
   }
 
   /** Incremental aggregate maintenance (IVM): update a persisted

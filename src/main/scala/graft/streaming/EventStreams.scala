@@ -987,6 +987,10 @@ object EventStreams {
                 col("ts_us").as("_pt"), col("event_id").as("_id_prev"))
               val winNew = col("_pt").isNull ||
                 struct(col("ts_us"), col("event_id")) > struct(col("_pt"), col("_id_prev"))
+              // (r20: probed persist vs merge's internal lazy localCheckpoint
+              // via StreamConfAB — med 2.395 vs 2.364 s, neutral; the
+              // snapshot-keys-sized changeset is too small for the storage
+              // form to matter. Persist kept — measured-no-win discipline.)
               val ch = delta.join(prevR, Seq("user_id"), "left_outer")
                 .select(col("user_id"),
                   when(col("_pt").isNull, "I").otherwise("U").as("op"),
